@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The operator inventory (SURVEY.md §2.3) is assembled from the category
+  * modules under `graft.ops`; every oracle-matched query obeys the
+  * determinism rules in [[graft.ops]] (total ordering, exact-decimal sums,
+  * aligned integer widths, round(·,6) clamps).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001 — the reference's query
+    * template (reference runner.cc:174–182) retargeted at lineitem;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ScanFilterOps.queries("q_scan_flagship")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ScanFilterOps.queries ++ JoinOps.queries ++ AggOps.queries ++
+      WindowOps.queries ++ SortSetOps.queries ++ FuncOps.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
+      MultimodalOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q_agg_approx_distinct, q_mm_decode) → driver records a weaker
+    * rows-only check. */
+  def oracleSql: Map[String, String] =
+    ScanFilterOps.oracles ++ JoinOps.oracles ++ AggOps.oracles ++
+      WindowOps.oracles ++ SortSetOps.oracles ++ FuncOps.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
+      MultimodalOps.oracles
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Aggregation inventory (SURVEY.md §2.3). All double sums/averages go
+  * through the exact-decimal policy in [[graft.ops]]; grouping-null rows
+  * from ROLLUP/CUBE are ordered NULLS LAST explicitly on both engines
+  * (Spark's bare asc is NULLS FIRST, DuckDB's is NULLS LAST —
+  * SURVEY.md §2.1 A10). Partial (map-side) aggregation is automatic in
+  * HashAggregateExec, so grouped aggs shuffle only one row per
+  * (partition, group) at scale.
+  */
+object AggOps {
+
+  val queries: Map[String, QB] = Map(
+    "q_agg_global" -> ((s, d) =>
+      table(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        r6(davg(col("l_quantity"))).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    // TPC-H Q1 shape (multi-key group, mixed aggregates).
+    "q_agg_groupby" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_base"),
+             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .as("sum_disc"),
+             r6(davg(col("l_quantity"))).as("avg_qty"),
+             r6(davg(col("l_discount"))).as("avg_disc"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+             countDistinct(col("l_suppkey")).as("nd_supp"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "q_agg_rollup" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(broadcast(table(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("r_name"), asc_nulls_last("n_name"))),
+
+    "q_agg_cube" -> ((s, d) =>
+      table(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .cube(col("o_orderstatus"), col("o_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_year"))),
+
+    // HLL sketch — bench-only (sketches are engine-specific, SURVEY §2.3),
+    // so no oracle entry: the driver records a rows-only check.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_global" -> """
+      SELECT count(*) AS n,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(l_quantity), 6) AS avg_qty,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price
+      FROM lineitem""",
+
+    "q_agg_groupby" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(l_quantity), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(l_discount), 6) AS avg_disc,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_agg_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_cube" -> """
+      SELECT o_orderstatus, year(o_orderdate) AS o_year, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+      ORDER BY o_orderstatus NULLS LAST, o_year NULLS LAST""",
+  )
+}

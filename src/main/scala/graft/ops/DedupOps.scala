@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline (north star,
+  * BASELINE.json:6): exact, n-gram Jaccard, MinHash+LSH banding, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * All randomness is replaced by fixed hash parameters so every variant is
+  * oracle-matchable (SURVEY.md §7.3): the shingle hash is the first 8 hex
+  * chars of md5 (identical in both engines), and the MinHash family is
+  * h_i(x) = (a_i·x + b_i) mod 1e9+7 with fixed (a_i, b_i).
+  *
+  * Scale posture: exact dedup and MinHash/LSH shuffle by hash key —
+  * linear-ish and skew-tolerant at 100 TB. The all-pairs shingle join
+  * (q_dedup_ngram) and cosine pair join (q_dedup_embed) are quadratic
+  * verifiers: at scale they run only on LSH-candidate pairs, which is
+  * exactly how they are composed here (candidates from banding are a strict
+  * superset filter before the exact Jaccard/cosine check).
+  */
+object DedupOps {
+
+  private val P = 1000000007L
+  private val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  private val B = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+
+  /** doc_id → distinct 3-token shingles (docs with ≥3 tokens). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("tok")) - 2),
+          i => concat_ws(" ", element_at(col("tok"), i),
+                              element_at(col("tok"), i + 1),
+                              element_at(col("tok"), i + 2)))))
+        .as("shingle"))
+
+  private val shinglesSql = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+    shu AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 1),
+              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shu)"""
+
+  val queries: Map[String, QB] = Map(
+    // Exact dedup on normalized text: one representative (min doc_id) per
+    // distinct normalized body. Hash-shuffle on the text key; at 100 TB the
+    // key would be md5(norm) instead of the full body, same plan shape.
+    "q_dedup_exact" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy(trim(lower(col("text"))).as("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies", "norm")
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard over 3-shingles: pairs with J >= 0.3.
+    "q_dedup_ngram" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+                          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          r6(col("shared").cast("double") /
+             (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
+    // sharing ≥1 band. This is the sub-quadratic scale path for near-dup.
+    "q_dedup_minhash" -> ((s, d) => {
+      val hashed = shingles(s, d)
+        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+      val mins = A.indices.map(i =>
+        min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
+            .as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      bands.as("a")
+        .join(bands.as("b"), col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 16-bit SimHash over the distinct-token set (per-bit majority vote of
+    // ±1 contributions from each token's 32-bit md5-derived hash).
+    "q_dedup_simhash" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("td", array_distinct(split(col("text"), " ")))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+               acc + IF(aggregate(td, CAST(0 AS BIGINT), (s2, t) ->
+                 s2 + ((shiftright(CAST(conv(substring(md5(t), 1, 8), 16, 10)
+                                        AS BIGINT), j) & CAST(1 AS BIGINT))
+                       * 2 - 1)) > 0,
+                 shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+          .as("simhash"))
+        .orderBy("doc_id")),
+
+    // Embedding-cosine near-dup pairs (exact all-pairs verifier; the
+    // LSH-bucketed variant is q_sim_lsh in SimOps).
+    "q_dedup_embed" -> ((s, d) => {
+      val v = table(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = v.select(col("vec_id"), col("v"),
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x)).as("nrm"))
+      n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          r6(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+               lit(0.0), (acc, x) => acc + x) /
+             (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+             trim(lower(text)) AS norm
+      FROM documents
+      GROUP BY trim(lower(text))
+      ORDER BY doc_id""",
+
+    "q_dedup_ngram" -> s"""
+      WITH $shinglesSql,
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+      SELECT * FROM (
+        SELECT doc_a, doc_b, shared,
+               round(CAST(shared AS DOUBLE)
+                     / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+        FROM p
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id)
+      WHERE jaccard >= 0.3
+      ORDER BY doc_a, doc_b""",
+
+    "q_dedup_minhash" -> s"""
+      WITH $shinglesSql,
+      h AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+            FROM sh),
+      sig AS (SELECT doc_id,
+                min((h*2 + 1) % 1000000007) AS m0,
+                min((h*3 + 2) % 1000000007) AS m1,
+                min((h*5 + 3) % 1000000007) AS m2,
+                min((h*7 + 4) % 1000000007) AS m3,
+                min((h*11 + 5) % 1000000007) AS m4,
+                min((h*13 + 6) % 1000000007) AS m5,
+                min((h*17 + 7) % 1000000007) AS m6,
+                min((h*19 + 8) % 1000000007) AS m7
+              FROM h GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band,
+               CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1,
+               CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 2,
+               CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 3,
+               CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) FROM sig)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b""",
+
+    "q_dedup_simhash" -> """
+      WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td
+                 FROM documents)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN list_sum(list_transform(td, t2 ->
+                      ((CAST(('0x' || substr(md5(t2), 1, 8)) AS BIGINT) >> j)
+                       & 1) * 2 - 1)) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+               AS simhash
+      FROM t
+      ORDER BY doc_id""",
+
+    "q_dedup_embed" -> """
+      WITH v AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v)
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      WHERE cos >= 0.45
+      ORDER BY vec_a, vec_b""",
+  )
+}

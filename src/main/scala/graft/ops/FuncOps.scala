@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Scalar function inventory: string / date / math / array / json
+  * (SURVEY.md §2.3). Integer-width casts align Spark (int) with DuckDB
+  * (BIGINT); regex-based functions are deliberately absent from the
+  * oracle-matched set (dialects differ, SURVEY.md §7.3). All of these stay
+  * inside whole-stage codegen — no UDFs.
+  */
+object FuncOps {
+
+  val queries: Map[String, QB] = Map(
+    "q_str_funcs" -> ((s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 4).as("pre"),
+          length(col("p_name")).cast("long").as("len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("tag"),
+          trim(col("p_name")).as("trimmed"),
+          translate(col("p_name"), " ", "_").as("und"))
+        .orderBy("p_partkey")),
+
+    "q_date_funcs" -> ((s, d) =>
+      table(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+          col("o_orderdate").cast("date").as("dt"))
+        .orderBy("o_orderkey")),
+
+    "q_math_funcs" -> ((s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          r6(col("p_retailprice") / 7.0).as("div7"),
+          abs(col("p_retailprice") - 1000.0).as("ab"),
+          floor(col("p_retailprice")).as("fl"),
+          ceil(col("p_retailprice")).as("ce"),
+          r6(sqrt(col("p_retailprice"))).as("sq"),
+          r6(log(col("p_retailprice"))).as("lg"),
+          r6(pow(col("p_size"), 2.0)).as("pw"))
+        .orderBy("p_partkey")),
+
+    "q_array_funcs" -> ((s, d) =>
+      table(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first"),
+          element_at(col("embedding"), -1).cast("double").as("last"),
+          size(filter(col("embedding"), x => x > lit(0.0f)))
+            .cast("long").as("n_pos"))
+        .orderBy("vec_id")),
+
+    "q_json_funcs" -> ((s, d) =>
+      table(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_str_funcs" -> """
+      SELECT p_partkey,
+             upper(p_name) AS up, lower(p_brand) AS lo,
+             substr(p_name, 1, 4) AS pre, length(p_name) AS len,
+             concat(p_brand, ':', p_type) AS tag, trim(p_name) AS trimmed,
+             replace(p_name, ' ', '_') AS und
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             day(o_orderdate) AS dom,
+             date_trunc('month', o_orderdate) AS mon,
+             CAST(o_orderdate AS DATE) AS dt
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "q_math_funcs" -> """
+      SELECT p_partkey,
+             round(p_retailprice / 7.0, 6) AS div7,
+             abs(p_retailprice - 1000.0) AS ab,
+             CAST(floor(p_retailprice) AS BIGINT) AS fl,
+             CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+             round(sqrt(p_retailprice), 6) AS sq,
+             round(ln(p_retailprice), 6) AS lg,
+             round(power(p_size, 2.0), 6) AS pw
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q_array_funcs" -> """
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first,
+             CAST(embedding[-1] AS DOUBLE) AS last,
+             CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_pos
+      FROM embeddings
+      ORDER BY vec_id""",
+
+    "q_json_funcs" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      ORDER BY event_id""",
+  )
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Join inventory (SURVEY.md §2.3 — reference has no joins; extension per
+  * the north star). Scale posture: fact-fact joins (orders⋈lineitem) shuffle
+  * on the join key and are AQE-skew-tolerant; dimension joins
+  * (region/nation, and customer at the small end) are explicitly
+  * `broadcast()` so no shuffle of the fact side's rows is keyed by a dim —
+  * at 100 TB the only shuffles left are the fact-side aggregations.
+  */
+object JoinOps {
+
+  val queries: Map[String, QB] = Map(
+    // customer ⋈ orders ⋈ lineitem, revenue per market segment. customer is
+    // orders/10 rows — broadcast it; orders⋈lineitem co-shuffle on orderkey.
+    "q_join_inner" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      val l = table(s, d, "lineitem")
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_left" -> ((s, d) =>
+      broadcast(table(s, d, "nation"))
+        .join(table(s, d, "customer"),
+              col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"),
+             r6(davg(col("c_acctbal"))).as("avg_bal"))
+        .orderBy("n_name")),
+
+    // Orders having at least one heavy lineitem (EXISTS → left_semi).
+    "q_join_semi" -> ((s, d) =>
+      table(s, d, "orders")
+        .join(table(s, d, "lineitem").filter(col("l_quantity") > 45),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // Orders with no lineitems at all (NOT EXISTS → left_anti).
+    "q_join_anti" -> ((s, d) =>
+      table(s, d, "orders")
+        .join(table(s, d, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // Star join with both dims explicitly broadcast: zero shuffle before
+    // the final 5-group aggregate regardless of fact-side size.
+    "q_join_broadcast" -> ((s, d) =>
+      table(s, d, "supplier")
+        .join(broadcast(table(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy("r_name")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_join_left" -> """
+      SELECT n_name, count(c_custkey) AS n_cust,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(c_acctbal), 6) AS avg_bal
+      FROM nation
+      LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q_join_semi" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      ORDER BY o_orderkey""",
+
+    "q_join_anti" -> """
+      SELECT o_orderkey, o_orderstatus
+      FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q_join_broadcast" -> """
+      SELECT r_name, count(*) AS n_supp,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+  )
+}

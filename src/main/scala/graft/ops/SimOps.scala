@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (north star,
+  * BASELINE.json:6).
+  *
+  * `q_sim_search` is the exact brute-force baseline: broadcast the (single)
+  * query vector against every row — O(n·dim) with zero shuffle beyond the
+  * final top-k (TakeOrderedAndProject: per-partition heaps, driver merge).
+  * That plan shape is exactly what survives a 1000-executor scale-up.
+  *
+  * `q_sim_search_lsh` is the sub-linear scale path: deterministic
+  * sign-bucket LSH (the sign pattern of the first 8 components is the
+  * bucket key — a fixed-hyperplane random-projection hash). Candidates are
+  * only the query's bucket, then exact cosine re-rank inside it.
+  */
+object SimOps {
+
+  /** vec_id, v (double vector), nrm (L2 norm). */
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+
+  private def cosine(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column,
+                     na: org.apache.spark.sql.Column,
+                     nb: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x) / (na * nb)
+
+  private val vectorsSql = """
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v)"""
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+
+  val queries: Map[String, QB] = Map(
+    // Exact top-10 by cosine against the vec_id=0 vector.
+    "q_sim_search" -> ((s, d) => {
+      val n = vectors(s, d)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      n.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // LSH-bucketed ANN: candidates share the query's 8-bit sign bucket.
+    "q_sim_search_lsh" -> ((s, d) => {
+      val bucketed = vectors(s, d).withColumn("bucket",
+        concat((1 to 8).map(i =>
+          when(element_at(col("v"), i) > 0, "1").otherwise("0")): _*))
+      val q = bucketed.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"),
+                col("bucket").as("qbucket"))
+      bucketed.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("label"), col("bucket"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Multimodal frame: text + embedding + scalars side by side, nested
+    // array column preserved through the join (SURVEY.md §2.3).
+    "q_multimodal_join" -> ((s, d) =>
+      table(s, d, "documents").as("doc")
+        .join(table(s, d, "embeddings").as("emb"),
+              col("doc.doc_id") === col("emb.vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_search" -> s"""
+      WITH $vectorsSql
+      SELECT c.vec_id AS vec_id, c.label AS label,
+             round($dotSql / (q.nrm * c.nrm), 6) AS cos
+      FROM n c, (SELECT v, nrm FROM n WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC
+      LIMIT 10""",
+
+    "q_sim_search_lsh" -> s"""
+      WITH $vectorsSql,
+      b AS (SELECT vec_id, label, v, nrm,
+                   concat(
+                     CASE WHEN v[1] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[2] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[3] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[4] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[5] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[6] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[7] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS bucket
+            FROM n)
+      SELECT c.vec_id AS vec_id, c.label AS label, c.bucket AS bucket,
+             round($dotSql / (q.nrm * c.nrm), 6) AS cos
+      FROM b c JOIN (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
+        ON c.bucket = q.bucket
+      WHERE c.vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC
+      LIMIT 10""",
+
+    "q_multimodal_join" -> """
+      SELECT doc_id, lang, label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS e1,
+             CAST(length(text) AS BIGINT) AS text_len
+      FROM documents
+      JOIN embeddings ON doc_id = vec_id
+      ORDER BY doc_id""",
+  )
+}

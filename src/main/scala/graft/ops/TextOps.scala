@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis ops for a training-data pipeline (north star,
+  * BASELINE.json:6): token stats, quality scoring, heuristic language ID,
+  * and deterministic document fingerprinting. Everything is per-row
+  * higher-order-function work over the tokenized text — embarrassingly
+  * parallel, no shuffle except the final grouped/sorted output, and all
+  * expressible in both engines for the oracle.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, QB] = Map(
+    // Per-language corpus stats: doc counts, char totals, token totals.
+    "q_text_stats" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             r6(sum(col("n_chars")).cast("double") / count(col("n_chars")))
+               .as("avg_chars"),
+             sum(size(col("tok")).cast("long")).as("total_tokens"))
+        .orderBy("lang")),
+
+    // Per-document quality signals: tokens, chars/token, stopword ratio,
+    // type-token ratio.
+    "q_text_quality" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          r6(col("n_chars").cast("double") / size(col("tok")))
+            .as("chars_per_tok"),
+          r6(size(filter(col("tok"), t => t.isInCollection(stopwords)))
+               .cast("double") / size(col("tok"))).as("stop_ratio"),
+          r6(size(array_distinct(col("tok"))).cast("double") /
+             size(col("tok"))).as("ttr"))
+        .orderBy("doc_id")),
+
+    // N-gram-heuristic language ID (stopword hits >= 3 → 'en'), reported as
+    // a confusion matrix against the labeled lang column.
+    "q_text_langid" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .withColumn("pred",
+          when(size(filter(col("tok"), t => t.isInCollection(stopwords)))
+                 >= 3, "en").otherwise("other"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")),
+
+    // Deterministic position-weighted rolling fingerprint over tokens:
+    // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a
+    // permuted document fingerprints differently) yet exactly expressible
+    // in both engines with integer math only.
+    "q_text_fingerprint" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .select(col("doc_id"),
+          aggregate(
+            transform(sequence(lit(1), size(col("tok"))),
+              i => i.cast("long") *
+                   (length(element_at(col("tok"), i)).cast("long") * 31 +
+                    ascii(element_at(col("tok"), i)).cast("long"))),
+            lit(0L), (acc, x) => acc + x).as("fp"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> s"""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) AS avg_chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q_text_quality" -> s"""
+      WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tok
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(tok) AS BIGINT) AS n_tokens,
+             round(CAST(n_chars AS DOUBLE) / len(tok), 6) AS chars_per_tok,
+             round(CAST(len(list_filter(tok, t -> t IN ($stopSql)))
+                        AS DOUBLE) / len(tok), 6) AS stop_ratio,
+             round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS ttr
+      FROM t
+      ORDER BY doc_id""",
+
+    "q_text_langid" -> s"""
+      WITH t AS (SELECT lang,
+                        CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN ($stopSql))) >= 3
+                             THEN 'en' ELSE 'other' END AS pred
+                 FROM documents)
+      SELECT lang, pred, count(*) AS n
+      FROM t
+      GROUP BY lang, pred
+      ORDER BY lang, pred""",
+
+    "q_text_fingerprint" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, len(tok) + 1),
+               i -> CAST(i AS BIGINT) *
+                    (length(tok[i]) * 31 + ascii(substr(tok[i], 1, 1)))))
+               AS BIGINT) AS fp
+      FROM t
+      ORDER BY doc_id""",
+  )
+}

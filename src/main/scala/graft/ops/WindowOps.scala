@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions + batch time-bucketing (SURVEY.md §2.3).
+  *
+  * Window partition keys (l_orderkey, user_id) are the shuffle keys; frames
+  * are evaluated per-partition after a single sort, so at scale each window
+  * query costs exactly one shuffle. `events.ts` is ns-precision parquet that
+  * both Spark and DuckDB 1.0 read truncated to µs, so ts is directly
+  * comparable (SURVEY.md §7.3); window orderings still carry an event_id
+  * tiebreak so equal-µs rows cannot flip between engines.
+  */
+object WindowOps {
+
+  val queries: Map[String, QB] = Map(
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        // (l_orderkey, l_linenumber) is NOT unique in the generated data;
+        // rn is unique within an l_orderkey partition, so (l_orderkey, rn)
+        // totally orders the output.
+        .orderBy("l_orderkey", "rn")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("running"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Tumbling 1-hour buckets via Spark's streaming-compatible window();
+    // window.start == date_trunc('hour', ts) for aligned 1h windows. The
+    // bucket is emitted as epoch-µs (BIGINT) — raw timestamp outputs would
+    // compare tz-aware (Spark parquet) against naive (DuckDB).
+    "q_window_tumbling" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(unix_micros(col("window.start")).as("bucket"),
+                col("event_type"), col("n"), col("total"))
+        .orderBy("bucket", "event_type")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" -> """
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER w AS rn, rank() OVER w AS rk,
+             dense_rank() OVER w AS drk
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber)
+      ORDER BY l_orderkey, rn""",
+
+    "q_window_running" -> """
+      SELECT user_id, event_id,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS running
+      FROM events
+      ORDER BY user_id, event_id""",
+
+    "q_window_lag_lead" -> """
+      SELECT user_id, event_id, value,
+             lag(value) OVER w AS prev_value,
+             lead(value) OVER w AS next_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q_window_tumbling" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY bucket, event_type""",
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the oracle-matched operator inventory (SURVEY.md §2.3).
+  *
+  * Determinism policy (SURVEY.md §7.3) — every oracle-matched query:
+  *   - ends with an ORDER BY whose key suffix is unique (total order);
+  *   - never emits a raw double aggregate whose value depends on summation
+  *     order: sums of doubles go through DECIMAL(18,6) (exact, associative),
+  *     averages are exact-decimal-sum / count, and any residual double is
+  *     clamped with round(_, 6);
+  *   - aligns integer widths with DuckDB (BIGINT) by explicit casts, because
+  *     the driver hash-compares values column-by-column.
+  */
+package object ops {
+  /** A query builder: (session, scale-factor dir) => result frame. */
+  type QB = (SparkSession, String) => DataFrame
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is ns-precision parquet (TIMESTAMP(NANOS)), which Spark's
+      // vectorized reader rejects. Read the raw int64 and truncate ns→µs —
+      // exactly what DuckDB 1.0 does on read, so both engines see the same
+      // µs values (SURVEY.md §7.3).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact, summation-order-independent sum of a double column.
+    * Casting each value to DECIMAL(18,6) is a per-row deterministic op; the
+    * decimal sum is exact, so partial/final aggregation order (Spark) vs
+    * serial order (DuckDB) cannot change the result. Final cast back to
+    * double is IEEE round-to-nearest of an exact value — identical in both
+    * engines. Oracle spelling: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE).
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Order-independent average: exact decimal sum divided by count.
+    * Oracle spelling:
+    * CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Residual float clamp (both engines round doubles half-up on the
+    * shortest decimal representation — verified empirically). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** 32-bit deterministic string hash expressible identically in DuckDB:
+    * first 8 hex chars of md5, parsed as an integer.
+    * Oracle spelling: CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT). */
+  def md5hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+}

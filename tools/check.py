@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local pre-verification mirroring the driver's correctness gate:
+run each oracle SQL in DuckDB against the sf tables and compare with the
+parquet dumped by graft.Verify (columns sorted by name, row order kept,
+values compared exactly; doubles bit-compared with an optional report of
+near-misses). Usage: check.py <sfDir> <verifyOutDir>"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    # ints of different widths, decimals vs ints etc.
+    try:
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return float(a) == float(b)
+    except Exception:
+        pass
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not files:
+            results[name] = "NO_PARQUET"
+            continue
+        tbl = pq.read_table(os.path.join(path, files[0]))
+        spark_cols = sorted(tbl.column_names)
+        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
+        if name not in oracle:
+            results[name] = f"NO_ORACLE rows={len(spark_rows)}"
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            duck_cols_raw = [d[0] for d in cur.description]
+            duck_all = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
+            continue
+        duck_order = sorted(range(len(duck_cols_raw)),
+                            key=lambda i: duck_cols_raw[i])
+        duck_cols = [duck_cols_raw[i] for i in duck_order]
+        if duck_cols != spark_cols:
+            results[name] = f"COLS_MISMATCH spark={spark_cols} duck={duck_cols}"
+            continue
+        duck_rows = [tuple(r[i] for i in duck_order) for r in duck_all]
+        if len(duck_rows) != len(spark_rows):
+            results[name] = (f"ROWCOUNT spark={len(spark_rows)} "
+                             f"duck={len(duck_rows)}")
+            continue
+        bad = None
+        for ri, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
+            for ci, (a, b) in enumerate(zip(sr, dr)):
+                if not cmp_cell(a, b):
+                    bad = (ri, spark_cols[ci], a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            results[name] = (f"VALUE_MISMATCH row={bad[0]} col={bad[1]} "
+                             f"spark={bad[2]!r} duck={bad[3]!r}")
+        else:
+            results[name] = f"OK rows={len(spark_rows)}"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rows_only = sum(1 for v in results.values() if v.startswith("NO_ORACLE"))
+    for k in sorted(results):
+        mark = "  " if results[k].startswith(("OK", "NO_ORACLE")) else "XX"
+        print(f"{mark} {k}: {results[k]}")
+    print(f"== {n_ok} OK, {n_rows_only} rows-only, "
+          f"{len(results) - n_ok - n_rows_only} FAILING, "
+          f"{len(results)} total")
+    sys.exit(0 if len(results) - n_ok - n_rows_only == 0 else 1)
+
+if __name__ == "__main__":
+    main()
