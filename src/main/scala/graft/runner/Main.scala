@@ -1,0 +1,174 @@
+package graft.runner
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Random, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Metrics
+
+/** CLI-parity runner (SURVEY.md §2.1 A12–A18, §3.1): the reference harness's
+  * behavior — per-file parallel query fan-out over parquet objects listed on
+  * stdin — re-expressed on Spark.
+  *
+  * Behavior mirrored from the reference (reference runner.cc:361–395):
+  *   - flags `-i` key id, `-k` secret, `-a` s3 address (default 127.0.0.1),
+  *     `-p` s3 port (default 9000), `-j` pool threads (default 4);
+  *   - data sources on stdin, whitespace-separated, optionally quoted;
+  *   - deterministic shuffle of the work list, seed 1 (runner.cc:392);
+  *   - one flagship query per file, ≤j concurrently, results to stdout,
+  *     stats to stderr so `1>/dev/null` keeps stats (reference README.md:94);
+  *   - per-file error isolation: one bad file never aborts the batch
+  *     (runner.cc:293–297);
+  *   - stderr stat block shaped like runner.cc:343–358.
+  *
+  * Architectural translation (not a port): the reference runs one fresh
+  * single-threaded DuckDB per file on a pthread pool; here one shared
+  * SparkSession serves j concurrent driver-side Futures, and Spark's own
+  * scheduler parallelizes within each query. S3 access goes through s3a
+  * (path-style, plain http — reference runner.cc:205–217). At cluster scale
+  * the same binary handles thousands of files: each file-query is an
+  * independent job, so executors stay saturated as long as ≥j files remain.
+  */
+object Main {
+
+  final case class Opts(id: Option[String] = None, key: Option[String] = None,
+                        addr: String = "127.0.0.1", port: Int = 9000,
+                        threads: Int = 4)
+
+  private def usage(msg: String): Nothing = {
+    if (msg.nonEmpty) System.err.println(msg)
+    System.err.println("==============")
+    System.err.println("usage: graft.runner.Main [options]")
+    System.err.println("-i      id           :  s3 access key id")
+    System.err.println("-k      key          :  s3 secret access key")
+    System.err.println("-a      address      :  s3 web address")
+    System.err.println("-p      port         :  s3 port")
+    System.err.println("-j      threads      :  num query thread")
+    System.err.println("==============")
+    sys.exit(1)
+  }
+
+  private def parse(args: List[String], o: Opts): Opts = args match {
+    case Nil => o
+    case "-i" :: v :: rest => parse(rest, o.copy(id = Some(v)))
+    case "-k" :: v :: rest => parse(rest, o.copy(key = Some(v)))
+    case "-a" :: v :: rest => parse(rest, o.copy(addr = v))
+    case "-p" :: v :: rest => parse(rest, o.copy(port = v.toInt))
+    case "-j" :: v :: rest => parse(rest, o.copy(threads = v.toInt))
+    case other :: _ => usage(s"unknown option: $other")
+  }
+
+  /** The flagship query template (reference runner.cc:174–182) against one
+    * parquet source: 6-predicate open-interval filter, group, min×4 + avg,
+    * ORDER BY the avg NULLS LAST. Applied to the reference's Laghos schema
+    * when present, else retargeted at the testdata lineitem schema. */
+  private def flagship(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    if (Set("vertex_id", "x", "y", "z", "e").subsetOf(cols))
+      df.filter(col("x") > 1.5 && col("x") < 1.6 &&
+                col("y") > 1.5 && col("y") < 1.6 &&
+                col("z") > 1.5 && col("z") < 1.6)
+        .groupBy(col("vertex_id"))
+        .agg(min(col("vertex_id")).as("VID"), min(col("x")).as("X"),
+             min(col("y")).as("Y"), min(col("z")).as("Z"),
+             avg(col("e")).as("E"))
+        .select("VID", "X", "Y", "Z", "E")
+        .orderBy(asc_nulls_last("E"))
+    else
+      df.filter(col("l_quantity") > 10 && col("l_quantity") < 20 &&
+                col("l_discount") > 0.02 && col("l_discount") < 0.08 &&
+                col("l_tax") > 0.01 && col("l_tax") < 0.07)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_orderkey")).as("VID"), min(col("l_quantity")).as("X"),
+             min(col("l_discount")).as("Y"), min(col("l_tax")).as("Z"),
+             avg(col("l_extendedprice")).as("E"))
+        .select("VID", "X", "Y", "Z", "E")
+        .orderBy(asc_nulls_last("E"))
+  }
+
+  /** Run one file's query; streams result batches to stdout (A11) and
+    * returns the hit count. */
+  private def runOne(spark: SparkSession, source: String): Long = {
+    val path = source.stripPrefix("'").stripSuffix("'")
+    val result = flagship(spark.read.parquet(path))
+    var hits = 0L
+    val it = result.toLocalIterator()
+    val batch = new scala.collection.mutable.ArrayBuffer[String](1024)
+    def flush(): Unit = if (batch.nonEmpty) {
+      // One chunk of rows per flush, mirroring the reference's
+      // chunk-at-a-time print loop (reference runner.cc:219–227).
+      println(s"Chunk - [${result.columns.length} Columns] ${batch.size} rows")
+      batch.foreach(println)
+      batch.clear()
+    }
+    while (it.hasNext) {
+      batch += it.next().mkString(", ")
+      hits += 1
+      if (batch.size >= 1024) flush()
+    }
+    flush()
+    hits
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Opts())
+
+    val sources = Iterator.continually(scala.io.StdIn.readLine())
+      .takeWhile(_ != null).flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .toVector
+    val shuffled = new Random(1).shuffle(sources)
+
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-runner")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // s3a mapping of the reference's SET statements (runner.cc:205–217):
+      .config("spark.hadoop.fs.s3a.endpoint", s"http://${opts.addr}:${opts.port}")
+      .config("spark.hadoop.fs.s3a.path.style.access", "true")
+      .config("spark.hadoop.fs.s3a.connection.ssl.enabled", "false")
+    opts.id.foreach(builder.config("spark.hadoop.fs.s3a.access.key", _))
+    opts.key.foreach(builder.config("spark.hadoop.fs.s3a.secret.key", _))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    val pool = Executors.newFixedThreadPool(opts.threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    val t0 = System.nanoTime()
+    val futures = shuffled.map { src =>
+      Future(Try(runOne(spark, src)) match {
+        case Success(hits) => hits
+        case Failure(e) =>   // per-file isolation (runner.cc:293–297)
+          System.err.println(s"error processing $src: ${e.getMessage}")
+          0L
+      })
+    }
+    val totalHits = Await.result(Future.sequence(futures), Duration.Inf).sum
+    val t1 = System.nanoTime()
+    pool.shutdown()
+
+    val bytes = metrics.bytesRead
+    System.err.println(
+      s"Number data sources (parquet files): ${sources.size}")
+    System.err.println(s"Threads: ${opts.threads}")
+    System.err.println(f"Total Query time: ${(t1 - t0) / 1e9}%.2f s")
+    System.err.println(s"Total hits: $totalHits")
+    // No per-HTTP-GET counter exists at the Spark task level; scan-task
+    // count is the documented approximation (SURVEY.md §3.3).
+    System.err.println(s"Total read ops (scan tasks): ${metrics.readTasks}")
+    System.err.println(s"Total read bytes: $bytes")
+    System.err.println(f"... in KBs: ${bytes / 1e3}%.2f")
+    System.err.println(f"... in MBs: ${bytes / 1e6}%.2f")
+    System.err.println(f"... in GBs: ${bytes / 1e9}%.2f")
+    System.err.println("Done")
+    spark.stop()
+  }
+}
