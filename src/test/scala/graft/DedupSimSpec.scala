@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Dedup / similarity laws on small frames + property checks. */
+class DedupSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup is idempotent and keeps min doc_id per text") {
+    val docs = Seq((3L, "a b c"), (1L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val once = docs.groupBy(trim(lower($"text")).as("norm"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    val got = once.orderBy("doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+    // idempotence: dedup of the dedup result changes nothing
+    val twice = once.groupBy($"norm")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    assert(twice.count() == once.count())
+  }
+
+  test("near-identical docs land in the same minhash band bucket") {
+    // Two docs sharing all shingles must have identical minhash signatures,
+    // hence share all 4 bands; pairs output must contain (1,2) with 4 bands.
+    val out = ops.DedupOps.queries("q_dedup_minhash")(spark, sf0001)
+    assert(out.columns.toSeq == Seq("doc_a", "doc_b", "n_bands"))
+    // determinism: same input → identical result on a second run
+    val a = out.collect().toSeq
+    val b = ops.DedupOps.queries("q_dedup_minhash")(spark, sf0001)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("cosine of a vector with itself is ~1") {
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val d = v.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val pair = d.as("a").join(d.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select((aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y),
+        lit(0.0), (a, x) => a + x) / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .as[Double].head()
+    assert(math.abs(pair - 1.0) < 1e-12)
+  }
+
+  test("property: jaccard of identical shingle sets is 1") {
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) {
+      words: List[String] =>
+        val s = words.toSet
+        val shared = s.intersect(s).size.toDouble
+        shared / (s.size + s.size - shared) == 1.0
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("simhash is stable across token order (set semantics)") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val hashes = docs
+      .withColumn("td", array_distinct(split($"text", " ")))
+      .select($"doc_id", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+             acc + IF(aggregate(td, CAST(0 AS BIGINT), (s2, t) ->
+               s2 + ((shiftright(CAST(conv(substring(md5(t), 1, 8), 16, 10)
+                                      AS BIGINT), j) & CAST(1 AS BIGINT))
+                     * 2 - 1)) > 0,
+               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+        .as("h")).as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+  }
+}
