@@ -112,17 +112,16 @@ object DedupOps {
         .orderBy("doc_id")),
 
     // Embedding-cosine near-dup pairs (exact all-pairs verifier; the
-    // LSH-bucketed variant is q_sim_lsh in SimOps).
+    // LSH-bucketed variant is q_sim_lsh in SimOps). Uses the native
+    // codegen DotProduct expression — same element-order double
+    // accumulation as the oracle's list_sum, ~10× the HOF-lambda speed.
     "q_dedup_embed" -> ((s, d) => {
-      val v = table(s, d, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val n = v.select(col("vec_id"), col("v"),
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
-          (acc, x) => acc + x)).as("nrm"))
+      import graft.functions.VectorFunctions.{dot_product, l2_norm}
+      val n = table(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"), l2_norm(col("embedding")).as("nrm"))
       n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          r6(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-               lit(0.0), (acc, x) => acc + x) /
+          r6(dot_product(col("a.v"), col("b.v")) /
              (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("vec_a", "vec_b")

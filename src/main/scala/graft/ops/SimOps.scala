@@ -18,20 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** vec_id, v (double vector), nrm (L2 norm). */
+  import graft.functions.VectorFunctions.{dot_product, l2_norm}
+
+  /** vec_id, v (raw float vector), nrm (L2 norm) — dot/norm run through the
+    * native codegen DotProduct expression (same element-order double
+    * accumulation as the oracle's list_sum). */
   private def vectors(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", l2_norm(col("v")))
 
   private def cosine(a: org.apache.spark.sql.Column,
                      b: org.apache.spark.sql.Column,
                      na: org.apache.spark.sql.Column,
                      nb: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x) / (na * nb)
+    dot_product(a, b) / (na * nb)
 
   private val vectorsSql = """
     v AS (SELECT vec_id, label,
