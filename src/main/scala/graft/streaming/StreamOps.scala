@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Streaming surface (SURVEY.md §2.3 Streaming / §7.5).
+  *
+  * The reference is strictly batch, so streaming is an extension: the same
+  * tumbling-window aggregation is exposed twice — `q_window_tumbling`
+  * (batch, WindowOps) and `q_stream_tumbling` (Structured Streaming over
+  * the same parquet, run to completion synchronously). Both hash-match the
+  * same DuckDB oracle, demonstrating batch/stream parity of the engine's
+  * window semantics. Stateful processing (watermarks, append mode,
+  * flatMapGroupsWithState sessionization) is exercised in StreamingSpec
+  * with MemoryStream; `q_sessionize` is the batch-SQL-expressible
+  * equivalent with a full oracle.
+  */
+object StreamOps {
+
+  /** events schema for streaming reads: ts read as raw int64 ns (the
+    * nanosAsLong representation) and truncated to µs, matching
+    * graft.ops.table(). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling 1-hour aggregation as a streaming transform (shared by the
+    * query entry and tests). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(unix_micros(col("window.start")).as("bucket"),
+              col("event_type"), col("n"), col("total"))
+
+  val queries: Map[String, QB] = Map(
+    // Structured Streaming end-to-end: readStream over the events parquet,
+    // complete-mode tumbling aggregation into a memory sink, drained
+    // synchronously. Result is identical to the batch q_window_tumbling.
+    "q_stream_tumbling" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FileStreamSource consumes a directory (files arriving over time);
+      // stage the static fixture into one, as a producer would.
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      dir.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val src = s.readStream.schema(eventsRawSchema)
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val qname = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = tumbling(src).writeStream
+        .outputMode("complete").format("memory").queryName(qname).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(qname).orderBy("bucket", "event_type")
+    }),
+
+    // Sessionization (30-min inactivity gap), batch-expressible form: the
+    // lag → new-session flag → running session id pattern. The stateful
+    // streaming twin (flatMapGroupsWithState) lives in Sessionize and is
+    // MemoryStream-tested (no SQL oracle possible for state timeouts).
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("tsu"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+               col("tsu") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("tsu")).as("session_start"),
+             max(col("tsu")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same oracle as the batch tumbling window — that is the point.
+    "q_stream_tumbling" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY bucket, event_type""",
+
+    "q_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      l AS (SELECT user_id, event_id, tsu,
+                   lag(tsu) OVER (PARTITION BY user_id
+                                  ORDER BY tsu, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, event_id, tsu,
+                   CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sid AS (SELECT user_id, tsu,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+              FROM f)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(tsu) AS session_start, max(tsu) AS session_end
+      FROM sid
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Sessionize, StreamOps}
+
+/** Structured Streaming behavior: batch/stream parity of the tumbling
+  * window, watermark+append finalization, and stateful sessionization. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q_stream_tumbling equals batch q_window_tumbling") {
+    val stream = StreamOps.queries("q_stream_tumbling")(spark, sf0001)
+      .collect().toSeq
+    val batch = ops.WindowOps.queries("q_window_tumbling")(spark, sf0001)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("watermark + append emits only finalized windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"window.start").as("bucket"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 00:05:00"), 1.0), (t("2024-01-01 00:10:00"), 2.0))
+    q.processAllAvailable()
+    // watermark still inside hour 0 → nothing finalized
+    assert(spark.table("wm_test").count() == 0)
+    mem.addData((t("2024-01-01 02:00:00"), 3.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 03:00:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // hour-0 window (2 events) finalized once the watermark passed 01:00
+    val rows = spark.table("wm_test").as[(Long, Long)].collect().toMap
+    assert(rows.values.toSeq.contains(2L))
+  }
+
+  test("stateful sessionization closes sessions across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    val m = 60L * 1000 * 1000 // one minute in µs
+    mem.addData(Sessionize.Event(1, 0 * m, "a"),
+                Sessionize.Event(1, 10 * m, "b"))
+    q.processAllAvailable()
+    assert(spark.table("sess_test").count() == 0) // session still open
+    // 100 min later → gap > 30 min → first session closes
+    mem.addData(Sessionize.Event(1, 110 * m, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_test")
+      .as[Sessionize.Session].collect().toSeq
+    assert(sessions == Seq(Sessionize.Session(1, 0, 10 * m, 2)))
+  }
+
+  test("batch q_sessionize: gap splits sessions, counts preserved") {
+    val out = StreamOps.queries("q_sessionize")(spark, sf0001)
+    val total = out.agg(sum("n_events")).as[Long].head()
+    val events = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(total == events)
+    assert(out.filter($"session_end" < $"session_start").count() == 0)
+  }
+}
