@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join inventory (SURVEY.md §2.3 — reference has no joins; extension per
@@ -50,6 +51,33 @@ object JoinOps {
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")),
 
+    // As-of join: for every error event, the most recent signup of the same
+    // user at-or-before it. Implemented with the scalable union+window
+    // pattern (one shuffle by user, zero join explosion) rather than a
+    // range join — at 100 TB an inequality join over two event streams is
+    // quadratic per user, while last_value-ignore-nulls over the merged
+    // ordered stream is linear. Oracle uses DuckDB's native ASOF JOIN —
+    // same semantics, engine's own operator.
+    "q_join_asof" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("signup", "error"))
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("tsu"), col("event_type"))
+      // At equal tsu a signup must sort before an error so `<=` holds.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"),
+                 when(col("event_type") === "signup", 0).otherwise(1),
+                 col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("tsu")),
+               ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error" && col("signup_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+                col("tsu").as("error_ts"), col("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // Star join with both dims explicitly broadcast: zero shuffle before
     // the final 5-group aggregate regardless of fact-side size.
     "q_join_broadcast" -> ((s, d) =>
@@ -94,6 +122,17 @@ object JoinOps {
       FROM orders
       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       ORDER BY o_orderkey""",
+
+    "q_join_asof" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type
+                 FROM events),
+      err AS (SELECT * FROM e WHERE event_type = 'error'),
+      sig AS (SELECT * FROM e WHERE event_type = 'signup')
+      SELECT err.event_id, err.user_id, err.tsu AS error_ts,
+             sig.tsu AS signup_ts
+      FROM err ASOF JOIN sig
+        ON err.user_id = sig.user_id AND sig.tsu <= err.tsu
+      ORDER BY err.event_id""",
 
     "q_join_broadcast" -> """
       SELECT r_name, count(*) AS n_supp,

@@ -75,6 +75,24 @@ object SimOps {
         .limit(10)
     }),
 
+    // IVF-style ANN: the label column is the (pretrained) coarse-quantizer
+    // cell assignment; probing = exact cosine re-rank inside the query's
+    // own cell. At 100 TB the table is partitioned by cell, so a probe
+    // touches 1/nlist of the data — this is the inverted-file scale path
+    // next to the sign-bucket LSH above.
+    "q_sim_search_ivf" -> ((s, d) => {
+      val n = vectors(s, d)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"),
+                col("label").as("qcell"))
+      n.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("label") === col("qcell"))
+        .select(col("vec_id"), col("label"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Multimodal frame: text + embedding + scalars side by side, nested
     // array column preserved through the join (SURVEY.md §2.3).
     "q_multimodal_join" -> ((s, d) =>
@@ -115,6 +133,16 @@ object SimOps {
              round($dotSql / (q.nrm * c.nrm), 6) AS cos
       FROM b c JOIN (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
         ON c.bucket = q.bucket
+      WHERE c.vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC
+      LIMIT 10""",
+
+    "q_sim_search_ivf" -> s"""
+      WITH $vectorsSql
+      SELECT c.vec_id AS vec_id, c.label AS label,
+             round($dotSql / (q.nrm * c.nrm), 6) AS cos
+      FROM n c JOIN (SELECT v, nrm, label FROM n WHERE vec_id = 0) q
+        ON c.label = q.label
       WHERE c.vec_id <> 0
       ORDER BY cos DESC, vec_id ASC
       LIMIT 10""",

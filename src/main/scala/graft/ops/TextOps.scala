@@ -54,6 +54,22 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
 
+    // Token counting three ways: whitespace, regex word-pieces, and a
+    // BPE-ish sub-word estimate (ceil(len/4) pieces per word — a fixed
+    // merge-table stand-in). Spark-only: regex dialects differ across
+    // engines (SURVEY.md §7.3), so the driver records a rows-only check.
+    "q_text_tokenize_regex" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(filter(split(col("text"), "[^a-z0-9]+"),
+                      t => length(t) > 0)).cast("long").as("word_tokens"),
+          aggregate(
+            transform(split(col("text"), " "),
+              t => ((length(t) + 3) / 4).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("subword_tokens"))
+        .orderBy("doc_id")),
+
     // Deterministic position-weighted rolling fingerprint over tokens:
     // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a
     // permuted document fingerprints differently) yet exactly expressible
