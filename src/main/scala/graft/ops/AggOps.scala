@@ -61,6 +61,39 @@ object AggOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_year"))),
 
+    // GROUPING SETS through the SQL surface (spark.sql + temp view) —
+    // same Catalyst Expand as rollup/cube, exercising the SQL entry path.
+    "q_agg_grouping_sets" -> ((s, d) => {
+      table(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_year), ())
+        ORDER BY o_orderstatus NULLS LAST, o_year NULLS LAST""")
+    }),
+
+    // Deterministic string aggregation: collect_list is order-free, so
+    // sort_array pins the concatenation order on both engines.
+    "q_agg_stringagg" -> ((s, d) =>
+      table(s, d, "nation")
+        .join(broadcast(table(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+               .as("nations"))
+        .orderBy("r_name")),
+
+    // Interpolated percentiles (median + p90), round-clamped.
+    "q_agg_percentile" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+             round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+             round(expr("percentile(l_extendedprice, 0.5)"), 6)
+               .as("p50_price"))
+        .orderBy("l_returnflag")),
+
     // HLL sketch — bench-only (sketches are engine-specific, SURVEY §2.3),
     // so no oracle entry: the driver records a rows-only check.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -111,6 +144,29 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_grouping_sets" -> """
+      SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_year), ())
+      ORDER BY o_orderstatus NULLS LAST, o_year NULLS LAST""",
+
+    "q_agg_stringagg" -> """
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    "q_agg_percentile" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_agg_cube" -> """
       SELECT o_orderstatus, year(o_orderdate) AS o_year, count(*) AS n,

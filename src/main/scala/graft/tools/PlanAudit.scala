@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit over the full inventory: prints the physical operators each
+  * query uses so shuffle/join/pushdown regressions are visible at a
+  * glance. Usage: runMain graft.tools.PlanAudit [sfDir] */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("CartesianProduct", "SortMergeJoin",
+      "BroadcastHashJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin",
+      "Exchange", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+      "TakeOrderedAndProject", "Window", "Generate", "Expand",
+      "WholeStageCodegen")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val qe = fn(spark, sfDir).queryExecution
+        // formatted mode includes scan details (PushedFilters/ReadSchema)
+        val plan = qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val counts = interesting.flatMap { op =>
+          val c = plan.sliding(op.length).count(_ == op)
+          if (c > 0) Some(s"$op=$c") else None
+        }
+        val pushed = "PushedFilters: \\[[^\\]]+\\]".r
+          .findAllIn(plan).toSeq.count(!_.contains("[]"))
+        println(s"[audit] $name :: ${counts.mkString(" ")} pushedFilterScans=$pushed")
+      } catch { case e: Throwable =>
+        println(s"[audit] $name :: ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
