@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale stress: derives a ~sf1 dataset from sf0.1 by unioning K
+  * key-shifted copies into /tmp parquet, then times the heaviest queries
+  * on it. Validates that plan shapes (broadcasts, LSH banding, window
+  * shuffles) hold an order of magnitude above the bench scale — the
+  * "would this survive a scale-up" check, run rather than asserted.
+  * Usage: runMain graft.tools.ScaleStress [copies] [srcSf] */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$copies"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def shifted(name: String, keyCols: Map[String, Long]): DataFrame = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until copies).map { i =>
+        keyCols.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_ unionAll _)
+    }
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      val strideL = 10000000L
+      Seq(
+        "lineitem" -> shifted("lineitem", Map("l_orderkey" -> strideL)),
+        "orders" -> shifted("orders", Map("o_orderkey" -> strideL)),
+        "customer" -> shifted("customer", Map("c_custkey" -> strideL)),
+        "supplier" -> shifted("supplier", Map("s_suppkey" -> strideL)),
+        "part" -> shifted("part", Map("p_partkey" -> strideL)),
+        "events" -> shifted("events", Map("event_id" -> strideL,
+                                          "user_id" -> 1000L)),
+        "documents" -> shifted("documents", Map("doc_id" -> strideL)),
+        "embeddings" -> shifted("embeddings", Map("vec_id" -> strideL)),
+        "region" -> spark.read.parquet(s"$src/region.parquet"),
+        "nation" -> spark.read.parquet(s"$src/nation.parquet"),
+      ).foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[stress] wrote $name")
+      }
+    }
+
+    val heavy = Seq("q_scan_flagship", "q_agg_groupby", "q_join_inner",
+      "q_window_rank", "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_ngram", "q_sim_search", "q_sim_search_lsh", "q_topk")
+    heavy.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val c = graft.SparkEntry.queries(name)(spark, out).count()
+        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+      } catch { case e: Throwable =>
+        println(s"[stress] $name FAILED: ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}
