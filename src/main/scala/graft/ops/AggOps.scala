@@ -61,6 +61,17 @@ object AggOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_year"))),
 
+    // Fixed-width histogram via integer bucketing (floor division is
+    // identical in both engines).
+    "q_agg_histogram" -> ((s, d) =>
+      table(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long")
+                   .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("o_totalprice")).as("lo"),
+             max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
     // GROUPING SETS through the SQL surface (spark.sql + temp view) —
     // same Catalyst Expand as rollup/cube, exercising the SQL entry path.
     "q_agg_grouping_sets" -> ((s, d) => {
@@ -144,6 +155,13 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_histogram" -> """
+      SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+             count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders
+      GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+      ORDER BY bucket""",
 
     "q_agg_grouping_sets" -> """
       SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,

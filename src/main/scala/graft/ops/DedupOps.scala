@@ -37,6 +37,51 @@ object DedupOps {
                               element_at(col("tok"), i + 2)))))
         .as("shingle"))
 
+  /** Exact n-gram Jaccard pairs (J >= 0.3) over hashed 3-shingles — feeds
+    * both q_dedup_ngram and the cluster query. persist: the hashed-shingle
+    * set feeds both self-join sides AND the per-doc counts — without it
+    * Catalyst recomputes the explode+md5+distinct subtree three times (no
+    * exchange reuse across different exchange types). ~1.2M rows × 16 B at
+    * sf0.1; at 100 TB this is the materialize-once shuffle input. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+      .distinct()
+      .persist()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+                        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        r6(col("shared").cast("double") /
+           (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
+  private lazy val jaccardPairsSql = s"""$shinglesSql,
+      shh AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+              FROM sh),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM shh a JOIN shh b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+      jp AS (SELECT * FROM (
+               SELECT doc_a, doc_b, shared,
+                      round(CAST(shared AS DOUBLE)
+                            / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+               FROM p
+               JOIN cnt ca ON doc_a = ca.doc_id
+               JOIN cnt cb ON doc_b = cb.doc_id)
+             WHERE jaccard >= 0.3)"""
+
   private val shinglesSql = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
              WHERE len(string_split(text, ' ')) >= 3),
@@ -60,30 +105,41 @@ object DedupOps {
     // on the 32-bit shingle hash instead of the shingle string (textbook
     // hashed-shingling) cuts the shuffled/sorted key width ~5×; the oracle
     // applies the identical hash, so results match exactly.
-    "q_dedup_ngram" -> ((s, d) => {
-      // persist: the hashed-shingle set feeds both self-join sides AND the
-      // per-doc counts — without it Catalyst recomputes the explode+md5+
-      // distinct subtree three times (no exchange reuse across different
-      // exchange types). ~1.2M rows × 16 B at sf0.1 — trivially cacheable;
-      // at 100 TB this is the materialize-once shuffle input, same shape.
-      val sh = shingles(s, d)
-        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
-        .distinct()
-        .persist()
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.h") === col("b.h") &&
-                          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("shared"),
-          r6(col("shared").cast("double") /
-             (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
-        .orderBy("doc_a", "doc_b")
+    "q_dedup_ngram" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // Connected components over the verified near-dup pairs: min-label
+    // propagation to a fixpoint, each doc labeled with the smallest doc_id
+    // reachable through jaccard>=0.3 edges — the "keep one representative
+    // per duplicate cluster" step of a dedup pipeline. The driver loop is
+    // iteration control only; every step is a distributed join+aggregate
+    // (the Pregel shape), converging in O(cluster diameter) rounds. The
+    // oracle computes the same fixpoint with a recursive CTE.
+    "q_dedup_clusters" -> ((s, d) => {
+      val edges = jaccardPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      var labels = table(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbr = labels.join(sym, col("doc_id") === col("dst"))
+          .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
+        val next = labels.as("l")
+          .join(nbr, col("l.doc_id") === col("src"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.cluster"), coalesce(col("nlabel"), col("l.cluster")))
+              .as("cluster"))
+          .persist()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.cluster") =!= col("o.cluster")).count()
+        labels = next
+        iter += 1
+      }
+      labels.orderBy("doc_id")
     }),
 
     // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
@@ -151,24 +207,22 @@ object DedupOps {
       ORDER BY doc_id""",
 
     "q_dedup_ngram" -> s"""
-      WITH $shinglesSql,
-      shh AS (SELECT DISTINCT doc_id,
-                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
-              FROM sh),
-      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-            FROM shh a JOIN shh b
-              ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id)
-      SELECT * FROM (
-        SELECT doc_a, doc_b, shared,
-               round(CAST(shared AS DOUBLE)
-                     / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
-        FROM p
-        JOIN cnt ca ON doc_a = ca.doc_id
-        JOIN cnt cb ON doc_b = cb.doc_id)
-      WHERE jaccard >= 0.3
+      WITH $jaccardPairsSql
+      SELECT doc_a, doc_b, shared, jaccard FROM jp
       ORDER BY doc_a, doc_b""",
+
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $jaccardPairsSql,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+            UNION ALL SELECT doc_b, doc_a FROM jp),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+      SELECT src AS doc_id, min(dst) AS cluster
+      FROM reach
+      GROUP BY src
+      ORDER BY doc_id""",
 
     "q_dedup_minhash" -> s"""
       WITH $shinglesSql,

@@ -50,6 +50,19 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Top-k per group: row_number filter (the scalable per-group top-n —
+    // one shuffle, no global sort).
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+                 asc("l_linenumber"))
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("l_returnflag", "rn")
+    }),
+
     // Tumbling 1-hour buckets via Spark's streaming-compatible window();
     // window.start == date_trunc('hour', ts) for aligned 1h windows. The
     // bucket is emitted as epoch-µs (BIGINT) — raw timestamp outputs would
@@ -89,6 +102,16 @@ object WindowOps {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id""",
+
+    "q_topk_per_group" -> """
+      SELECT l_returnflag, l_extendedprice, rn FROM (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                 AS rn
+        FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_returnflag, rn""",
 
     "q_window_tumbling" -> """
       SELECT epoch_us(date_trunc('hour', ts)) AS bucket, event_type,
