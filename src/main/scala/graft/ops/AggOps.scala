@@ -61,6 +61,18 @@ object AggOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_year"))),
 
+    // Pivot: order counts per year spread across status columns. Explicit
+    // value list pins the output schema; oracle uses FILTER-style
+    // conditional aggregation (identical semantics, no dialect risk).
+    "q_agg_pivot" -> ((s, d) =>
+      table(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("o_year"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P"))
+        .orderBy("o_year")),
+
     // Fixed-width histogram via integer bucketing (floor division is
     // identical in both engines).
     "q_agg_histogram" -> ((s, d) =>
@@ -155,6 +167,15 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_pivot" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             count(*) FILTER (o_orderstatus = 'O') AS "O",
+             count(*) FILTER (o_orderstatus = 'F') AS "F",
+             count(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders
+      GROUP BY CAST(year(o_orderdate) AS BIGINT)
+      ORDER BY o_year""",
 
     "q_agg_histogram" -> """
       SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,

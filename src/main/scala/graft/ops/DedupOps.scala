@@ -122,9 +122,12 @@ object DedupOps {
         edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
       var labels = table(s, d, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster")).persist()
-      var changed = 1L
+      // Labels only ever decrease, so an unchanged sum(cluster) is an exact
+      // (and join-free) fixpoint test — one cheap action per round.
+      var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+      var converged = false
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      while (!converged && iter < 20) {
         val nbr = labels.join(sym, col("doc_id") === col("dst"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
         val next = labels.as("l")
@@ -133,10 +136,11 @@ object DedupOps {
             least(col("l.cluster"), coalesce(col("nlabel"), col("l.cluster")))
               .as("cluster"))
           .persist()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.cluster") =!= col("o.cluster")).count()
+        val curSum = next.agg(sum(col("cluster"))).head.getLong(0)
+        labels.unpersist()
         labels = next
+        converged = curSum == prevSum
+        prevSum = curSum
         iter += 1
       }
       labels.orderBy("doc_id")

@@ -54,6 +54,36 @@ object ScanFilterOps {
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         .orderBy("c_custkey")),
 
+    // Deterministic modulo sampling — the cross-engine-exact way to sample
+    // (key-hash/mod), oracle-matched.
+    "q_sample_mod" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // Bernoulli sampling with a fixed seed — engine-specific RNG, so
+    // rows-only check (no oracle); deterministic within Spark.
+    "q_sample_seeded" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .sample(withReplacement = false, fraction = 0.01, seed = 42L)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Null-handling scalar ops (nulls introduced via nullif so the
+    // nullless test data still exercises them).
+    "q_null_funcs" -> ((s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+                   lit("REDACTED")).as("seg_filled"),
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal_pos"),
+          isnull(when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal"))).as("bal_was_neg"))
+        .orderBy("c_custkey")),
+
     "q_project_exprs" -> ((s, d) =>
       table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -95,6 +125,23 @@ object ScanFilterOps {
         AND c_name LIKE '%1%'
         AND c_acctbal IS NOT NULL
         AND (c_acctbal > 5000.0 OR c_acctbal < 0.0)
+      ORDER BY c_custkey""",
+
+    "q_sample_mod" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "q_null_funcs" -> """
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED')
+               AS seg_filled,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
+             (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END IS NULL)
+               AS bal_was_neg
+      FROM customer
       ORDER BY c_custkey""",
 
     "q_project_exprs" -> """
