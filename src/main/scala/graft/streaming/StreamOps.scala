@@ -61,6 +61,28 @@ object StreamOps {
       s.table(qname).orderBy("bucket", "event_type")
     }),
 
+    // Spark's native session_window operator (30-min gap), usable in batch
+    // and streaming alike. Window end is exclusive: last event + gap.
+    "q_session_window" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // Sliding window (2h width, 1h slide): every event lands in two
+    // buckets; the oracle materializes the two shifted groupings.
+    "q_window_sliding" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(unix_micros(col("window.start")).as("bucket"),
+                col("n"), col("total"))
+        .orderBy("bucket")),
+
     // Sessionization (30-min inactivity gap), batch-expressible form: the
     // lag → new-session flag → running session id pattern. The stateful
     // streaming twin (flatMapGroupsWithState) lives in Sessionize and is
@@ -93,6 +115,44 @@ object StreamOps {
       FROM events
       GROUP BY date_trunc('hour', ts), event_type
       ORDER BY bucket, event_type""",
+
+    "q_session_window" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      l AS (SELECT user_id, event_id, tsu,
+                   lag(tsu) OVER (PARTITION BY user_id
+                                  ORDER BY tsu, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, event_id, tsu,
+                   -- Spark's session_window range is [start, last+gap):
+                   -- an event at exactly prev+gap starts a NEW session,
+                   -- hence >= (unlike q_sessionize's own > spec).
+                   CASE WHEN prev IS NULL OR tsu - prev >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sid AS (SELECT user_id, tsu,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+              FROM f)
+      SELECT user_id, min(tsu) AS session_start,
+             max(tsu) + 1800000000 AS session_end,
+             count(*) AS n_events
+      FROM sid
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""",
+
+    "q_window_sliding" -> """
+      WITH b AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS bucket, value FROM events
+        UNION ALL
+        SELECT epoch_us(date_trunc('hour', ts)) - 3600000000, value
+        FROM events)
+      SELECT bucket, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM b
+      GROUP BY bucket
+      ORDER BY bucket""",
 
     "q_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
