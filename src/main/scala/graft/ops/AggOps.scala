@@ -117,6 +117,23 @@ object AggOps {
                .as("p50_price"))
         .orderBy("l_returnflag")),
 
+    // Salted two-stage aggregation — the skew-mitigation pattern made
+    // explicit: stage 1 pre-aggregates on (key, salt) so no single reducer
+    // owns a hot key; stage 2 merges partials. Exact-decimal partials make
+    // the result identical to the direct group-by, which is what the
+    // oracle asserts (it IS the direct group-by).
+    "q_agg_salted" -> ((s, d) => {
+      val salted = table(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("psum"),
+             count(lit(1)).as("pn"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(sum(col("psum")).cast("double").as("revenue"),
+             sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL sketch — bench-only (sketches are engine-specific, SURVEY §2.3),
     // so no oracle entry: the driver records a rows-only check.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -167,6 +184,15 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_salted" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_agg_pivot" -> """
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
