@@ -117,6 +117,17 @@ object AggOps {
                .as("p50_price"))
         .orderBy("l_returnflag")),
 
+    // Conditional aggregation: per-group counts/sums restricted by
+    // predicates (count(CASE…) / sum(CASE…) — FILTER semantics).
+    "q_agg_conditional" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
+             count(when(col("l_discount") === 0.0, 1)).as("n_nodisc"),
+             dsum(when(col("l_quantity") > 25, col("l_extendedprice"))
+               .otherwise(0.0)).as("heavy_revenue"))
+        .orderBy("l_returnflag")),
+
     // Salted two-stage aggregation — the skew-mitigation pattern made
     // explicit: stage 1 pre-aggregates on (key, salt) so no single reducer
     // owns a hot key; stage 2 merges partials. Exact-decimal partials make
@@ -184,6 +195,17 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_conditional" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (l_quantity > 25) AS n_heavy,
+             count(*) FILTER (l_discount = 0.0) AS n_nodisc,
+             CAST(sum(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice
+                                ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+               AS heavy_revenue
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_agg_salted" -> """
       SELECT l_returnflag,

@@ -60,6 +60,20 @@ object FuncOps {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
+
+    // Typed JSON parsing: from_json into a struct, then field access —
+    // the schema-on-read path for semi-structured columns (vs the
+    // path-extraction of q_json_funcs).
+    "q_json_struct" -> ((s, d) =>
+      table(s, d, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("j.k")).as("sum_k"),
+             min(col("j.k")).as("min_k"),
+             max(col("j.k")).as("max_k"))
+        .orderBy("event_type")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +121,16 @@ object FuncOps {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
       ORDER BY event_id""",
+
+    "q_json_struct" -> """
+      WITH j AS (SELECT event_type,
+                        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM j
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }

@@ -70,6 +70,17 @@ object TextOps {
             lit(0L), (acc, x) => acc + x).as("subword_tokens"))
         .orderBy("doc_id")),
 
+    // Vocabulary building: explode tokens, global term frequencies, top 20
+    // — the corpus-statistics step of a tokenizer pipeline. Generate →
+    // partial-agg (map-side combine) → final agg → TakeOrderedAndProject.
+    "q_text_vocab" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(20)),
+
     // Deterministic position-weighted rolling fingerprint over tokens:
     // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a
     // permuted document fingerprints differently) yet exactly expressible
@@ -119,6 +130,15 @@ object TextOps {
       FROM t
       GROUP BY lang, pred
       ORDER BY lang, pred""",
+
+    "q_text_vocab" -> """
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+      SELECT token, count(*) AS freq
+      FROM t
+      GROUP BY token
+      ORDER BY freq DESC, token ASC
+      LIMIT 20""",
 
     "q_text_fingerprint" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
