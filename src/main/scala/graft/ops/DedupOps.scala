@@ -130,12 +130,15 @@ object DedupOps {
       while (!converged && iter < 20) {
         val nbr = labels.join(sym, col("doc_id") === col("dst"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
+        // localCheckpoint (not persist): truncates lineage so every round
+        // plans and codegens a constant-size tree instead of a growing one.
+        // On a cluster this would be checkpoint() to durable storage.
         val next = labels.as("l")
           .join(nbr, col("l.doc_id") === col("src"), "left")
           .select(col("l.doc_id").as("doc_id"),
             least(col("l.cluster"), coalesce(col("nlabel"), col("l.cluster")))
               .as("cluster"))
-          .persist()
+          .localCheckpoint()
         val curSum = next.agg(sum(col("cluster"))).head.getLong(0)
         labels.unpersist()
         labels = next
