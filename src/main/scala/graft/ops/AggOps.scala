@@ -145,6 +145,31 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // KMV (k-minimum-values) distinct sketch with k=64 over the md5-derived
+    // hash — unlike HLL, fully deterministic and cross-engine exact, so the
+    // sketch itself is oracle-verified. Estimator: D̂ = (k-1) / h_k where
+    // h_k is the k-th smallest hash normalized to (0,1]. The per-group
+    // k-smallest is a window rank filter — at scale, a per-partition
+    // top-k merge (same TakeOrdered shape as q_topk).
+    "q_agg_kmv_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val hashed = table(s, d, "events")
+        .select(col("event_type"),
+          md5hash32(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("kept"))
+        .select(col("event_type"), col("kept"),
+          r6(lit(k - 1) / (col("hk").cast("double") / lit(4294967296.0)))
+            .as("est_distinct"))
+        .orderBy("event_type")
+    }),
+
     // HLL sketch — bench-only (sketches are engine-specific, SURVEY §2.3),
     // so no oracle entry: the driver records a rows-only check.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -195,6 +220,23 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_kmv_sketch" -> """
+      WITH h AS (SELECT DISTINCT event_type,
+                        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) AS h
+                 FROM events),
+      r AS (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS rn
+            FROM h)
+      SELECT event_type, count(*) AS kept,
+             round(63 / (CAST(max(h) AS DOUBLE) / 4294967296.0), 6)
+               AS est_distinct
+      FROM r
+      WHERE rn <= 64
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "q_agg_conditional" -> """
       SELECT l_returnflag,

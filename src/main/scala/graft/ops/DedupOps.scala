@@ -101,6 +101,16 @@ object DedupOps {
         .select("doc_id", "n_copies", "norm")
         .orderBy("doc_id")),
 
+    // Exact dedup keyed on the md5 hash of the normalized body — the
+    // 100 TB shape of q_dedup_exact: the shuffle moves 16-byte keys, not
+    // document bodies; representative chosen by min doc_id as before.
+    "q_dedup_exact_hash" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy(md5(trim(lower(col("text"))).cast("binary")).as("body_md5"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies", "body_md5")
+        .orderBy("doc_id")),
+
     // N-gram Jaccard over hashed 3-shingles: pairs with J >= 0.3. Joining
     // on the 32-bit shingle hash instead of the shingle string (textbook
     // hashed-shingling) cuts the shuffled/sorted key width ~5×; the oracle
@@ -211,6 +221,13 @@ object DedupOps {
              trim(lower(text)) AS norm
       FROM documents
       GROUP BY trim(lower(text))
+      ORDER BY doc_id""",
+
+    "q_dedup_exact_hash" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+             md5(trim(lower(text))) AS body_md5
+      FROM documents
+      GROUP BY md5(trim(lower(text)))
       ORDER BY doc_id""",
 
     "q_dedup_ngram" -> s"""

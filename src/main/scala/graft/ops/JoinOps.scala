@@ -51,6 +51,23 @@ object JoinOps {
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")),
 
+    // Theta (range) join: events banded against a literal interval table
+    // via non-equi predicates. The range side is tiny and broadcast, so
+    // the plan is BroadcastNestedLoopJoin — the correct shape when one
+    // side is a handful of intervals, at any fact-side scale.
+    "q_join_theta" -> ((s, d) => {
+      import s.implicits._
+      val ranges = Seq(("band_low", 0.0, 5.0), ("band_mid", 5.0, 10.0),
+        ("band_high", 10.0, 15.0), ("band_top", 15.0, 1e9))
+        .toDF("band", "lo", "hi")
+      table(s, d, "events")
+        .join(broadcast(ranges),
+              col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("band")
+    }),
+
     // As-of join: for every error event, the most recent signup of the same
     // user at-or-before it. Implemented with the scalable union+window
     // pattern (one shuffle by user, zero join explosion) rather than a
@@ -122,6 +139,17 @@ object JoinOps {
       FROM orders
       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       ORDER BY o_orderkey""",
+
+    "q_join_theta" -> """
+      SELECT band, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events
+      JOIN (VALUES ('band_low', 0.0, 5.0), ('band_mid', 5.0, 10.0),
+                   ('band_high', 10.0, 15.0), ('band_top', 15.0, 1e9))
+           r(band, lo, hi)
+        ON value >= lo AND value < hi
+      GROUP BY band
+      ORDER BY band""",
 
     "q_join_asof" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type

@@ -63,6 +63,44 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions == Seq(Sessionize.Session(1, 0, 10 * m, 2)))
   }
 
+  test("streaming dropDuplicates removes cross-batch duplicates via state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "payload")
+      .dropDuplicates("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    mem.addData((2L, "b-dup-next-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-stream inner join matches keys across sides") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("uid", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buid", "bts").withWatermark("bts", "1 hour")
+    val j = c.join(b, $"uid" === $"buid" &&
+      $"bts" >= $"cts" && $"bts" <= $"cts" + expr("INTERVAL 1 HOUR"))
+    val q = j.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    buys.addData((1L, t("2024-01-01 10:30:00")),   // within window → joins
+                 (2L, t("2024-01-01 12:00:00")))   // outside window → dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").select("uid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("batch q_sessionize: gap splits sessions, counts preserved") {
     val out = StreamOps.queries("q_sessionize")(spark, sf0001)
     val total = out.agg(sum("n_events")).as[Long].head()
