@@ -145,6 +145,31 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Statistical moments from exact decimal sums: var/stddev/corr computed
+    // as (Σx², Σx, Σxy) decimal moments and combined in closed form —
+    // native var_samp/corr accumulate doubles order-dependently and would
+    // not cross-engine match; this form is exact and shuffle-order-free.
+    "q_agg_stats" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def m(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), m(x).as("sx"), m(x * x).as("sxx"),
+             m(y).as("sy"), m(y * y).as("syy"), m(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          r6((col("sxx") - col("sx") * col("sx") / col("n")) /
+             (col("n") - 1)).as("var_qty"),
+          r6(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+             (col("n") - 1))).as("std_qty"),
+          r6((col("sxy") - col("sx") * col("sy") / col("n")) /
+             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // KMV (k-minimum-values) distinct sketch with k=64 over the md5-derived
     // hash — unlike HLL, fully deterministic and cross-engine exact, so the
     // sketch itself is oracle-verified. Estimator: D̂ = (k-1) / h_k where
@@ -220,6 +245,28 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+
+    "q_agg_stats" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sy,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                    AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+             round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+             round((sxy - sx * sy / n) /
+                   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+               AS corr_qty_price
+      FROM m
+      ORDER BY l_returnflag""",
 
     "q_agg_kmv_sketch" -> """
       WITH h AS (SELECT DISTINCT event_type,

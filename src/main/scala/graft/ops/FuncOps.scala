@@ -33,6 +33,22 @@ object FuncOps {
           col("o_orderdate").cast("date").as("dt"))
         .orderBy("o_orderkey")),
 
+    // Date arithmetic across a join: shipping delay in days per order year.
+    "q_date_arith" -> ((s, d) =>
+      table(s, d, "orders")
+        .join(table(s, d, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .withColumn("delay_days",
+          datediff(col("l_shipdate").cast("date"),
+                   col("o_orderdate").cast("date")).cast("long"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+             min(col("delay_days")).as("min_delay"),
+             max(col("delay_days")).as("max_delay"),
+             r6(sum(col("delay_days")).cast("double") /
+                count(col("delay_days"))).as("avg_delay"))
+        .orderBy("o_year")),
+
     "q_math_funcs" -> ((s, d) =>
       table(s, d, "part")
         .select(col("p_partkey"),
@@ -94,6 +110,20 @@ object FuncOps {
              CAST(o_orderdate AS DATE) AS dt
       FROM orders
       ORDER BY o_orderkey""",
+
+    "q_date_arith" -> """
+      WITH j AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS delay_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      SELECT o_year, count(*) AS n,
+             min(delay_days) AS min_delay, max(delay_days) AS max_delay,
+             round(CAST(sum(delay_days) AS DOUBLE) / count(delay_days), 6)
+               AS avg_delay
+      FROM j
+      GROUP BY o_year
+      ORDER BY o_year""",
 
     "q_math_funcs" -> """
       SELECT p_partkey,
