@@ -71,6 +71,20 @@ object FuncOps {
             .cast("long").as("n_pos"))
         .orderBy("vec_id")),
 
+    // Array manipulation beyond element access: slice, concat, sort,
+    // position, contains-by-predicate.
+    "q_array_manip" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .select(col("doc_id"),
+          slice(col("tok"), 1, 3).as("head3"),
+          concat(slice(col("tok"), 1, 2),
+                 slice(col("tok"), -2, 2)).as("ends"),
+          sort_array(array_distinct(slice(col("tok"), 1, 10))).as("sorted10"),
+          array_position(col("tok"), "data").cast("long").as("pos_data"),
+          exists(col("tok"), t => length(t) > 6).as("has_long_tok"))
+        .orderBy("doc_id")),
+
     "q_json_funcs" -> ((s, d) =>
       table(s, d, "events")
         .select(col("event_id"),
@@ -145,6 +159,21 @@ object FuncOps {
              CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_pos
       FROM embeddings
       ORDER BY vec_id""",
+
+    "q_array_manip" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+                 FROM documents)
+      SELECT doc_id,
+             tok[1:3] AS head3,
+             list_concat(tok[1:2],
+                         tok[greatest(len(tok)-1, 1):len(tok)]) AS ends,
+             list_sort(list_distinct(tok[1:10])) AS sorted10,
+             CAST(coalesce(list_position(tok, 'data'), 0) AS BIGINT)
+               AS pos_data,
+             len(list_filter(tok, t2 -> length(t2) > 6)) > 0
+               AS has_long_tok
+      FROM t
+      ORDER BY doc_id""",
 
     "q_json_funcs" -> """
       SELECT event_id,

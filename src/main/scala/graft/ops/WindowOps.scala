@@ -50,6 +50,34 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Ranking distributions: percent_rank / cume_dist / ntile — all
+    // deterministic because the window ordering (value, event_id) is total.
+    "q_window_pct" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      table(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          r6(percent_rank().over(w)).as("pr"),
+          r6(cume_dist().over(w)).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Rolling time window via a RANGE frame over epoch-µs: per user, the
+    // sum/count of events in the trailing hour — the batch twin of a
+    // sliding streaming aggregation, one shuffle by user.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(-3600000000L, 0L)
+      table(s, d, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_trailing_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Top-k per group: row_number filter (the scalable per-group top-n —
     // one shuffle, no global sort).
     "q_topk_per_group" -> ((s, d) => {
@@ -101,6 +129,27 @@ object WindowOps {
              lead(value) OVER w AS next_value
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q_window_pct" -> """
+      SELECT event_type, event_id, value,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             ntile(4) OVER w AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_type, event_id""",
+
+    "q_window_range_frame" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+                 FROM events)
+      SELECT user_id, event_id, tsu,
+             count(*) OVER w AS n_trailing_1h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS sum_trailing_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
 
     "q_topk_per_group" -> """

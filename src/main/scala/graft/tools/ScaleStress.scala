@@ -55,7 +55,8 @@ object ScaleStress {
 
     val heavy = Seq("q_scan_flagship", "q_agg_groupby", "q_join_inner",
       "q_window_rank", "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_ngram", "q_sim_search", "q_sim_search_lsh", "q_topk")
+      "q_dedup_ngram", "q_sim_search", "q_sim_search_lsh", "q_topk",
+      "q_dedup_clusters", "q_session_window", "q_agg_stats", "q_window_range_frame")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       try {
