@@ -42,8 +42,16 @@ object DedupOps {
     * set feeds both self-join sides AND the per-doc counts — without it
     * Catalyst recomputes the explode+md5+distinct subtree three times (no
     * exchange reuse across different exchange types). ~1.2M rows × 16 B at
-    * sf0.1; at 100 TB this is the materialize-once shuffle input. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * sf0.1; at 100 TB this is the materialize-once shuffle input.
+    * Memoized per (session, dir): both consumers in one Verify/Bench run
+    * share the cached frame instead of rebuilding the pipeline. */
+  private val pairsCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d), buildJaccardPairs(s, d))
+
+  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
       .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
       .distinct()
@@ -61,6 +69,7 @@ object DedupOps {
         r6(col("shared").cast("double") /
            (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
+      .persist() // tiny (the verified pairs); shared by ngram + clusters
   }
 
   /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
