@@ -18,16 +18,14 @@ object Graft {
     "embeddings")
 
   /** Register every table under `dir` as a temp view (ns-timestamp
-    * handling included); returns the view names registered. */
-  def open(spark: SparkSession, dir: String): Seq[String] = {
-    val present = tableNames.filter(n =>
-      new java.io.File(s"$dir/$n.parquet").exists() ||
-        !dir.startsWith("/")) // non-local paths: let Spark resolve lazily
-    present.foreach { n =>
-      ops.table(spark, dir, n).createOrReplaceTempView(n)
+    * handling included); tables whose parquet is absent or unreadable are
+    * skipped (works for local and remote paths alike). Returns the view
+    * names actually registered. */
+  def open(spark: SparkSession, dir: String): Seq[String] =
+    tableNames.filter { n =>
+      try { ops.table(spark, dir, n).createOrReplaceTempView(n); true }
+      catch { case _: Exception => false }
     }
-    present
-  }
 
   /** SQL passthrough over the registered views. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)

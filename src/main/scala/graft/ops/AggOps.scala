@@ -260,10 +260,11 @@ object AggOps {
                     AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-             round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
-             round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+             round((sxx - sx * sx / n) / nullif(n - 1, 0), 6) AS var_qty,
+             round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)), 6) AS std_qty,
              round((sxy - sx * sy / n) /
-                   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+                   nullif(sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n),
+                          0), 6)
                AS corr_qty_price
       FROM m
       ORDER BY l_returnflag""",
@@ -278,7 +279,7 @@ object AggOps {
                      AS rn
             FROM h)
       SELECT event_type, count(*) AS kept,
-             round(63 / (CAST(max(h) AS DOUBLE) / 4294967296.0), 6)
+             round(63 / nullif(CAST(max(h) AS DOUBLE) / 4294967296.0, 0), 6)
                AS est_distinct
       FROM r
       WHERE rn <= 64

@@ -44,12 +44,21 @@ object DedupOps {
     * exchange reuse across different exchange types). ~1.2M rows × 16 B at
     * sf0.1; at 100 TB this is the materialize-once shuffle input.
     * Memoized per (session, dir): both consumers in one Verify/Bench run
-    * share the cached frame instead of rebuilding the pipeline. */
+    * share the cached frame instead of rebuilding the pipeline. The cache
+    * is a snapshot — if the files under `dir` are rewritten mid-session,
+    * call [[clearPairsCache]] (persisted frames are released there). */
   private val pairsCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d), buildJaccardPairs(s, d))
+
+  /** Drop all memoized pair frames and release their storage. */
+  def clearPairsCache(): Unit = {
+    pairsCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Exception => () })
+    pairsCache.clear()
+  }
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
@@ -143,10 +152,14 @@ object DedupOps {
         .select(col("doc_id"), col("doc_id").as("cluster")).persist()
       // Labels only ever decrease, so an unchanged sum(cluster) is an exact
       // (and join-free) fixpoint test — one cheap action per round.
-      var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+      // coalesce guards the empty-table case (sum of no rows is NULL).
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("cluster")), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      val maxIter = 50
+      while (!converged && iter < maxIter) {
         val nbr = labels.join(sym, col("doc_id") === col("dst"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
         // localCheckpoint (not persist): truncates lineage so every round
@@ -158,13 +171,18 @@ object DedupOps {
             least(col("l.cluster"), coalesce(col("nlabel"), col("l.cluster")))
               .as("cluster"))
           .localCheckpoint()
-        val curSum = next.agg(sum(col("cluster"))).head.getLong(0)
+        val curSum = labelSum(next)
         labels.unpersist()
         labels = next
         converged = curSum == prevSum
         prevSum = curSum
         iter += 1
       }
+      if (!converged)
+        // Diverging silently from the recursive-CTE oracle would be a
+        // debugging trap; a component with diameter > maxIter is loud.
+        System.err.println(
+          s"[q_dedup_clusters] WARNING: not converged after $maxIter rounds")
       labels.orderBy("doc_id")
     }),
 
@@ -310,7 +328,7 @@ object DedupOps {
       SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_sum(list_transform(range(1, len(a.v) + 1),
-                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+                       i -> a.v[i] * b.v[i])) / nullif(a.nrm * b.nrm, 0), 6) AS cos
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
       WHERE cos >= 0.45
       ORDER BY vec_a, vec_b""",

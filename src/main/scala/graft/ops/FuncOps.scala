@@ -78,8 +78,12 @@ object FuncOps {
         .withColumn("tok", split(col("text"), " "))
         .select(col("doc_id"),
           slice(col("tok"), 1, 3).as("head3"),
+          // start index computed like the oracle's greatest(len-1, 1) so a
+          // single-token doc yields [t, t] on both engines (Spark's
+          // slice(-2, 2) would return [] there while DuckDB keeps [t]).
           concat(slice(col("tok"), 1, 2),
-                 slice(col("tok"), -2, 2)).as("ends"),
+                 slice(col("tok"), greatest(size(col("tok")) - 1, lit(1)),
+                       lit(2))).as("ends"),
           sort_array(array_distinct(slice(col("tok"), 1, 10))).as("sorted10"),
           array_position(col("tok"), "data").cast("long").as("pos_data"),
           exists(col("tok"), t => length(t) > 6).as("has_long_tok"))

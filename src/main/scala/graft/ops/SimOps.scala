@@ -110,7 +110,7 @@ object SimOps {
     "q_sim_search" -> s"""
       WITH $vectorsSql
       SELECT c.vec_id AS vec_id, c.label AS label,
-             round($dotSql / (q.nrm * c.nrm), 6) AS cos
+             round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
       FROM n c, (SELECT v, nrm FROM n WHERE vec_id = 0) q
       WHERE c.vec_id <> 0
       ORDER BY cos DESC, vec_id ASC
@@ -130,7 +130,7 @@ object SimOps {
                      CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS bucket
             FROM n)
       SELECT c.vec_id AS vec_id, c.label AS label, c.bucket AS bucket,
-             round($dotSql / (q.nrm * c.nrm), 6) AS cos
+             round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
       FROM b c JOIN (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
         ON c.bucket = q.bucket
       WHERE c.vec_id <> 0
@@ -140,7 +140,7 @@ object SimOps {
     "q_sim_search_ivf" -> s"""
       WITH $vectorsSql
       SELECT c.vec_id AS vec_id, c.label AS label,
-             round($dotSql / (q.nrm * c.nrm), 6) AS cos
+             round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
       FROM n c JOIN (SELECT v, nrm, label FROM n WHERE vec_id = 0) q
         ON c.label = q.label
       WHERE c.vec_id <> 0

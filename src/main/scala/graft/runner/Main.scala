@@ -53,13 +53,18 @@ object Main {
     sys.exit(1)
   }
 
+  private def parseInt(flag: String, v: String): Int =
+    try v.toInt
+    catch { case _: NumberFormatException =>
+      usage(s"$flag expects a number, got: $v") }
+
   private def parse(args: List[String], o: Opts): Opts = args match {
     case Nil => o
     case "-i" :: v :: rest => parse(rest, o.copy(id = Some(v)))
     case "-k" :: v :: rest => parse(rest, o.copy(key = Some(v)))
     case "-a" :: v :: rest => parse(rest, o.copy(addr = v))
-    case "-p" :: v :: rest => parse(rest, o.copy(port = v.toInt))
-    case "-j" :: v :: rest => parse(rest, o.copy(threads = v.toInt))
+    case "-p" :: v :: rest => parse(rest, o.copy(port = parseInt("-p", v)))
+    case "-j" :: v :: rest => parse(rest, o.copy(threads = parseInt("-j", v)))
     case other :: _ => usage(s"unknown option: $other")
   }
 
@@ -101,9 +106,13 @@ object Main {
     val batch = new scala.collection.mutable.ArrayBuffer[String](1024)
     def flush(): Unit = if (batch.nonEmpty) {
       // One chunk of rows per flush, mirroring the reference's
-      // chunk-at-a-time print loop (reference runner.cc:219–227).
-      println(s"Chunk - [${result.columns.length} Columns] ${batch.size} rows")
-      batch.foreach(println)
+      // chunk-at-a-time print loop (reference runner.cc:219–227). Printed
+      // under the stdout lock so concurrent files can't interleave rows
+      // into each other's chunk framing.
+      val text = new StringBuilder
+      text.append(s"Chunk - [${result.columns.length} Columns] ${batch.size} rows\n")
+      batch.foreach(r => text.append(r).append('\n'))
+      System.out.synchronized { print(text.toString) }
       batch.clear()
     }
     while (it.hasNext) {

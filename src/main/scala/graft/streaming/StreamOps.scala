@@ -58,7 +58,15 @@ object StreamOps {
       val q = tumbling(src).writeStream
         .outputMode("complete").format("memory").queryName(qname).start()
       try { q.processAllAvailable() } finally { q.stop() }
-      s.table(qname).orderBy("bucket", "event_type")
+      // Materialize the (small, aggregated) sink contents and release the
+      // sink table + staged files — repeated builds must not leak memory
+      // sinks or temp dirs.
+      val sink = s.table(qname)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qname)
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(dir)
+      out.orderBy("bucket", "event_type")
     }),
 
     // Spark's native session_window operator (30-min gap), usable in batch
