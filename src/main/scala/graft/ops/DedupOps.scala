@@ -231,8 +231,10 @@ object DedupOps {
     // accumulation as the oracle's list_sum, ~10× the HOF-lambda speed.
     "q_dedup_embed" -> ((s, d) => {
       import graft.functions.VectorFunctions.{dot_product, l2_norm}
+      // persist: both sides of the pair join read the same normed vectors.
       val n = table(s, d, "embeddings").select(col("vec_id"),
         col("embedding").as("v"), l2_norm(col("embedding")).as("nrm"))
+        .persist()
       n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           r6(dot_product(col("a.v"), col("b.v")) /
