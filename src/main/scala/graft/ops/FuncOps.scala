@@ -33,6 +33,28 @@ object FuncOps {
           col("o_orderdate").cast("date").as("dt"))
         .orderBy("o_orderkey")),
 
+    // Calendar arithmetic: day/month shifts and quarter truncation.
+    "q_date_shift" -> ((s, d) =>
+      table(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"))
+        .orderBy("o_orderkey")),
+
+    // Wide→long reshaping via unpivot/melt; oracle is the UNION ALL
+    // equivalent (identical semantics, no dialect risk).
+    "q_unpivot" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
+
     // Date arithmetic across a join: shipping delay in days per order year.
     "q_date_arith" -> ((s, d) =>
       table(s, d, "orders")
@@ -128,6 +150,28 @@ object FuncOps {
              CAST(o_orderdate AS DATE) AS dt
       FROM orders
       ORDER BY o_orderkey""",
+
+    "q_date_shift" -> """
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+               AS plus_30d,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3m,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, metric, value""",
 
     "q_date_arith" -> """
       WITH j AS (
