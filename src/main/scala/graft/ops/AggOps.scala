@@ -107,6 +107,16 @@ object AggOps {
                .as("nations"))
         .orderBy("r_name")),
 
+    // Distinct array aggregation with pinned order (collect_set is
+    // order-free; sort_array fixes it on both engines).
+    "q_agg_arrayagg" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+             sort_array(collect_set(col("l_linenumber").cast("long")))
+               .as("linenos"))
+        .orderBy("l_returnflag")),
+
     // Interpolated percentiles (median + p90), round-clamped.
     "q_agg_percentile" -> ((s, d) =>
       table(s, d, "lineitem")
@@ -335,6 +345,15 @@ object AggOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name
       ORDER BY r_name""",
+
+    "q_agg_arrayagg" -> """
+      SELECT l_returnflag,
+             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT)))
+               AS linenos
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_agg_percentile" -> """
       SELECT l_returnflag,

@@ -50,6 +50,19 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Frame navigation: first/last/nth value over a full-partition frame.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          first(col("l_extendedprice")).over(w).as("top_price"),
+          last(col("l_extendedprice")).over(w).as("bottom_price"),
+          nth_value(col("l_extendedprice"), 2).over(w).as("second_price"))
+        .orderBy("l_orderkey", "l_linenumber", "top_price")
+    }),
+
     // Ranking distributions: percent_rank / cume_dist / ntile — all
     // deterministic because the window ordering (value, event_id) is total.
     "q_window_pct" -> ((s, d) => {
@@ -130,6 +143,18 @@ object WindowOps {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id""",
+
+    "q_window_firstlast" -> """
+      SELECT l_orderkey, l_linenumber,
+             first_value(l_extendedprice) OVER w AS top_price,
+             last_value(l_extendedprice) OVER w AS bottom_price,
+             nth_value(l_extendedprice, 2) OVER w AS second_price
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+      ORDER BY l_orderkey, l_linenumber, top_price""",
 
     "q_window_pct" -> """
       SELECT event_type, event_id, value,
