@@ -70,6 +70,34 @@ object TextOps {
             lit(0L), (acc, x) => acc + x).as("subword_tokens"))
         .orderBy("doc_id")),
 
+    // Distinctive-term extraction: TF-IDF-shaped scoring with a rational
+    // idf (tf · N/df — no transcendental functions, so the score is
+    // bit-identical cross-engine), top-1 term per document. The classic
+    // "what is this document about" step of a corpus pipeline: one shuffle
+    // for tf, one broadcast-joined df table, one window.
+    "q_text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val ndocs = docs.agg(count(lit(1)).as("ndocs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("token"))
+      tf.join(broadcast(df_), "token")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("score",
+          r6(col("tf") * (col("ndocs").cast("double") / col("df"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+                col("score"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary building: explode tokens, global term frequencies, top 20
     // — the corpus-statistics step of a tokenizer pipeline. Generate →
     // partial-agg (map-side combine) → final agg → TakeOrderedAndProject.
@@ -130,6 +158,27 @@ object TextOps {
       FROM t
       GROUP BY lang, pred
       ORDER BY lang, pred""",
+
+    "q_text_tfidf" -> """
+      WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+      tfc AS (SELECT doc_id, token, count(*) AS tf
+              FROM tf GROUP BY doc_id, token),
+      dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+      nd AS (SELECT count(*) AS ndocs FROM documents),
+      scored AS (
+        SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+               round(tfc.tf * (CAST(nd.ndocs AS DOUBLE) / dfc.df), 6)
+                 AS score
+        FROM tfc JOIN dfc USING (token), nd),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token ASC) AS rn
+        FROM scored)
+      SELECT doc_id, token, tf, df, score
+      FROM ranked
+      WHERE rn = 1
+      ORDER BY doc_id""",
 
     "q_text_vocab" -> """
       WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
