@@ -108,13 +108,17 @@ object AggOps {
         .orderBy("r_name")),
 
     // Distinct array aggregation with pinned order (collect_set is
-    // order-free; sort_array fixes it on both engines).
+    // order-free; sort_array fixes it on both engines). Emitted as
+    // comma-joined strings: array-typed result columns break the driver's
+    // pandas hash compare, so both engines canonicalize to text.
     "q_agg_arrayagg" -> ((s, d) =>
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-             sort_array(collect_set(col("l_linenumber").cast("long")))
-               .as("linenos"))
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+               .as("statuses"),
+             array_join(transform(
+               sort_array(collect_set(col("l_linenumber").cast("long"))),
+               _.cast("string")), ",").as("linenos"))
         .orderBy("l_returnflag")),
 
     // Interpolated percentiles (median + p90), round-clamped.
@@ -348,9 +352,11 @@ object AggOps {
 
     "q_agg_arrayagg" -> """
       SELECT l_returnflag,
-             list_sort(list(DISTINCT l_linestatus)) AS statuses,
-             list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT)))
-               AS linenos
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+               AS statuses,
+             array_to_string(list_transform(
+               list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))),
+               x -> CAST(x AS VARCHAR)), ',') AS linenos
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

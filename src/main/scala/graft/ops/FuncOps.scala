@@ -94,19 +94,23 @@ object FuncOps {
         .orderBy("vec_id")),
 
     // Array manipulation beyond element access: slice, concat, sort,
-    // position, contains-by-predicate.
+    // position, contains-by-predicate. Array results are comma-joined to
+    // strings on both engines — array-typed columns break the driver's
+    // pandas hash compare.
     "q_array_manip" -> ((s, d) =>
       table(s, d, "documents")
         .withColumn("tok", split(col("text"), " "))
         .select(col("doc_id"),
-          slice(col("tok"), 1, 3).as("head3"),
+          array_join(slice(col("tok"), 1, 3), ",").as("head3"),
           // start index computed like the oracle's greatest(len-1, 1) so a
           // single-token doc yields [t, t] on both engines (Spark's
           // slice(-2, 2) would return [] there while DuckDB keeps [t]).
-          concat(slice(col("tok"), 1, 2),
-                 slice(col("tok"), greatest(size(col("tok")) - 1, lit(1)),
-                       lit(2))).as("ends"),
-          sort_array(array_distinct(slice(col("tok"), 1, 10))).as("sorted10"),
+          array_join(
+            concat(slice(col("tok"), 1, 2),
+                   slice(col("tok"), greatest(size(col("tok")) - 1, lit(1)),
+                         lit(2))), ",").as("ends"),
+          array_join(sort_array(array_distinct(slice(col("tok"), 1, 10))), ",")
+            .as("sorted10"),
           array_position(col("tok"), "data").cast("long").as("pos_data"),
           exists(col("tok"), t => length(t) > 6).as("has_long_tok"))
         .orderBy("doc_id")),
@@ -212,10 +216,11 @@ object FuncOps {
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
                  FROM documents)
       SELECT doc_id,
-             tok[1:3] AS head3,
-             list_concat(tok[1:2],
-                         tok[greatest(len(tok)-1, 1):len(tok)]) AS ends,
-             list_sort(list_distinct(tok[1:10])) AS sorted10,
+             array_to_string(tok[1:3], ',') AS head3,
+             array_to_string(list_concat(tok[1:2],
+                         tok[greatest(len(tok)-1, 1):len(tok)]), ',') AS ends,
+             array_to_string(list_sort(list_distinct(tok[1:10])), ',')
+               AS sorted10,
              CAST(coalesce(list_position(tok, 'data'), 0) AS BIGINT)
                AS pos_data,
              len(list_filter(tok, t2 -> length(t2) > 6)) > 0

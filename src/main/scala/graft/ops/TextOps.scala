@@ -74,7 +74,9 @@ object TextOps {
     // idf (tf · N/df — no transcendental functions, so the score is
     // bit-identical cross-engine), top-1 term per document. The classic
     // "what is this document about" step of a corpus pipeline: one shuffle
-    // for tf, one broadcast-joined df table, one window.
+    // for tf, a token-keyed df join (no broadcast hint — the vocabulary is
+    // unbounded at corpus scale, so the planner/AQE picks the strategy; the
+    // only broadcast is the 1-row ndocs scalar), one window.
     "q_text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, d, "documents")
@@ -87,7 +89,7 @@ object TextOps {
       val ndocs = docs.agg(count(lit(1)).as("ndocs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(desc("score"), asc("token"))
-      tf.join(broadcast(df_), "token")
+      tf.join(df_, "token")
         .crossJoin(broadcast(ndocs))
         .withColumn("score",
           r6(col("tf") * (col("ndocs").cast("double") / col("df"))))
