@@ -188,23 +188,25 @@ object AggOps {
     // hash — unlike HLL, fully deterministic and cross-engine exact, so the
     // sketch itself is oracle-verified. Estimator: D̂ = (k-1) / h_k where
     // h_k is the k-th smallest hash normalized to (0,1]. The per-group
-    // k-smallest is a window rank filter — at scale, a per-partition
-    // top-k merge (same TakeOrdered shape as q_topk).
+    // k-smallest is a typed Aggregator (graft.functions.KMinAgg) with a
+    // bounded sorted buffer: map-side partial aggregation keeps ≤k longs
+    // per (partition, group), the shuffle moves sketches not values, and
+    // no global sort or distinct pass ever materializes the full distinct
+    // set (dedup happens inside the sketch).
     "q_agg_kmv_sketch" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 64
-      val hashed = table(s, d, "events")
+      val kmin = udaf(new graft.functions.KMinAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      table(s, d, "events")
         .select(col("event_type"),
           md5hash32(col("user_id").cast("string")).as("h"))
-        .distinct()
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      hashed
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+        .filter(col("h").isNotNull)
         .groupBy(col("event_type"))
-        .agg(max(col("h")).as("hk"), count(lit(1)).as("kept"))
-        .select(col("event_type"), col("kept"),
-          r6(lit(k - 1) / (col("hk").cast("double") / lit(4294967296.0)))
+        .agg(kmin(col("h")).as("mins"))
+        .select(col("event_type"),
+          size(col("mins")).cast("long").as("kept"),
+          r6(lit(k - 1) /
+             (element_at(col("mins"), -1).cast("double") / lit(4294967296.0)))
             .as("est_distinct"))
         .orderBy("event_type")
     }),
