@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,25 +10,51 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (scheduler, codegen, parquet footer caches) so the
-    // first measured query doesn't absorb JVM init. Best-effort: a broken
-    // sfDir must still fall through to the per-query isolation below.
+    // Warm the session: scheduler, codegen cache, parquet footer caches,
+    // and the JIT on the common physical operators (scan, hash agg,
+    // sort-merge join, window, generate/explode, sort) — so the first
+    // measured query doesn't absorb JVM init. Query-specific codegen
+    // still lands in the cold pass; that's what the warm pass isolates.
+    // Best-effort: a broken sfDir must still fall through to the
+    // per-query isolation below.
     try {
+      import org.apache.spark.sql.functions._
       spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(20000).cache()
+      val or = spark.read.parquet(s"$sfDir/orders.parquet").limit(20000)
+      li.groupBy("l_returnflag").count().collect()
+      li.join(or, li("l_orderkey") === or("o_orderkey"))
+        .groupBy("l_linestatus").count().collect()
+      li.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .filter(col("rn") <= 3).collect()
+      li.select(explode(split(lit("a b c"), " "))).count()
+      li.orderBy("l_extendedprice").limit(10).collect()
+      li.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // noop sink: executes every declared column (count() lets Catalyst
+    // prune unreferenced projections, under-measuring projection-heavy
+    // queries) without paying file-write I/O.
+    def once(fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val cold = named.map { case (n, fn) => n -> once(fn) }
+    // Second pass: codegen/JIT/page-cache warm — the steady-state number a
+    // long-lived cluster session sees.
+    val warm = named.map { case (n, fn) => n -> once(fn) }
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = cold.map(_._2).filter(_ >= 0).sum
+    val totalWarm = warm.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,66 @@ class RunnerSpec extends SparkTestBase {
     assert(a == b && a != xs)
   }
 
+  test("flag parsing covers the reference CLI surface") {
+    import graft.runner.Main
+    val o = Main.parse(
+      List("-i", "AK", "-k", "SK", "-a", "10.0.0.5", "-p", "9009", "-j", "7"),
+      Main.Opts())
+    assert(o == Main.Opts(Some("AK"), Some("SK"), "10.0.0.5", 9009, 7))
+    assert(Main.parse(Nil, Main.Opts()) ==
+      Main.Opts(None, None, "127.0.0.1", 9000, 4))
+  }
+
+  test("opts map to the s3a session config block") {
+    import graft.runner.Main
+    val conf = Main.s3aConfigs(
+      Main.Opts(Some("AK"), Some("SK"), "minio.local", 9000, 4)).toMap
+    assert(conf("spark.hadoop.fs.s3a.endpoint") == "http://minio.local:9000")
+    assert(conf("spark.hadoop.fs.s3a.path.style.access") == "true")
+    assert(conf("spark.hadoop.fs.s3a.connection.ssl.enabled") == "false")
+    assert(conf("spark.hadoop.fs.s3a.access.key") == "AK")
+    assert(conf("spark.hadoop.fs.s3a.secret.key") == "SK")
+    // no credential keys leak into the config when flags are absent
+    val anon = Main.s3aConfigs(Main.Opts()).toMap
+    assert(!anon.contains("spark.hadoop.fs.s3a.access.key"))
+    assert(!anon.contains("spark.hadoop.fs.s3a.secret.key"))
+  }
+
+  test("full CLI end-to-end over local files: chunks, stats, isolation") {
+    import scala.sys.process._
+    // Reuse this JVM's --add-opens set (sbt injects the JDK-17 module
+    // options Spark needs) for the child CLI process.
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+      .toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens=") || a.startsWith("--add-opens"))
+      .toSeq
+    val cmd = Seq("java") ++ jvmArgs ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[2]",
+      "-cp", sys.props("java.class.path"),
+      "graft.runner.Main",
+      "-i", "TESTKEY", "-k", "TESTSECRET", "-a", "127.0.0.1", "-p", "9000",
+      "-j", "2")
+    val good = s"$sf0001/lineitem.parquet"
+    val stdin = new java.io.ByteArrayInputStream(
+      s"$good /nonexistent/missing.parquet\n'$good'\n".getBytes)
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val code = (cmd #< stdin).!(ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n') },
+      l => err.synchronized { err.append(l).append('\n') }))
+    assert(code == 0, s"exit=$code stderr:\n${err.toString.takeRight(2000)}")
+    val e = err.toString
+    assert(e.contains("Number data sources (parquet files): 3"))
+    assert(e.contains("Threads: 2"))
+    assert(e.contains("error processing /nonexistent/missing.parquet"))
+    assert(e.contains("Total hits: "))
+    assert(e.contains("Total read bytes: "))
+    assert(e.contains("Done"))
+    // both good files produced chunked rows despite the bad sibling
+    assert(out.toString.linesIterator.count(_.startsWith("Chunk - [5 Columns]")) >= 2)
+  }
+
   test("flagship on laghos schema: boundary rows excluded, sorted by E") {
     val df = Seq(
       (1, 1.55, 1.55, 1.55, 10.0),  // inside
