@@ -63,6 +63,33 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions == Seq(Sessionize.Session(1, 0, 10 * m, 2)))
   }
 
+  test("event-time timeout closes idle sessions once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.withTimeout(mem.toDS(), "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_test").start()
+    val m = 60L * 1000 * 1000 // one minute in µs
+    val base = 1000000L * m   // off epoch 0: ts=0 == initial watermark
+                              // would be dropped as late data
+    mem.addData(Sessionize.Event(1, base + 0 * m, "a"),
+                Sessionize.Event(1, base + 10 * m, "b"))
+    q.processAllAvailable()
+    // user 1 idle; other-user traffic advances the watermark past
+    // session end (10m) + gap (30m): first batch carries the old
+    // watermark, the next one triggers the timeout.
+    mem.addData(Sessionize.Event(2, base + 120 * m, "x"))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(2, base + 121 * m, "y"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_timeout_test")
+      .as[Sessionize.Session].collect().toSeq
+    // user 1's session closed by TIMEOUT (no user-1 event ever followed);
+    // user 2's session is still open → exactly one emission.
+    assert(sessions == Seq(Sessionize.Session(1, base, base + 10 * m, 2)))
+  }
+
   test("streaming dropDuplicates removes cross-batch duplicates via state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
