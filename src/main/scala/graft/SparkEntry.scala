@@ -23,7 +23,8 @@ object SparkEntry {
     ScanFilterOps.queries ++ JoinOps.queries ++ AggOps.queries ++
       WindowOps.queries ++ SortSetOps.queries ++ FuncOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
-      MultimodalOps.queries ++ graft.streaming.StreamOps.queries
+      MultimodalOps.queries ++ PipelineOps.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -33,5 +34,6 @@ object SparkEntry {
     ScanFilterOps.oracles ++ JoinOps.oracles ++ AggOps.oracles ++
       WindowOps.oracles ++ SortSetOps.oracles ++ FuncOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
-      MultimodalOps.oracles ++ graft.streaming.StreamOps.oracles
+      MultimodalOps.oracles ++ PipelineOps.oracles ++
+      graft.streaming.StreamOps.oracles
 }

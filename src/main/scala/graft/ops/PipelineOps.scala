@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline assembly operators (mandate north star, beyond
+  * the reference's own surface — the reference harness stops at analytics;
+  * these are the corpus-preparation steps a 100 TB pretraining pipeline
+  * runs after dedup/quality filtering).
+  *
+  * All five are single-pass, shuffle-light shapes:
+  *   - chunking and repetition are per-row higher-order functions (no
+  *     shuffle at all before the output sort);
+  *   - split assignment is a deterministic hash mod — reproducible across
+  *     runs/engines, no RNG state, then one partial-agg shuffle;
+  *   - sequence packing is the standard distributed approximation of bin
+  *     packing: exclusive running token count per language partition →
+  *     bin = floor(prior / ctx). One window sort per language, no
+  *     driver-side loop;
+  *   - int8 quantization is per-row arithmetic over the embedding array
+  *     (floor(x·scale + 0.5) — floor is exact in IEEE, so cross-engine
+  *     deterministic where round() on halves might not be).
+  */
+object PipelineOps {
+
+  private val ChunkTokens = 16
+  private val CtxTokens = 256
+
+  val queries: Map[String, QB] = Map(
+    // Fixed-size token chunking (16-token pieces, last piece ragged): the
+    // doc → training-sequence explode step. sequence+explode+slice keeps
+    // it one Generate, no shuffle.
+    "q_text_chunk" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .withColumn("n_tok", size(col("tok")))
+        .select(col("doc_id"), col("tok"), col("n_tok"),
+          explode(sequence(lit(0),
+            ((col("n_tok") - 1) / lit(ChunkTokens)).cast("int")))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          least(lit(ChunkTokens),
+            col("n_tok") - col("chunk_id") * ChunkTokens)
+            .cast("long").as("chunk_tokens"),
+          array_join(slice(col("tok"),
+            col("chunk_id") * ChunkTokens + 1, lit(ChunkTokens)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Repeated-bigram fraction (the Gopher/C4-style repetition quality
+    // signal): 1 - distinct_bigrams/total_bigrams, per doc with ≥2 tokens.
+    "q_text_repetition" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .filter(size(col("tok")) >= 2)
+        .withColumn("grams", expr(
+          """transform(sequence(1, size(tok) - 1),
+               i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"""))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          r6(lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+             size(col("grams"))).as("rep_frac"))
+        .orderBy("doc_id")),
+
+    // Deterministic train/val/test assignment: md5-hash bucket of doc_id,
+    // 80/10/10. Hash-mod is reproducible across engines and runs (no RNG
+    // state to ship to 1000 executors) and rebalances automatically as
+    // docs are added/removed.
+    "q_split_assign" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("h", pmod(md5hash32(col("doc_id").cast("string")),
+                              lit(100)))
+        .withColumn("split",
+          when(col("h") < 80, "train")
+            .when(col("h") < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " ")).cast("long"))
+               .as("total_tokens"))
+        .orderBy("split")),
+
+    // Contiguous sequence packing into 256-token context bins, per
+    // language: exclusive running token count → bin id. The distributed
+    // stand-in for greedy bin packing (order-preserving, one window per
+    // partition key; at 100 TB the partition key set — languages/shards —
+    // is what bounds each sort).
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, d, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("prior") / lit(CtxTokens)))
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin_id")
+    }),
+
+    // Symmetric int8 quantization of embeddings: scale = 127/max|x|,
+    // q_i = floor(x_i·scale + 0.5). Emits the audit scalars (scale,
+    // quantized checksum, saturation count) rather than the int8 array
+    // itself — the array would be a binary payload column in production.
+    "q_embed_quantize" -> ((s, d) =>
+      table(s, d, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("amax") > 0, lit(127.0) / col("amax")))
+        .withColumn("q", expr(
+          "transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))"))
+        .select(col("vec_id"), r6(col("scale")).as("scale"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, y) -> acc + y)")
+            .as("qsum"),
+          size(expr("filter(q, y -> abs(y) >= 127)")).cast("long")
+            .as("n_sat"))
+        .orderBy("vec_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_chunk" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                        len(string_split(text, ' ')) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, tok, n_tok,
+                   unnest(range(0, ((n_tok - 1) // $ChunkTokens) + 1))
+                     AS chunk_id
+            FROM t)
+      SELECT doc_id, chunk_id,
+             CAST(least($ChunkTokens, n_tok - chunk_id * $ChunkTokens)
+                  AS BIGINT) AS chunk_tokens,
+             array_to_string(tok[chunk_id * $ChunkTokens + 1 :
+                                 chunk_id * $ChunkTokens + $ChunkTokens],
+                             ' ') AS chunk_text
+      FROM c
+      ORDER BY doc_id, chunk_id""",
+
+    "q_text_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      g AS (SELECT doc_id,
+                   list_transform(range(1, len(tok)),
+                     i -> tok[i] || ' ' || tok[i + 1]) AS grams
+            FROM t)
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+             round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / len(grams), 6) AS rep_frac
+      FROM g
+      ORDER BY doc_id""",
+
+    "q_split_assign" -> """
+      WITH h AS (SELECT doc_id, text,
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 100 AS h
+                 FROM documents)
+      SELECT CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS total_tokens
+      FROM h
+      GROUP BY 1
+      ORDER BY split""",
+
+    "q_pack_sequences" -> s"""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tok
+                 FROM documents),
+      p AS (SELECT doc_id, lang, n_tok,
+                   coalesce(sum(n_tok) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS prior
+            FROM t)
+      SELECT lang, CAST(floor(prior / $CtxTokens.0) AS BIGINT) AS bin_id,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM p
+      GROUP BY lang, CAST(floor(prior / $CtxTokens.0) AS BIGINT)
+      ORDER BY lang, bin_id""",
+
+    "q_embed_quantize" -> """
+      WITH v AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      a AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS amax
+            FROM v),
+      s AS (SELECT vec_id, v,
+                   CASE WHEN amax > 0 THEN 127.0 / amax END AS scale
+            FROM a),
+      q AS (SELECT vec_id, scale,
+                   list_transform(v,
+                     x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+            FROM s)
+      SELECT vec_id, round(scale, 6) AS scale,
+             CAST(list_sum(q) AS BIGINT) AS qsum,
+             CAST(len(list_filter(q, y -> abs(y) >= 127)) AS BIGINT)
+               AS n_sat
+      FROM q
+      ORDER BY vec_id""",
+  )
+}
