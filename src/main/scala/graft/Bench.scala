@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Local test files are small (single-digit MB) and mostly one row
+      // group; finer splits let multi-row-group files fan out across
+      // cores. At cluster scale this would stay at the 128m default.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,6 +51,12 @@ object Bench {
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = named.map { case (n, fn) => n -> once(fn) }
+    // Release every frame the cold pass persisted (dedup pair caches,
+    // per-query persist()s): carrying them into the warm pass doubles
+    // cached storage in the bench heap and the resulting GC pressure
+    // distorts warm timings far more than the cache reuse helps them.
+    graft.ops.DedupOps.clearPairsCache()
+    spark.catalog.clearCache()
     // Second pass: codegen/JIT/page-cache warm — the steady-state number a
     // long-lived cluster session sees.
     val warm = named.map { case (n, fn) => n -> once(fn) }

@@ -151,8 +151,13 @@ object DedupOps {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
-      var labels = table(s, d, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster")).persist()
+      // Only vertices that appear in an edge can ever change label — the
+      // propagation loop runs over that (much smaller) set; every other
+      // doc is its own cluster and joins back in one final pass. At
+      // corpus scale near-dup pairs cover a small fraction of docs, so
+      // this shrinks each round's join from |docs| to |dup-involved docs|.
+      var labels = sym.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")).persist()
       var converged = false
       var iter = 0
       val maxIter = 50
@@ -187,7 +192,12 @@ object DedupOps {
         // debugging trap; a component with diameter > maxIter is loud.
         System.err.println(
           s"[q_dedup_clusters] WARNING: not converged after $maxIter rounds")
-      labels.orderBy("doc_id")
+      // Singletons (no edges) never entered the loop: cluster = own id.
+      table(s, d, "documents").select(col("doc_id"))
+        .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("c"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
     }),
 
     // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
@@ -215,23 +225,21 @@ object DedupOps {
     }),
 
     // 16-bit SimHash over the distinct-token set (per-bit majority vote of
-    // ±1 contributions from each token's 32-bit md5-derived hash). The
-    // token hashes are hoisted into one transform() pass so md5 runs once
-    // per token, not once per (token, bit) — 16× less hashing; the bit
-    // fold then runs over the precomputed longs. Output is identical, so
-    // the oracle (which spells the naive form) still hash-matches.
+    // ±1 contributions from each token's 32-bit md5-derived hash). Token
+    // hashes are computed once per token in one transform() pass; the
+    // per-bit majority fold is the native codegen Simhash16 expression —
+    // the doubly-nested HOF spelling was the slowest query in the bench
+    // (interpreted per element with boxing). Output is bit-identical to
+    // the naive form, so the oracle (which keeps the naive spelling)
+    // still hash-matches; parity is also unit-asserted in Simhash16Spec.
     "q_dedup_simhash" -> ((s, d) =>
       table(s, d, "documents")
         .withColumn("td", array_distinct(split(col("text"), " ")))
         .withColumn("hs", expr(
           """transform(td, t ->
                CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"""))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-               acc + IF(aggregate(hs, CAST(0 AS BIGINT), (s2, h) ->
-                 s2 + ((shiftright(h, j) & CAST(1 AS BIGINT)) * 2 - 1)) > 0,
-                 shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
-          .as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash16(col("hs")).as("simhash"))
         .orderBy("doc_id")),
 
     // Embedding-cosine near-dup pairs, candidate-driven: sign-LSH banding
