@@ -205,9 +205,12 @@ object AggOps {
         .agg(kmin(col("h")).as("mins"))
         .select(col("event_type"),
           size(col("mins")).cast("long").as("kept"),
-          r6(lit(k - 1) /
-             (element_at(col("mins"), -1).cast("double") / lit(4294967296.0)))
-            .as("est_distinct"))
+          // h_k = 0 guard mirrors the oracle's nullif(..., 0) → NULL
+          // (not Infinity) when the only distinct hash is zero.
+          when(element_at(col("mins"), -1) =!= 0,
+            r6(lit(k - 1) /
+               (element_at(col("mins"), -1).cast("double") /
+                lit(4294967296.0)))).as("est_distinct"))
         .orderBy("event_type")
     }),
 

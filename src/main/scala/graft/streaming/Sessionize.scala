@@ -71,7 +71,10 @@ object Sessionize {
       val out = step(userId,
         events.map(e => Event(e.userId, e.tsUs, e.eventType)), state)
       state.getOption.foreach { open =>
-        state.setTimeoutTimestamp(open.end / 1000 + gapUs / 1000)
+        // ceil to ms: truncating µs→ms would arm the timeout up to ~1ms
+        // before end+gap, letting a boundary event that `step` would
+        // still merge find its session already closed.
+        state.setTimeoutTimestamp((open.end + gapUs + 999) / 1000)
       }
       out
     }
