@@ -27,5 +27,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep saveAsTable output (SinksSpec bucketed tables) out of the repo
+  "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,37 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Output-side scale posture (SURVEY.md §2.3 sinks row — the reference's
+  * sink is its result stream; a 100 TB pipeline's sink is laid-out
+  * parquet):
+  *
+  *   - partitioned parquet: directory-partition the output on a low-
+  *     cardinality column so downstream readers prune partitions at plan
+  *     time (a `lang='en'` read touches 1/n_langs of the data);
+  *   - bucketed tables: pre-shuffle the data into a fixed number of
+  *     buckets on the join key so repeated joins/aggregations on that key
+  *     run with NO exchange — the shuffle is paid once at write time, not
+  *     per query. This is the classic warehouse layout for fact tables
+  *     that join each other on the same key every day.
+  *
+  * Both are thin, deliberate wrappers (the value is the documented,
+  * tested contract — SinksSpec asserts partition pruning and the
+  * exchange-free join plan, not just that files appear).
+  */
+object Sinks {
+
+  /** Write `df` as parquet directory-partitioned by `cols` (Hive-style
+    * `col=value` directories, readable by any parquet reader). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
+  /** Save `df` as a bucketed, in-bucket-sorted parquet table (catalog
+    * table `name`): `buckets` buckets hashed on `key`. Joins and
+    * aggregations keyed on `key` between tables bucketed the same way
+    * plan without an Exchange. */
+  def writeBucketed(df: DataFrame, name: String, buckets: Int,
+                    key: String): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(name)
+}

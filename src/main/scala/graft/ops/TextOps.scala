@@ -129,6 +129,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // The splitting regex sticks to a dialect-safe subset (a character
+    // class + '+' — Java regex and DuckDB's RE2 agree exactly), and
+    // empties are filtered on both sides, so the usual cross-dialect
+    // hazards (lookaround, \\b, trailing-empty handling) never arise.
+    "q_text_tokenize_regex" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                                  t -> length(t) > 0)) AS BIGINT)
+               AS word_tokens,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                                          t -> (length(t) + 3) // 4))
+                  AS BIGINT) AS subword_tokens
+      FROM documents
+      ORDER BY doc_id""",
+
     "q_text_stats" -> s"""
       SELECT lang, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
