@@ -109,29 +109,59 @@ object Main {
         .orderBy(asc_nulls_last("E"))
   }
 
+  /** DuckDB physical type name for the chunk print (the reference prints
+    * `DataChunk::ToString()`, which names vector types this way). */
+  private def duckTypeName(t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case other => other.sql
+    }
+  }
+
   /** Run one file's query; streams result batches to stdout (A11) and
     * returns the hit count. */
   private def runOne(spark: SparkSession, source: String): Long = {
     val path = source.stripPrefix("'").stripSuffix("'")
     val result = flagship(spark.read.parquet(path))
+    val fields = result.schema.fields
     var hits = 0L
     val it = result.toLocalIterator()
-    val batch = new scala.collection.mutable.ArrayBuffer[String](1024)
+    // 2048 = DuckDB's STANDARD_VECTOR_SIZE, the reference's chunk size.
+    val batch = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row](2048)
     def flush(): Unit = if (batch.nonEmpty) {
-      // One chunk of rows per flush, mirroring the reference's
-      // chunk-at-a-time print loop (reference runner.cc:219–227). Printed
-      // under the stdout lock so concurrent files can't interleave rows
-      // into each other's chunk framing.
+      // One columnar chunk per flush, mirroring the reference's
+      // chunk-at-a-time print of DataChunk::ToString() (reference
+      // runner.cc:219–227; format in reference README.md:78–83): a
+      // header line, then one `- FLAT <TYPE>: n = [ v, v, …]` line per
+      // column. Java's Double.toString is the same shortest-round-trip
+      // representation DuckDB prints. Written under the stdout lock so
+      // concurrent files can't interleave into each other's chunk.
       val text = new StringBuilder
-      text.append(s"Chunk - [${result.columns.length} Columns] ${batch.size} rows\n")
-      batch.foreach(r => text.append(r).append('\n'))
+      text.append(s"Chunk - [${fields.length} Columns]\n")
+      var c = 0
+      while (c < fields.length) {
+        val vals = batch.map(r =>
+          if (r.isNullAt(c)) "NULL" else r.get(c).toString)
+        text.append(s"- FLAT ${duckTypeName(fields(c).dataType)}: ")
+          .append(batch.size).append(" = [ ")
+          .append(vals.mkString(", ")).append("]\n")
+        c += 1
+      }
       System.out.synchronized { print(text.toString) }
       batch.clear()
     }
     while (it.hasNext) {
-      batch += it.next().mkString(", ")
+      batch += it.next()
       hits += 1
-      if (batch.size >= 1024) flush()
+      if (batch.size >= 2048) flush()
     }
     flush()
     hits
