@@ -31,3 +31,26 @@ class Metrics extends SparkListener {
   def recordsRead: Long = records.sum
   def readTasks: Long = tasks.get
 }
+
+object Metrics {
+  /** Filesystem-level read-op count from Hadoop's global storage
+    * statistics — the closest Spark-side analog to the reference's
+    * per-read counter (its MonitoredFileSystem wraps every FS read,
+    * reference runner.cc:86–94,109–117). For s3a this is
+    * `stream_read_operations` (≈ HTTP range GETs); for local files the
+    * scheme's generic `read_ops`. Returns None when no scheme exposes a
+    * counter (then the scan-task approximation is the fallback). Note:
+    * JVM-global and monotonic, so callers snapshot before/after a run. */
+  def fsReadOps(): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val stats = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+      .iterator().asScala.toSeq
+    val counts = stats.flatMap { s =>
+      Seq("stream_read_operations", "readOps").flatMap { k =>
+        Option(s.getLong(k)).map(_.longValue()).filter(_ > 0).headOption
+          .map(v => (s.getScheme, k, v))
+      }.headOption
+    }
+    if (counts.isEmpty) None else Some(counts.map(_._3).sum)
+  }
+}

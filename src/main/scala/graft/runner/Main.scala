@@ -208,9 +208,15 @@ object Main {
     System.err.println(s"Threads: ${opts.threads}")
     System.err.println(f"Total Query time: ${(t1 - t0) / 1e9}%.2f s")
     System.err.println(s"Total hits: $totalHits")
-    // No per-HTTP-GET counter exists at the Spark task level; scan-task
-    // count is the documented approximation (SURVEY.md §3.3).
-    System.err.println(s"Total read ops (scan tasks): ${metrics.readTasks}")
+    // Filesystem-level read ops when the Hadoop FS exposes a counter
+    // (s3a stream_read_operations ≈ the reference's per-GET count);
+    // scan-task count is the documented fallback (SURVEY.md §3.3).
+    Metrics.fsReadOps() match {
+      case Some(ops) =>
+        System.err.println(s"Total read ops: $ops")
+      case None =>
+        System.err.println(s"Total read ops (scan tasks): ${metrics.readTasks}")
+    }
     System.err.println(s"Total read bytes: $bytes")
     System.err.println(f"... in KBs: ${bytes / 1e3}%.2f")
     System.err.println(f"... in MBs: ${bytes / 1e6}%.2f")
