@@ -11,6 +11,11 @@ object Bench {
       // group; finer splits let multi-row-group files fan out across
       // cores. At cluster scale this would stay at the 128m default.
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // Coalesce post-shuffle partitions by SIZE, not up to core count:
+      // iterative/small-intermediate queries (dedup clustering) otherwise
+      // pay 32 near-empty tasks per exchange per round.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+              "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,24 +33,26 @@ class Metrics extends SparkListener {
 }
 
 object Metrics {
-  /** Filesystem-level read-op count from Hadoop's global storage
-    * statistics — the closest Spark-side analog to the reference's
-    * per-read counter (its MonitoredFileSystem wraps every FS read,
-    * reference runner.cc:86–94,109–117). For s3a this is
-    * `stream_read_operations` (≈ HTTP range GETs); for local files the
-    * scheme's generic `read_ops`. Returns None when no scheme exposes a
-    * counter (then the scan-task approximation is the fallback). Note:
-    * JVM-global and monotonic, so callers snapshot before/after a run. */
-  def fsReadOps(): Option[Long] = {
+  /** Object-store read-op count from Hadoop's global storage statistics —
+    * the closest Spark-side analog to the reference's per-read counter
+    * (its MonitoredFileSystem wraps every FS read, reference
+    * runner.cc:86–94,109–117): s3a's `stream_read_operations` ≈ HTTP
+    * range GETs. Restricted to s3 schemes (mixing local-file readOps into
+    * the same number would be meaningless); None when no s3 filesystem
+    * has been touched — callers fall back to the scan-task approximation.
+    *
+    * The counter is JVM-global and monotonic, and in-JVM only — it sees
+    * nothing from remote executors — so it is only meaningful in local
+    * mode and as a before/after delta around the measured window; the
+    * caller (runner/Main) gates on `sparkContext.isLocal` and snapshots
+    * around the run. */
+  def s3ReadOps(): Option[Long] = {
     import scala.jdk.CollectionConverters._
-    val stats = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+    val counts = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
       .iterator().asScala.toSeq
-    val counts = stats.flatMap { s =>
-      Seq("stream_read_operations", "readOps").flatMap { k =>
-        Option(s.getLong(k)).map(_.longValue()).filter(_ > 0).headOption
-          .map(v => (s.getScheme, k, v))
-      }.headOption
-    }
-    if (counts.isEmpty) None else Some(counts.map(_._3).sum)
+      .filter(s => s.getScheme == "s3a" || s.getScheme == "s3")
+      .flatMap(s => Option(s.getLong("stream_read_operations"))
+        .map(_.longValue()))
+    if (counts.isEmpty) None else Some(counts.sum)
   }
 }

@@ -158,22 +158,18 @@ object DedupOps {
       // this shrinks each round's join from |docs| to |dup-involved docs|.
       var labels = sym.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id")).persist()
-      // Size the loop's shuffles to the loop's data: the iterate set is
-      // usually tiny relative to the corpus, and at session-default width
-      // fixed per-task overhead (32 partitions × ~5 exchanges × rounds)
-      // dominates the whole query. ~500k vertices per partition, floor 1,
-      // capped at the session default so a genuinely large dup graph still
-      // fans out. Restored in the finally; the returned frame (the final
-      // corpus-wide join below) plans under the restored width.
-      val nVerts = labels.count()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(prevParts.toLong, nVerts / 500000L + 1))
-          .toString)
+      // The iterate set is usually tiny relative to the corpus, and at
+      // full shuffle width fixed per-task overhead (32 partitions × ~5
+      // exchanges × rounds) dominates the whole query. Right-sizing is
+      // delegated to AQE partition coalescing — size-first, not
+      // parallelism-first (see the session config in Bench/Verify) — so
+      // the loop's shuffles collapse to a handful of tasks without
+      // mutating session-global conf from inside a query builder (a
+      // shared-session race if queries ever fan out concurrently).
       var converged = false
       var iter = 0
       val maxIter = 50
-      try while (!converged && iter < maxIter) {
+      while (!converged && iter < maxIter) {
         val nbr = labels.join(sym, col("doc_id") === col("dst"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
         // Pointer doubling: besides the neighbors' labels, each vertex
@@ -210,7 +206,7 @@ object DedupOps {
         labels = next.select("doc_id", "cluster")
         converged = nChanged == 0L
         iter += 1
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       if (!converged)
         // Diverging silently from the recursive-CTE oracle would be a
         // debugging trap; a component with diameter > maxIter is loud.

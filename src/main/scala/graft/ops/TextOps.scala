@@ -56,8 +56,9 @@ object TextOps {
 
     // Token counting three ways: whitespace, regex word-pieces, and a
     // BPE-ish sub-word estimate (ceil(len/4) pieces per word — a fixed
-    // merge-table stand-in). Spark-only: regex dialects differ across
-    // engines (SURVEY.md §7.3), so the driver records a rows-only check.
+    // merge-table stand-in). Oracle-matched: the split pattern stays in
+    // the regex subset Java and RE2 agree on (one character class + '+'),
+    // with empties filtered on both sides — see the oracle's note.
     "q_text_tokenize_regex" -> ((s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),

@@ -141,8 +141,10 @@ object Main {
       // chunk-at-a-time print of DataChunk::ToString() (reference
       // runner.cc:219–227; format in reference README.md:78–83): a
       // header line, then one `- FLAT <TYPE>: n = [ v, v, …]` line per
-      // column. Java's Double.toString is the same shortest-round-trip
-      // representation DuckDB prints. Written under the stdout lock so
+      // column. Java's Double.toString matches DuckDB's shortest-round-
+      // trip decimals for values in plain-decimal range (all flagship
+      // outputs); the engines' exponent spellings differ for extreme
+      // magnitudes (1.0E16 vs 1e+16). Written under the stdout lock so
       // concurrent files can't interleave into each other's chunk.
       val text = new StringBuilder
       text.append(s"Chunk - [${fields.length} Columns]\n")
@@ -189,6 +191,12 @@ object Main {
     val pool = Executors.newFixedThreadPool(opts.threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
+    // Snapshot the (monotonic, JVM-global) s3 op counter so the stat block
+    // reports only this run's window; only trustworthy in local mode where
+    // every read happens in this JVM.
+    val s3OpsBefore =
+      if (spark.sparkContext.isLocal) Metrics.s3ReadOps().getOrElse(0L)
+      else 0L
     val t0 = System.nanoTime()
     val futures = shuffled.map { src =>
       Future(Try(runOne(spark, src)) match {
@@ -208,10 +216,15 @@ object Main {
     System.err.println(s"Threads: ${opts.threads}")
     System.err.println(f"Total Query time: ${(t1 - t0) / 1e9}%.2f s")
     System.err.println(s"Total hits: $totalHits")
-    // Filesystem-level read ops when the Hadoop FS exposes a counter
-    // (s3a stream_read_operations ≈ the reference's per-GET count);
+    // Object-store read ops (s3a stream_read_operations ≈ the reference's
+    // per-GET count) as a this-run delta, local mode only — on a real
+    // cluster the driver-side counter misses executor reads entirely;
     // scan-task count is the documented fallback (SURVEY.md §3.3).
-    Metrics.fsReadOps() match {
+    val s3Ops =
+      if (spark.sparkContext.isLocal)
+        Metrics.s3ReadOps().map(_ - s3OpsBefore).filter(_ > 0)
+      else None
+    s3Ops match {
       case Some(ops) =>
         System.err.println(s"Total read ops: $ops")
       case None =>

@@ -20,10 +20,11 @@ class SinksSpec extends SparkTestBase {
     val langs = docs.select("lang").distinct().as[String].collect()
     assert(langs.length > 1, "fixture needs several languages")
     val one = spark.read.parquet(dir).filter($"lang" === langs.head)
-    // partition filter, not a data filter: the scan lists only lang=<x>
+    // partition filter, not a data filter: 'PartitionFilters: []' would
+    // also contain the literal key, so require lang INSIDE the brackets
     val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters"), scan.take(400))
-    assert(scan.contains("lang"), scan.take(400))
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined,
+      scan.take(400))
     assert(one.count() ==
       docs.filter($"lang" === langs.head).count())
     // full read returns everything (round trip intact)
@@ -35,8 +36,12 @@ class SinksSpec extends SparkTestBase {
       .select("l_orderkey", "l_quantity")
     val or = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_totalprice")
-    Sinks.writeBucketed(li, "li_b", 8, "l_orderkey")
-    Sinks.writeBucketed(or, "or_b", 8, "o_orderkey")
+    // unique names: fixed ones would collide across concurrent suite runs
+    // sharing the /tmp warehouse
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (liT, orT) = (s"li_b_$run", s"or_b_$run")
+    Sinks.writeBucketed(li, liT, 8, "l_orderkey")
+    Sinks.writeBucketed(or, orT, 8, "o_orderkey")
     // at sf0.001 the planner would just broadcast the tiny side (which
     // bypasses buckets); disable broadcast to expose the co-located plan
     // that a fact-fact join at real scale would take
@@ -45,8 +50,8 @@ class SinksSpec extends SparkTestBase {
     try {
       // co-located join: both sides pre-bucketed on the key → SMJ reads
       // buckets directly, no shuffle on either side
-      val j = spark.table("li_b")
-        .join(spark.table("or_b"), $"l_orderkey" === $"o_orderkey")
+      val j = spark.table(liT)
+        .join(spark.table(orT), $"l_orderkey" === $"o_orderkey")
       val jPlan = planOf(j)
       assert(jPlan.contains("SortMergeJoin") ||
              jPlan.contains("ShuffledHashJoin"), jPlan.take(600))
@@ -54,13 +59,13 @@ class SinksSpec extends SparkTestBase {
       assert(j.count() ==
         li.join(or, $"l_orderkey" === $"o_orderkey").count())
       // bucket-keyed aggregation also skips the exchange
-      val a = spark.table("li_b").groupBy($"l_orderkey")
+      val a = spark.table(liT).groupBy($"l_orderkey")
         .agg(sum($"l_quantity"))
       assert(!planOf(a).contains("Exchange"), planOf(a).take(600))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      spark.sql("DROP TABLE IF EXISTS li_b")
-      spark.sql("DROP TABLE IF EXISTS or_b")
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $orT")
     }
   }
 }
