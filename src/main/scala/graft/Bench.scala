@@ -13,9 +13,12 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       // Coalesce post-shuffle partitions by SIZE, not up to core count:
       // iterative/small-intermediate queries (dedup clustering) otherwise
-      // pay 32 near-empty tasks per exchange per round.
+      // pay 32 near-empty tasks per exchange per round. The small 2m
+      // advisory keeps mid-size shuffles (tens of MB) spread across the
+      // cores — the 64m default would collapse them to 1-2 tasks.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
               "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

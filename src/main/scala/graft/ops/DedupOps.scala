@@ -48,12 +48,17 @@ object DedupOps {
     * is a snapshot — if the files under `dir` are rewritten mid-session,
     * call [[clearPairsCache]] (persisted frames are released there). */
   private val pairsCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String),
+                                            DataFrame]
+
+  private def memo(s: SparkSession, d: String, tag: String)
+                  (build: => DataFrame): DataFrame =
+    pairsCache.getOrElseUpdate((s, d, tag), build)
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d), buildJaccardPairs(s, d))
+    memo(s, d, "jaccard")(buildJaccardPairs(s, d))
 
-  /** Drop all memoized pair frames and release their storage. */
+  /** Drop all memoized persisted frames and release their storage. */
   def clearPairsCache(): Unit = {
     pairsCache.values.foreach(df =>
       try df.unpersist() catch { case _: Exception => () })
@@ -212,6 +217,9 @@ object DedupOps {
         // debugging trap; a component with diameter > maxIter is loud.
         System.err.println(
           s"[q_dedup_clusters] WARNING: not converged after $maxIter rounds")
+      // the loop is done and labels is checkpoint-materialized; release
+      // the per-call edge cache (repeat invocations would stack copies)
+      sym.unpersist()
       // Singletons (no edges) never entered the loop: cluster = own id.
       table(s, d, "documents").select(col("doc_id"))
         .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
@@ -223,19 +231,24 @@ object DedupOps {
     // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
     // sharing ≥1 band. This is the sub-quadratic scale path for near-dup.
     "q_dedup_minhash" -> ((s, d) => {
-      val hashed = shingles(s, d)
-        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
-      val mins = A.indices.map(i =>
-        min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
-      val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(j => struct(lit(j).as("band"),
-          concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
-            .as("bkey"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-        // persist: both self-join sides read the banded signatures; without
-        // it the whole shingle→md5→minhash aggregation runs twice.
-        .persist()
+      // persist + memoize: both self-join sides read the banded
+      // signatures (without it the whole shingle→md5→minhash aggregation
+      // runs twice), and memoization keeps repeat invocations from
+      // stacking duplicate persisted copies.
+      val bands = memo(s, d, "minhash_bands") {
+        val hashed = shingles(s, d)
+          .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+        val mins = A.indices.map(i =>
+          min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+        val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(j => struct(lit(j).as("band"),
+            concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
+              .as("bkey"))): _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"),
+                  col("b.bkey").as("bkey"))
+          .persist()
+      }
       bands.as("a")
         .join(bands.as("b"), col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -276,10 +289,14 @@ object DedupOps {
     // double accumulation as the oracle's list_sum, ~10× HOF-lambda speed.
     "q_dedup_embed" -> ((s, d) => {
       import graft.functions.VectorFunctions.{dot_product, l2_norm}
-      // persist: band explode + both gather sides read the normed vectors.
-      val n = table(s, d, "embeddings").select(col("vec_id"),
-        col("embedding").as("v"), l2_norm(col("embedding")).as("nrm"))
-        .persist()
+      // persist + memoize: band explode and both gather sides read the
+      // normed vectors; memoization keeps repeat invocations (bench warm
+      // pass, shared sessions) from stacking duplicate persisted copies.
+      val n = memo(s, d, "embed_normed") {
+        table(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").as("v"), l2_norm(col("embedding")).as("nrm"))
+          .persist()
+      }
       val bands = n.select(col("vec_id"), explode(array(
         (0 until 16).map(j => struct(lit(j).as("band"),
           concat((1 to 4).map(i =>
