@@ -34,4 +34,24 @@ object Sinks {
                     key: String): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(name)
+
+  /** Compact a parquet directory into ~`targetFileBytes` files (the
+    * small-files cure: a streaming or per-task writer leaves thousands of
+    * KB-scale files whose open/footer cost dominates reads at scale).
+    * File count is derived from the actual on-disk byte size; written to
+    * `dest` then the caller swaps directories (never compact in place —
+    * a failed overwrite of the source would lose data). Returns the file
+    * count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+              dest: String, targetFileBytes: Long = 128L << 20): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(src)).getLength
+    val nFiles = math.max(1, math.ceil(
+      bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode("overwrite").parquet(dest)
+    nFiles
+  }
 }

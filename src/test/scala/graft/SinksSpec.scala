@@ -31,6 +31,31 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("compact collapses a many-small-files directory, content intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp_")
+    val srcDir = base.resolve("src").toString
+    val dstDir = base.resolve("dst").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.repartition(37).write.parquet(srcDir) // simulate small-file debris
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(srcDir) == 37)
+    val n = Sinks.compact(spark, srcDir, dstDir, targetFileBytes = 1L << 20)
+    assert(parquetFiles(dstDir) == n && n < 37)
+    assert(spark.read.parquet(dstDir).count() == docs.count())
+  }
+
+  test("schema evolution: mergeSchema unifies files with added columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2_added").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2_added", "p"))
+    val r = merged.orderBy("id")
+      .select("id", "v2_added").collect()
+    assert(r(0).isNullAt(1) && r(1).getLong(1) == 9L)
+  }
+
   test("bucketed tables join and aggregate with no exchange") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
