@@ -95,6 +95,29 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // Salted skew join — the manual mitigation for a hot join key made
+    // explicit (the join twin of q_agg_salted; AQE's skew-join split is
+    // the automatic variant, this is the pattern for engines/joins AQE
+    // can't reach): the fact side gets a deterministic salt in [0, S),
+    // the other side is replicated S× with every salt, and the join key
+    // becomes (key, salt) — a hot orderkey now spreads over S reducers
+    // instead of melting one. Result is provably identical to the
+    // unsalted join, which is exactly what the oracle asserts (it IS the
+    // plain join + aggregate).
+    "q_join_salted" -> ((s, d) => {
+      val S = 8
+      val fact = table(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+      val dim = table(s, d, "orders")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey") &&
+                     fact("salt") === dim("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Star join with both dims explicitly broadcast: zero shuffle before
     // the final 5-group aggregate regardless of fact-side size.
     "q_join_broadcast" -> ((s, d) =>
@@ -109,6 +132,14 @@ object JoinOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_salted" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
     "q_join_inner" -> """
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
