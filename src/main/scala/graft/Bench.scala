@@ -4,23 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Local test files are small (single-digit MB) and mostly one row
-      // group; finer splits let multi-row-group files fan out across
-      // cores. At cluster scale this would stay at the 128m default.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      // Coalesce post-shuffle partitions by SIZE, not up to core count:
-      // iterative/small-intermediate queries (dedup clustering) otherwise
-      // pay 32 near-empty tasks per exchange per round. The small 2m
-      // advisory keeps mid-size shuffles (tens of MB) spread across the
-      // cores — the 64m default would collapse them to 1-2 tasks.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-              "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SessionDefaults.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session: scheduler, codegen cache, parquet footer caches,
     // and the JIT on the common physical operators (scan, hash agg,

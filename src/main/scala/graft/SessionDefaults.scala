@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place owning the local-session tuning shared by the driver
+  * surfaces (Bench and Verify) — hand-syncing these configs across two
+  * builders already drifted once; a config added here is guaranteed to
+  * apply to both the measured plan and the oracle-checked plan. */
+object SessionDefaults {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // Local test files are small (single-digit MB); finer splits let
+      // multi-row-group files fan out across cores. At cluster scale this
+      // would stay at the 128m default.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // Coalesce post-shuffle partitions by SIZE, not up to core count:
+      // iterative/small-intermediate queries (dedup clustering) otherwise
+      // pay full-width near-empty task waves per exchange per round. The
+      // small 2m advisory keeps mid-size shuffles (tens of MB) spread
+      // across the cores — the 64m default would collapse them to 1-2
+      // tasks.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+              "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      .config("spark.ui.enabled", "false")
+}

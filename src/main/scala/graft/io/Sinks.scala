@@ -35,23 +35,37 @@ object Sinks {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(name)
 
-  /** Compact a parquet directory into ~`targetFileBytes` files (the
+  /** Compact a FLAT parquet directory into ~`targetFileBytes` files (the
     * small-files cure: a streaming or per-task writer leaves thousands of
     * KB-scale files whose open/footer cost dominates reads at scale).
-    * File count is derived from the actual on-disk byte size; written to
-    * `dest` then the caller swaps directories (never compact in place —
-    * a failed overwrite of the source would lose data). Returns the file
-    * count written. */
+    * Target count is derived from the actual on-disk byte size; written
+    * to `dest` then the caller swaps directories (never compact in place
+    * — a failed overwrite of the source would lose data). Returns the
+    * number of parquet files actually written (empty partitions produce
+    * no file, so this can be below the planned count).
+    *
+    * Refuses Hive-partitioned input (`col=value` subdirectories): a flat
+    * rewrite would silently flatten the partition columns into the data
+    * files with inferred types and lose pruning — compact each partition
+    * directory individually instead. */
   def compact(spark: org.apache.spark.sql.SparkSession, src: String,
               dest: String, targetFileBytes: Long = 128L << 20): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(src)).getLength
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(src), conf)
+    val partitionDirs = fs.listStatus(srcPath)
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact: $src is Hive-partitioned (${partitionDirs.take(3).mkString(", ")}…); " +
+        "compact each partition directory individually to keep the layout")
+    val bytes = fs.getContentSummary(srcPath).getLength
     val nFiles = math.max(1, math.ceil(
       bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(src).repartition(nFiles)
       .write.mode("overwrite").parquet(dest)
-    nFiles
+    val destFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dest), conf)
+    destFs.listStatus(new org.apache.hadoop.fs.Path(dest))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 }

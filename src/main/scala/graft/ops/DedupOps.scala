@@ -66,10 +66,14 @@ object DedupOps {
   }
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-      .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
-      .distinct()
-      .persist()
+    // memoized under its own tag so clearPairsCache releases it too — the
+    // hashed-shingle set is the largest persisted frame in this module
+    val sh = memo(s, d, "jaccard_sh") {
+      shingles(s, d)
+        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+        .distinct()
+        .persist()
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") &&

@@ -106,8 +106,13 @@ object JoinOps {
     // plain join + aggregate).
     "q_join_salted" -> ((s, d) => {
       val S = 8
+      // hash-based salt: covers all of [0, S) regardless of column value
+      // distribution (l_linenumber alone is 1..7 — it would leave a dead
+      // salt-0 replica). The salt never reaches the output, so Spark's
+      // internal murmur3 is fine here — no oracle-parity constraint.
       val fact = table(s, d, "lineitem")
-        .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+        .withColumn("salt",
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
       val dim = table(s, d, "orders")
         .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
       fact.join(dim, col("l_orderkey") === col("o_orderkey") &&
