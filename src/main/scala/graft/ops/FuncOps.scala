@@ -121,6 +121,24 @@ object FuncOps {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // Map-typed column: JSON parsed schema-on-read into MAP<STRING,BIGINT>
+    // and worked on with native map functions (keys/values/element/size) —
+    // the dynamic-keys sibling of q_json_struct's fixed-schema struct.
+    // Map key order follows JSON document order in both engines.
+    "q_map_funcs" -> ((s, d) =>
+      table(s, d, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .select(col("event_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("val_sum"))
+        .orderBy("event_id")),
+
     // Typed JSON parsing: from_json into a struct, then field access —
     // the schema-on-read path for semi-structured columns (vs the
     // path-extraction of q_json_funcs).
@@ -231,6 +249,17 @@ object FuncOps {
     "q_json_funcs" -> """
       SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      ORDER BY event_id""",
+
+    "q_map_funcs" -> """
+      SELECT event_id,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             array_to_string(json_keys(props), ',') AS keys,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             CAST(list_sum(list_transform(json_keys(props),
+                    kk -> CAST(json_extract(props, '$.' || kk) AS BIGINT)))
+                  AS BIGINT) AS val_sum
       FROM events
       ORDER BY event_id""",
 

@@ -54,6 +54,19 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
 
+    // Masking scrub — the PII-redaction shape of a corpus pipeline: all
+    // digits masked, with a per-doc count of masked characters. The
+    // pattern stays in the dialect-safe regex subset (single character
+    // class); DuckDB needs the 'g' flag to match Spark's replace-all.
+    "q_text_scrub" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[0-9]", "#").as("masked"),
+          (length(col("text")) -
+           length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("n_masked"))
+        .orderBy("doc_id")),
+
     // Token counting three ways: whitespace, regex word-pieces, and a
     // BPE-ish sub-word estimate (ceil(len/4) pieces per word — a fixed
     // merge-table stand-in). Oracle-matched: the split pattern stays in
@@ -134,6 +147,14 @@ object TextOps {
     // class + '+' — Java regex and DuckDB's RE2 agree exactly), and
     // empties are filtered on both sides, so the usual cross-dialect
     // hazards (lookaround, \\b, trailing-empty handling) never arise.
+    "q_text_scrub" -> """
+      SELECT doc_id,
+             regexp_replace(text, '[0-9]', '#', 'g') AS masked,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_masked
+      FROM documents
+      ORDER BY doc_id""",
+
     "q_text_tokenize_regex" -> """
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

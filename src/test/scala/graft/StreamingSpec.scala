@@ -63,6 +63,34 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions == Seq(Sessionize.Session(1, 0, 10 * m, 2)))
   }
 
+  test("streaming session_window + watermark emits only closed sessions") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"uid")
+      .agg(count(lit(1)).as("n"))
+      .select($"uid", unix_micros($"session_window.start").as("start"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_native").start()
+    mem.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L))
+    q.processAllAvailable()
+    // session still open (watermark hasn't passed end+gap)
+    assert(spark.table("sess_native").count() == 0)
+    // unrelated traffic far ahead advances the watermark past the close
+    mem.addData((t("2024-01-01 13:00:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 13:01:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_native")
+      .as[(Long, Long, Long)].collect().toSeq
+    // user 1's two-event session closed; user 2's is still open
+    assert(rows == Seq((1L,
+      t("2024-01-01 10:00:00").getTime * 1000, 2L)))
+  }
+
   test("event-time timeout closes idle sessions once the watermark passes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
