@@ -70,8 +70,11 @@ class RunnerSpec extends SparkTestBase {
     assert(e.contains("Total hits: "))
     assert(e.contains("Total read bytes: "))
     assert(e.contains("Done"))
-    // both good files produced chunked rows despite the bad sibling
+    // both good files produced chunked rows despite the bad sibling,
+    // in the reference's columnar DataChunk format
     assert(out.toString.linesIterator.count(_.startsWith("Chunk - [5 Columns]")) >= 2)
+    assert(out.toString.linesIterator.exists(_.startsWith("- FLAT BIGINT: ")))
+    assert(out.toString.linesIterator.exists(_.startsWith("- FLAT DOUBLE: ")))
   }
 
   test("flagship on laghos schema: boundary rows excluded, sorted by E") {

@@ -45,6 +45,17 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dstDir).count() == docs.count())
   }
 
+  test("compact refuses Hive-partitioned input instead of flattening it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp_part_")
+    val srcDir = base.resolve("src").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    Sinks.writePartitioned(docs, srcDir, "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, srcDir, base.resolve("dst").toString)
+    }
+    assert(e.getMessage.contains("Hive-partitioned"))
+  }
+
   test("schema evolution: mergeSchema unifies files with added columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
     Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
