@@ -178,6 +178,13 @@ object DedupOps {
       var converged = false
       var iter = 0
       val maxIter = 50
+      // localCheckpoint persists at the RDD level (not the cache manager),
+      // so releasing a finished round means unpersisting THAT RDD — an
+      // unpersist() on the derived `labels` frame is a no-op and the
+      // blocks would linger until ContextCleaner GC. Track each round's
+      // checkpoint RDD and drop it once the following round has
+      // materialized (its blocks are the only remaining reader).
+      var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
       while (!converged && iter < maxIter) {
         val nbr = labels.join(sym, col("doc_id") === col("dst"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
@@ -211,7 +218,14 @@ object DedupOps {
         val nChanged = next
           .agg(coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)))
           .head.getLong(0)
-        labels.unpersist()
+        // Round materialized: the first round's cache-manager persist and
+        // every later round's checkpoint blocks are now dead weight. The
+        // final round's checkpoint stays persisted — the returned frame
+        // reads from it (its lineage is truncated, so its blocks must
+        // survive until the caller's action completes).
+        if (iter == 0) labels.unpersist()
+        prevCp.foreach(_.unpersist(blocking = false))
+        prevCp = org.apache.spark.sql.graftshim.Shim.checkpointRdd(next)
         labels = next.select("doc_id", "cluster")
         converged = nChanged == 0L
         iter += 1

@@ -125,6 +125,11 @@ object FuncOps {
     // and worked on with native map functions (keys/values/element/size) —
     // the dynamic-keys sibling of q_json_struct's fixed-schema struct.
     // Map key order follows JSON document order in both engines.
+    // Parity contract: the oracle quotes each key into its JSON path
+    // ('$."k"'), so keys containing path metacharacters compare correctly;
+    // values must all be integers — from_json(MAP<STRING,BIGINT>) nulls
+    // the whole map on one non-integer value while the oracle CASTs per
+    // key (the events fixture is integer-valued by construction).
     "q_map_funcs" -> ((s, d) =>
       table(s, d, "events")
         .withColumn("m", from_json(col("props"),
@@ -258,7 +263,8 @@ object FuncOps {
              array_to_string(json_keys(props), ',') AS keys,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
              CAST(list_sum(list_transform(json_keys(props),
-                    kk -> CAST(json_extract(props, '$.' || kk) AS BIGINT)))
+                    kk -> CAST(json_extract(props, '$."' || kk || '"')
+                               AS BIGINT)))
                   AS BIGINT) AS val_sum
       FROM events
       ORDER BY event_id""",

@@ -11,4 +11,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The RDD backing a `localCheckpoint(eager = false)` Dataset.
+    * `localCheckpoint` persists at the RDD level, not through the cache
+    * manager, so `Dataset.unpersist()` on (a projection of) the returned
+    * frame is a no-op — the blocks linger until ContextCleaner GC.
+    * Iterative algorithms that checkpoint every round use this to release
+    * the previous round's blocks explicitly once the next round is
+    * materialized. */
+  def checkpointRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
 }

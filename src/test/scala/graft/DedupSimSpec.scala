@@ -47,6 +47,36 @@ class DedupSimSpec extends SparkTestBase {
     assert(math.abs(pair - 1.0) < 1e-12)
   }
 
+  test("banded embed dedup: exact precision, measured recall vs all-pairs") {
+    // q_dedup_embed generates candidates by sign-LSH banding, then
+    // verifies with exact cosine — so its oracle embeds the same banding
+    // and can no longer detect a recall loss from a band-parameter
+    // change. This test IS that detector: the ground truth is the plain
+    // all-pairs cos >= 0.45 verifier, computed independently here.
+    import graft.functions.VectorFunctions.{dot_product, l2_norm}
+    val n = ops.table(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding".as("v"),
+              l2_norm($"embedding").as("nrm"))
+    val exact = n.as("a").join(n.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        ops.r6(dot_product($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .filter($"cos" >= 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val banded = ops.DedupOps.queries("q_dedup_embed")(spark, sf0001)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // Precision is exact by construction (candidates are re-verified with
+    // the same cosine): no banded pair may be outside the true set.
+    assert((banded -- exact).isEmpty,
+      s"banded emitted ${(banded -- exact).size} false pairs")
+    // Recall: 16 bands × 4 sign bits gives ~0.95+ at the threshold on
+    // this corpus; a band-parameter regression (fewer bands, more bits)
+    // shows up as a drop below this floor.
+    val recall =
+      if (exact.isEmpty) 1.0 else banded.size.toDouble / exact.size
+    info(s"banded recall: ${banded.size}/${exact.size}")
+    assert(recall >= 0.9, s"banded recall $recall < 0.9 — band params regressed")
+  }
+
   test("property: jaccard of identical shingle sets is 1") {
     val prop = Prop.forAll(
       Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) {

@@ -56,6 +56,22 @@ class SinksSpec extends SparkTestBase {
     assert(e.getMessage.contains("Hive-partitioned"))
   }
 
+  test("compact refuses in-place and nested destinations (data-loss guard)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp_self_")
+    val srcDir = base.resolve("src").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").write.parquet(srcDir)
+    val inPlace = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, srcDir, srcDir)
+    }
+    assert(inPlace.getMessage.contains("in place"))
+    val nested = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, srcDir, s"$srcDir/sub")
+    }
+    assert(nested.getMessage.contains("in place"))
+    // source untouched by either refusal
+    assert(spark.read.parquet(srcDir).count() > 0)
+  }
+
   test("schema evolution: mergeSchema unifies files with added columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
     Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
