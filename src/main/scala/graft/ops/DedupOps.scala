@@ -25,9 +25,16 @@ object DedupOps {
   private val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
   private val B = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
 
-  /** doc_id → distinct 3-token shingles (docs with ≥3 tokens). */
+  /** doc_id → distinct 3-token shingles (docs with ≥3 tokens).
+    * The repartition spreads the explode+md5 work: the test corpus is one
+    * single-row-group parquet file (an unsplittable 1-task scan), and
+    * everything before the first shuffle would otherwise run on one core.
+    * Exchanging the 5000 raw docs costs ~nothing; hashing ~1.2M shingles
+    * single-threaded is what showed in the bench. At real scale the scan
+    * is already multi-partition and this is one cheap extra exchange. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("tok", split(col("text"), " "))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
