@@ -24,7 +24,7 @@ object SparkEntry {
       WindowOps.queries ++ SortSetOps.queries ++ FuncOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
       MultimodalOps.queries ++ PipelineOps.queries ++
-      graft.streaming.StreamOps.queries
+      WarehouseOps.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -35,5 +35,5 @@ object SparkEntry {
       WindowOps.oracles ++ SortSetOps.oracles ++ FuncOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
       MultimodalOps.oracles ++ PipelineOps.oracles ++
-      graft.streaming.StreamOps.oracles
+      WarehouseOps.oracles ++ graft.streaming.StreamOps.oracles
 }

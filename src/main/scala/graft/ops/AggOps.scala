@@ -221,6 +221,48 @@ object AggOps {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
+
+    // Mode (most frequent value) per group, ties broken by the smaller
+    // value — count-then-rank, both shuffles keyed on the group (the
+    // rank window partitions on it, so no single-reducer sort).
+    "q_agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      table(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+                col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Pearson correlation from exact-decimal moments: the five sums are
+    // order-independent DECIMAL(18,6) accumulations (one map-side-combined
+    // pass), cast to double, and only then combined in IEEE arithmetic —
+    // so the result is bit-identical to the oracle's identical formula.
+    // Never corr(double, double) directly: its running-covariance update
+    // order differs between engines.
+    "q_agg_corr" -> ((s, d) => {
+      def dsum18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(18,6)")).cast("double")
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum18(col("l_quantity")).as("sx"),
+          dsum18(col("l_extendedprice")).as("sy"),
+          dsum18(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          dsum18(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum18(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        .select(col("l_returnflag"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,5 +423,30 @@ object AggOps {
       FROM orders
       GROUP BY CUBE(o_orderstatus, year(o_orderdate))
       ORDER BY o_orderstatus NULLS LAST, o_year NULLS LAST""",
+
+    "q_agg_mode" -> """
+      WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                 FROM orders GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      FROM r WHERE rn = 1 ORDER BY o_orderstatus""",
+
+    "q_agg_corr" -> """
+      WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
+             AS DOUBLE) AS sxy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+             AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6)))
+             AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             round((n * sxy - sx * sy) /
+                   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qp
+      FROM m ORDER BY l_returnflag""",
   )
 }

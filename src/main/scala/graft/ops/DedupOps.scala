@@ -253,6 +253,20 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // Degree distribution of the near-dup similarity graph: how many docs
+    // have k verified neighbors — the health check run before clustering
+    // (a heavy-tailed distribution signals a boilerplate/template shingle
+    // that will glue unrelated docs into one giant cluster). Two keyed
+    // aggregations over the (tiny) verified-pairs frame.
+    "q_graph_degree" -> ((s, d) => {
+      val jp = jaccardPairs(s, d)
+      jp.select(col("doc_a").as("doc_id"))
+        .unionAll(jp.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
     // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
     // sharing ≥1 band. This is the sub-quadratic scale path for near-dup.
     "q_dedup_minhash" -> ((s, d) => {
@@ -400,6 +414,14 @@ object DedupOps {
       FROM reach
       GROUP BY src
       ORDER BY doc_id""",
+
+    "q_graph_degree" -> s"""
+      WITH $jaccardPairsSql,
+      ends AS (SELECT doc_a AS doc_id FROM jp
+               UNION ALL SELECT doc_b FROM jp),
+      deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+      SELECT degree, count(*) AS n_docs
+      FROM deg GROUP BY degree ORDER BY degree""",
 
     "q_dedup_minhash" -> s"""
       WITH $shinglesSql,

@@ -115,6 +115,18 @@ object FuncOps {
           exists(col("tok"), t => length(t) > 6).as("has_long_tok"))
         .orderBy("doc_id")),
 
+    // Lateral explode with position (posexplode / unnest WITH ORDINALITY):
+    // array → rows, keeping the element index — the flatten step before
+    // any per-token processing. Generate preserves the input partitioning
+    // (no shuffle); output is bounded to the first 8 tokens per doc.
+    "q_explode" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
     "q_json_funcs" -> ((s, d) =>
       table(s, d, "events")
         .select(col("event_id"),
@@ -250,6 +262,16 @@ object FuncOps {
                AS has_long_tok
       FROM t
       ORDER BY doc_id""",
+
+    "q_explode" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ')[1:8] AS tok
+                 FROM documents)
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tok) + 1),
+                     i -> {'pos': i - 1, 'tok': tok[i]})) AS u
+            FROM t)
+      ORDER BY doc_id, pos""",
 
     "q_json_funcs" -> """
       SELECT event_id,

@@ -130,10 +130,30 @@ object JoinOps {
         .join(broadcast(table(s, d, "nation")),
               col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(table(s, d, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+          col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("total_bal"))
         .orderBy("r_name")),
+
+    // Full-outer join, completing the join-type matrix: a customer subset
+    // against per-customer order counts — unmatched rows survive from
+    // BOTH sides (customers with no orders, orders whose customer was
+    // filtered away). Full outer can never broadcast (both sides must
+    // see every key), so it plans as a shuffle join on the key — which
+    // is the right scale shape anyway.
+    "q_join_full" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ords = table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment").as("segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,5 +226,16 @@ object JoinOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name
       ORDER BY r_name""",
+
+    "q_join_full" -> """
+      WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
+                    WHERE c_custkey % 3 <> 0),
+      ords AS (SELECT o_custkey, count(*) AS n_orders
+               FROM orders GROUP BY o_custkey)
+      SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             c_mktsegment AS segment,
+             coalesce(n_orders, 0) AS n_orders
+      FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+      ORDER BY custkey""",
   )
 }
