@@ -239,13 +239,14 @@ object AggOps {
         .orderBy("o_orderstatus")
     }),
 
-    // Pearson correlation from exact-decimal moments: the five sums are
+    // Linear regression (the SQL regr_* family: covariance, OLS slope /
+    // intercept, R²) from exact-decimal moments: the five sums are
     // order-independent DECIMAL(18,6) accumulations (one map-side-combined
     // pass), cast to double, and only then combined in IEEE arithmetic —
     // so the result is bit-identical to the oracle's identical formula.
-    // Never corr(double, double) directly: its running-covariance update
+    // Never regr_slope/covar_samp(double) directly: their running-update
     // order differs between engines.
-    "q_agg_corr" -> ((s, d) => {
+    "q_agg_regression" -> ((s, d) => {
       def dsum18(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(18,6)")).cast("double")
       table(s, d, "lineitem")
@@ -256,11 +257,26 @@ object AggOps {
           dsum18(col("l_quantity") * col("l_extendedprice")).as("sxy"),
           dsum18(col("l_quantity") * col("l_quantity")).as("sxx"),
           dsum18(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
-        .select(col("l_returnflag"),
-          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
-             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                  (col("n") * col("syy") - col("sy") * col("sy"))))
-            .as("corr_qp"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+                col("sxy"), col("sxx"), col("syy"))
+        .select(col("l_returnflag"), {
+            // shared sub-expressions of the OLS formulas (num/den squared
+            // via multiplication — pow()'s rounding is not cross-engine
+            // guaranteed for the IEEE-exactness contract)
+            val num = col("n") * col("sxy") - col("sx") * col("sy")
+            val denx = col("n") * col("sxx") - col("sx") * col("sx")
+            val deny = col("n") * col("syy") - col("sy") * col("sy")
+            struct(
+              r6((col("sxy") - col("sx") * col("sy") / col("n")) /
+                 (col("n") - 1)).as("cov_samp"),
+              r6(num / denx).as("slope"),
+              r6((col("sy") - num / denx * col("sx")) / col("n"))
+                .as("intercept"),
+              r6(num * num / (denx * deny)).as("r2"))
+          }.as("r"))
+        .select(col("l_returnflag"), col("r.cov_samp").as("cov_samp"),
+                col("r.slope").as("slope"), col("r.intercept").as("intercept"),
+                col("r.r2").as("r2"))
         .orderBy("l_returnflag")
     }),
   )
@@ -432,7 +448,7 @@ object AggOps {
       SELECT o_orderstatus, o_orderpriority AS mode_priority, n
       FROM r WHERE rn = 1 ORDER BY o_orderstatus""",
 
-    "q_agg_corr" -> """
+    "q_agg_regression" -> """
       WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
@@ -444,9 +460,12 @@ object AggOps {
              AS DOUBLE) AS syy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag,
-             round((n * sxy - sx * sy) /
-                   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-               AS corr_qp
+             round((sxy - sx * sy / n) / (n - 1), 6) AS cov_samp,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n, 6) AS intercept,
+             round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       FROM m ORDER BY l_returnflag""",
   )
 }

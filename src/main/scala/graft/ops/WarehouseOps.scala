@@ -119,11 +119,14 @@ object WarehouseOps {
       table(s, d, "lineitem")
         .select((col("l_partkey") % 1024).as("x"),
                 (col("l_suppkey") % 1024).as("y"))
-        .select(expr(
-          """aggregate(sequence(0, 9), CAST(0 AS BIGINT), (acc, j) ->
-               acc + shiftleft(shiftright(x, j) & 1, 2 * j)
-                   + shiftleft(shiftright(y, j) & 1, 2 * j + 1))""")
-          .as("zval"))
+        // closed-form 20-term interleave, not an aggregate() fold: higher-
+        // order functions evaluate interpreted per row, while this stays
+        // inside whole-stage codegen (the oracle keeps the fold spelling —
+        // same value, engine-idiomatic each).
+        .select((0 until 10).map(j =>
+            shiftleft(shiftright(col("x"), j).bitwiseAND(lit(1L)), 2 * j) +
+            shiftleft(shiftright(col("y"), j).bitwiseAND(lit(1L)), 2 * j + 1))
+          .reduce(_ + _).as("zval"))
         .groupBy(expr("zval DIV 1024").as("zbucket"))
         .agg(count(lit(1)).as("n"),
              min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
