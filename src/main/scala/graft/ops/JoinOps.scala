@@ -135,6 +135,69 @@ object JoinOps {
         .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("total_bal"))
         .orderBy("r_name")),
 
+    // TPC-H Q3 (shipping priority): the canonical 3-way analytical join —
+    // dim filter broadcast against the fact-fact orderkey co-shuffle,
+    // revenue re-aggregated per order, top-10 via TakeOrderedAndProject
+    // (never a global sort at scale). Dates compare as walls (UTC session
+    // vs DuckDB naive); revenue is the exact-decimal sum of the per-row
+    // double product.
+    "q_tpch_q3" -> ((s, d) => {
+      val c = table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = table(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+                 col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+                col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local-supplier revenue): six-way star join with a
+    // nation-alignment residual (c_nationkey = s_nationkey). All four
+    // dimensions broadcast; the only shuffles are the two fact-side
+    // co-partitions and the 5-group aggregate.
+    "q_tpch_q5" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      broadcast(table(s, d, "customer"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(table(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(table(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Correlated EXISTS + NOT EXISTS: customers with a finished order but
+    // no pending one — the decorrelated form is a left-semi then
+    // left-anti join on the same key (one co-partitioned shuffle pair).
+    "q_subquery_exists" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      table(s, d, "customer")
+        .join(o.filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.filter(col("o_orderstatus") === "P"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // Full-outer join, completing the join-type matrix: a customer subset
     // against per-customer order counts — unmatched rows survive from
     // BOTH sides (customers with no orders, orders whose customer was
@@ -226,6 +289,47 @@ object JoinOps {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name
       ORDER BY r_name""",
+
+    "q_tpch_q3" -> """
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q_tpch_q5" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q_subquery_exists" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey""",
 
     "q_join_full" -> """
       WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer

@@ -93,6 +93,22 @@ object ScanFilterOps {
             .when(col("l_quantity") < 30, "mid")
             .otherwise("big").as("bucket"))
         .orderBy("l_orderkey", "l_linenumber", "net", "bucket")),
+
+    // Scalar subquery in a filter (orders above the global mean price):
+    // the aggregate collapses to one row, broadcast-cross-joined against
+    // the fact scan — one pass over the data plus a single-row exchange,
+    // the decorrelated plan every engine wants. The mean is the exact
+    // decimal-sum average (raw avg(double) is accumulation-order-
+    // dependent and would flip rows at the boundary).
+    "q_subquery_scalar" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val avgP = o.agg((dsum(col("o_totalprice")) /
+                        count(col("o_totalprice"))).as("avg_p"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_p"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,5 +168,14 @@ object ScanFilterOps {
                   ELSE 'big' END AS bucket
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber, net, bucket""",
+
+    "q_subquery_scalar" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*)
+        FROM orders)
+      ORDER BY o_orderkey""",
   )
 }
