@@ -26,4 +26,9 @@ object SessionDefaults {
               "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.ui.enabled", "false")
+      // Engine extension: date-interval theta joins rewrite to binned
+      // equi-joins (graft.plans.RangeJoinBinning); kill switch
+      // spark.graft.rangeJoinBin.enabled=false.
+      .withExtensions(_.injectOptimizerRule(_ =>
+        graft.plans.RangeJoinBinning))
 }

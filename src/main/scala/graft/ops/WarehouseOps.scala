@@ -109,6 +109,28 @@ object WarehouseOps {
         .orderBy("o_orderkey")
     }),
 
+    // The SAME interval join written naively — `p BETWEEN lo AND lo+3d`
+    // with no manual binning. The RangeJoinBinning optimizer rule
+    // (graft.plans, injected via SparkSessionExtensions in
+    // SessionDefaults) rewrites it to the binned equi-join at plan time;
+    // RangeJoinRuleSpec asserts the rewrite fires, hash-joins, and
+    // matches the nested-loop result. Inner join (the rule's scope), so
+    // empty intervals drop — the oracle mirrors that.
+    "q_join_range_auto" -> ((s, d) => {
+      val iv = table(s, d, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"))
+      val pt = table(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("sd"), col("l_quantity"))
+      iv.join(pt, col("sd") >= col("d0") &&
+                  col("sd") <= date_add(col("d0"), 3))
+        .groupBy(col("o_orderkey"), col("d0").as("win_start"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // Z-order (Morton) clustering key: interleave the low 10 bits of two
     // join/filter columns into one sort key. Sorting a write by zval
     // gives every file a tight min/max envelope on BOTH columns — the
@@ -211,6 +233,20 @@ object WarehouseOps {
                   AS DOUBLE) AS sum_qty
       FROM ivb LEFT JOIN pt ON ivb.bin = pt.bin
         AND pt.sd >= ivb.d0 AND pt.sd <= ivb.d0 + INTERVAL 3 DAY
+      GROUP BY o_orderkey, d0
+      ORDER BY o_orderkey""",
+
+    "q_join_range_auto" -> """
+      WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0
+                  FROM orders WHERE o_orderkey % 997 = 0),
+      pt AS (SELECT CAST(l_shipdate AS DATE) AS sd, l_quantity
+             FROM lineitem)
+      SELECT o_orderkey, d0 AS win_start,
+             count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty
+      FROM iv JOIN pt
+        ON pt.sd >= iv.d0 AND pt.sd <= iv.d0 + INTERVAL 3 DAY
       GROUP BY o_orderkey, d0
       ORDER BY o_orderkey""",
 

@@ -12,6 +12,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(_.injectOptimizerRule(_ =>
+        graft.plans.RangeJoinBinning))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
