@@ -14,10 +14,14 @@ import graft.ops._
   * (batch, WindowOps) and `q_stream_tumbling` (Structured Streaming over
   * the same parquet, run to completion synchronously). Both hash-match the
   * same DuckDB oracle, demonstrating batch/stream parity of the engine's
-  * window semantics. Stateful processing (watermarks, append mode,
-  * flatMapGroupsWithState sessionization) is exercised in StreamingSpec
-  * with MemoryStream; `q_sessionize` is the batch-SQL-expressible
-  * equivalent with a full oracle.
+  * window semantics. `q_stream_enrich` adds the stream-static broadcast
+  * join (per-batch reference-data attach, zero stream state) and
+  * `q_stream_dedup` the replay-tolerant exactly-once repair
+  * (dropDuplicates state across micro-batches — the fixture arrives
+  * twice and the duplicate batch must vanish). Stateful processing
+  * (watermarks, append mode, flatMapGroupsWithState sessionization) is
+  * exercised in StreamingSpec with MemoryStream; `q_sessionize` is the
+  * batch-SQL-expressible equivalent with a full oracle.
   */
 object StreamOps {
 
@@ -38,36 +42,77 @@ object StreamOps {
       .select(unix_micros(col("window.start")).as("bucket"),
               col("event_type"), col("n"), col("total"))
 
+  /** Run a streaming transform over the staged events fixture to
+    * completion and return the drained memory-sink contents.
+    * FileStreamSource consumes a directory (files arriving over time);
+    * the static fixture is copied into one — `copies` times, each copy a
+    * separate arrival, to simulate producer replays/duplicate delivery.
+    * The sink table and staged files are released before returning
+    * (repeated builds must not leak memory sinks or temp dirs). */
+  private def runStream(s: SparkSession, d: String, mode: String,
+                        copies: Int = 1)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    dir.toFile.deleteOnExit()
+    (1 to copies).foreach(i => java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve(s"events_$i.parquet")))
+    val src = s.readStream.schema(eventsRawSchema)
+      // one file per micro-batch: replayed copies arrive as separate
+      // batches (dedup state is actually exercised), and watermarks
+      // advance between batches
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val qname =
+      s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = transform(src).writeStream
+      .outputMode(mode).format("memory").queryName(qname).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val sink = s.table(qname)
+    val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+    s.catalog.dropTempView(qname)
+    dir.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(dir)
+    out
+  }
+
   val queries: Map[String, QB] = Map(
     // Structured Streaming end-to-end: readStream over the events parquet,
     // complete-mode tumbling aggregation into a memory sink, drained
     // synchronously. Result is identical to the batch q_window_tumbling.
-    "q_stream_tumbling" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // FileStreamSource consumes a directory (files arriving over time);
-      // stage the static fixture into one, as a producer would.
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-      dir.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"))
-      val src = s.readStream.schema(eventsRawSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      val qname = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = tumbling(src).writeStream
-        .outputMode("complete").format("memory").queryName(qname).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      // Materialize the (small, aggregated) sink contents and release the
-      // sink table + staged files — repeated builds must not leak memory
-      // sinks or temp dirs.
-      val sink = s.table(qname)
-      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
-      s.catalog.dropTempView(qname)
-      dir.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(dir)
-      out.orderBy("bucket", "event_type")
+    "q_stream_tumbling" -> ((s, d) =>
+      runStream(s, d, "complete")(tumbling)
+        .orderBy("bucket", "event_type")),
+
+    // Stream-static join (enrichment): each micro-batch hash-joins
+    // against the static dimension — the planner broadcasts the dim per
+    // batch, no stream-side state at all (the pattern for attaching
+    // reference data to an event stream at any scale). Complete-mode
+    // aggregate afterwards; result equals the batch join.
+    "q_stream_enrich" -> ((s, d) => {
+      val dim = table(s, d, "nation")
+      runStream(s, d, "complete") { src =>
+        src.withColumn("nk", (col("user_id") % 25).cast("int"))
+          .join(broadcast(dim), col("nk") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      }.orderBy("n_name")
     }),
+
+    // Streaming dedup under replay: the fixture arrives TWICE (two
+    // micro-batches); dropDuplicates keys state on event_id, so the
+    // replayed batch adds nothing and the sink equals the batch-distinct
+    // result — the at-least-once → exactly-once repair step of an event
+    // pipeline. (Bounded input keeps the keyed state finite here; an
+    // unbounded stream would use dropDuplicatesWithinWatermark.)
+    "q_stream_dedup" -> ((s, d) =>
+      runStream(s, d, "append", copies = 2) { src =>
+        src.dropDuplicates("event_id")
+          .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                  col("user_id"), col("event_type"), col("value"))
+      }.orderBy("event_id")),
 
     // Spark's native session_window operator (30-min gap), usable in batch
     // and streaming alike. Window end is exclusive: last event + gap.
@@ -123,6 +168,19 @@ object StreamOps {
       FROM events
       GROUP BY date_trunc('hour', ts), event_type
       ORDER BY bucket, event_type""",
+
+    "q_stream_enrich" -> """
+      SELECT n_name, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    // The replayed copy must vanish: dedup(stream ∪ stream) = the table.
+    "q_stream_dedup" -> """
+      SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value
+      FROM events
+      ORDER BY event_id""",
 
     "q_session_window" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
