@@ -8,12 +8,10 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the bench/verify session config — including the injected optimizer
+    // rules; a plain builder would audit plans the engine never runs
+    // (e.g. q_join_range_auto without RangeJoinBinning)
+    val spark = graft.SessionDefaults.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("CartesianProduct", "SortMergeJoin",
       "BroadcastHashJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin",
