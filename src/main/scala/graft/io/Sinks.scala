@@ -54,16 +54,22 @@ object Sinks {
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(src), conf)
     // Enforce the "never compact in place" contract: an overwrite write
-    // into (or under) the directory being read deletes the source before
-    // the scan completes — the exact data-loss mode the doc warns about.
-    val srcQ = fs.makeQualified(srcPath).toUri.getPath.stripSuffix("/")
+    // into, under, or ABOVE the directory being read deletes the source
+    // before the scan completes — the exact data-loss mode the doc warns
+    // about (a dest that is an ancestor of src is recursively cleared by
+    // mode("overwrite") and takes src with it). Compare fully-qualified
+    // URIs (scheme + authority + path): equal bare paths on different
+    // filesystems are legitimately distinct locations.
+    val srcQ = fs.makeQualified(srcPath).toUri.toString.stripSuffix("/")
     val destQ = org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(dest), conf)
       .makeQualified(new org.apache.hadoop.fs.Path(dest))
-      .toUri.getPath.stripSuffix("/")
-    require(destQ != srcQ && !destQ.startsWith(srcQ + "/"),
-      s"compact: dest $dest is the source directory (or nested under it); " +
-        "compacting in place would overwrite the data being read")
+      .toUri.toString.stripSuffix("/")
+    require(destQ != srcQ && !destQ.startsWith(srcQ + "/") &&
+            !srcQ.startsWith(destQ + "/"),
+      s"compact: dest $dest overlaps the source directory (same, nested, " +
+        "or ancestor); compacting in place would overwrite the data " +
+        "being read")
     val partitionDirs = fs.listStatus(srcPath)
       .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
     require(partitionDirs.isEmpty,

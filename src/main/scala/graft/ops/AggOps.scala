@@ -246,17 +246,15 @@ object AggOps {
     // so the result is bit-identical to the oracle's identical formula.
     // Never regr_slope/covar_samp(double) directly: their running-update
     // order differs between engines.
-    "q_agg_regression" -> ((s, d) => {
-      def dsum18(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(18,6)")).cast("double")
+    "q_agg_regression" -> ((s, d) =>
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
-          dsum18(col("l_quantity")).as("sx"),
-          dsum18(col("l_extendedprice")).as("sy"),
-          dsum18(col("l_quantity") * col("l_extendedprice")).as("sxy"),
-          dsum18(col("l_quantity") * col("l_quantity")).as("sxx"),
-          dsum18(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
         .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
                 col("sxy"), col("sxx"), col("syy"))
         .select(col("l_returnflag"), {
@@ -277,8 +275,7 @@ object AggOps {
         .select(col("l_returnflag"), col("r.cov_samp").as("cov_samp"),
                 col("r.slope").as("slope"), col("r.intercept").as("intercept"),
                 col("r.r2").as("r2"))
-        .orderBy("l_returnflag")
-    }),
+        .orderBy("l_returnflag")),
   )
 
   val oracles: Map[String, String] = Map(

@@ -252,9 +252,9 @@ object WarehouseOps {
 
     "q_zorder" -> """
       WITH z AS (
-        SELECT list_sum(list_transform(range(0, 10), j ->
+        SELECT CAST(list_sum(list_transform(range(0, 10), j ->
                  (((x >> j) & 1) << (2*j)) + (((y >> j) & 1) << (2*j + 1))))
-               AS zval
+               AS BIGINT) AS zval
         FROM (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
               FROM lineitem))
       SELECT zval // 1024 AS zbucket, count(*) AS n,

@@ -68,6 +68,12 @@ class SinksSpec extends SparkTestBase {
       Sinks.compact(spark, srcDir, s"$srcDir/sub")
     }
     assert(nested.getMessage.contains("in place"))
+    // dest as an ANCESTOR of src: overwrite would recursively clear it,
+    // taking src along
+    val ancestor = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, srcDir, base.toString)
+    }
+    assert(ancestor.getMessage.contains("in place"))
     // source untouched by either refusal
     assert(spark.read.parquet(srcDir).count() > 0)
   }
