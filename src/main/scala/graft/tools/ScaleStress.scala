@@ -15,11 +15,10 @@ object ScaleStress {
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$copies"
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    // engine session config (incl. injected optimizer rules — the auto
+    // range join must rewrite here too), with wider shuffles for 10×
+    val spark = graft.SessionDefaults.builder("32")
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,7 +55,12 @@ object ScaleStress {
     val heavy = Seq("q_scan_flagship", "q_agg_groupby", "q_join_inner",
       "q_window_rank", "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
       "q_dedup_ngram", "q_sim_search", "q_sim_search_lsh", "q_topk",
-      "q_dedup_clusters", "q_session_window", "q_agg_stats", "q_window_range_frame")
+      "q_dedup_clusters", "q_session_window", "q_agg_stats",
+      "q_window_range_frame",
+      // round-3 additions with non-trivial scale shapes
+      "q_dedup_embed", "q_join_range", "q_join_range_auto",
+      "q_merge_upsert", "q_zorder", "q_tpch_q3", "q_tpch_q5",
+      "q_sample_stratified", "q_graph_degree")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       try {
