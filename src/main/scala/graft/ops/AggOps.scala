@@ -222,6 +222,25 @@ object AggOps {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // arg-max/arg-min aggregates (SQL max_by/min_by): the value of one
+    // column at another column's extremum — single-pass, map-side
+    // combinable (each partial keeps one (ord, val) pair per group).
+    // The ordering column is the UNIQUE o_orderkey: max_by on a column
+    // with ties is nondeterministic in BOTH engines, so tie-free ordering
+    // is part of this operator's determinism contract.
+    "q_agg_minmax_by" -> ((s, d) =>
+      table(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey"))
+               .as("latest_priority"),
+             min_by(col("o_orderpriority"), col("o_orderkey"))
+               .as("first_priority"),
+             max(col("o_orderkey")).as("max_key"),
+             min(col("o_orderkey")).as("min_key"),
+             r6(max_by(col("o_totalprice"), col("o_orderkey")))
+               .as("latest_price"))
+        .orderBy("o_orderstatus")),
+
     // Mode (most frequent value) per group, ties broken by the smaller
     // value — count-then-rank, both shuffles keyed on the group (the
     // rank window partitions on it, so no single-reducer sort).
@@ -436,6 +455,14 @@ object AggOps {
       FROM orders
       GROUP BY CUBE(o_orderstatus, year(o_orderdate))
       ORDER BY o_orderstatus NULLS LAST, o_year NULLS LAST""",
+
+    "q_agg_minmax_by" -> """
+      SELECT o_orderstatus,
+             arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+             arg_min(o_orderpriority, o_orderkey) AS first_priority,
+             max(o_orderkey) AS max_key, min(o_orderkey) AS min_key,
+             round(arg_max(o_totalprice, o_orderkey), 6) AS latest_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_agg_mode" -> """
       WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n

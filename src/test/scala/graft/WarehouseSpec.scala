@@ -96,6 +96,31 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("binned range join: empty interval side yields empty output, no error") {
+    val iv = ops.table(spark, sf0001, "orders")
+      .filter($"o_orderkey" < 0) // empty
+      .select($"o_orderkey", to_date($"o_orderdate").as("d0"))
+    val pt = ops.table(spark, sf0001, "lineitem")
+      .select(to_date($"l_shipdate").as("sd"))
+    val out = iv.join(pt,
+      $"sd" >= $"d0" && $"sd" <= date_add($"d0", 3))
+    // the optimizer rule must still fire and still return nothing
+    assert(out.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    assert(out.count() == 0L)
+  }
+
+  test("merge with an empty change feed keeps the table unchanged") {
+    val o = ops.table(spark, sf0001, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("tprice"))
+    val src = o.filter($"k" < 0)
+      .select($"k", $"tprice".as("sprice"))
+    val merged = o.as("t").join(src.as("s"), $"t.k" === $"s.k", "full_outer")
+      .select(coalesce($"t.k", $"s.k").as("k"),
+        coalesce($"sprice", $"tprice").as("price"))
+    assert(merged.count() == o.count())
+    assert(merged.filter($"price".isNull).count() == 0L)
+  }
+
   test("snapshot diff: keeping both snapshots equal yields an empty diff") {
     val o = ops.table(spark, sf0001, "orders")
       .select($"o_orderkey".as("k"), $"o_totalprice".as("price"))
