@@ -59,12 +59,16 @@ object Sinks {
     // about (a dest that is an ancestor of src is recursively cleared by
     // mode("overwrite") and takes src with it). Compare fully-qualified
     // URIs (scheme + authority + path): equal bare paths on different
-    // filesystems are legitimately distinct locations.
-    val srcQ = fs.makeQualified(srcPath).toUri.toString.stripSuffix("/")
+    // filesystems are legitimately distinct locations. URI.normalize()
+    // folds '.'/'..' segments (Hadoop Path keeps them verbatim), so
+    // "/data/x/../tbl" can't slip past the prefix check; symlink aliasing
+    // is beyond a path-level guard and stays the caller's responsibility.
+    val srcQ =
+      fs.makeQualified(srcPath).toUri.normalize().toString.stripSuffix("/")
     val destQ = org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(dest), conf)
       .makeQualified(new org.apache.hadoop.fs.Path(dest))
-      .toUri.toString.stripSuffix("/")
+      .toUri.normalize().toString.stripSuffix("/")
     require(destQ != srcQ && !destQ.startsWith(srcQ + "/") &&
             !srcQ.startsWith(destQ + "/"),
       s"compact: dest $dest overlaps the source directory (same, nested, " +

@@ -102,8 +102,7 @@ object ScanFilterOps {
     // dependent and would flip rows at the boundary).
     "q_subquery_scalar" -> ((s, d) => {
       val o = table(s, d, "orders")
-      val avgP = o.agg((dsum(col("o_totalprice")) /
-                        count(col("o_totalprice"))).as("avg_p"))
+      val avgP = o.agg(davg(col("o_totalprice")).as("avg_p"))
       o.crossJoin(broadcast(avgP))
         .filter(col("o_totalprice") > col("avg_p"))
         .select("o_orderkey", "o_totalprice")

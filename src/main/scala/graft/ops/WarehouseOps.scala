@@ -43,8 +43,12 @@ object WarehouseOps {
         .select(col("o_orderkey").as("k"),
                 (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
                   .as("sprice"))
+        // insert keys are negated: provably outside the non-negative
+        // o_orderkey domain at ANY scale factor (a fixed offset would
+        // collide once max(o_orderkey) crossed it, silently relabeling
+        // inserts as updates)
         .unionAll(o.filter(col("o_orderkey") % 10 === 3)
-          .select((col("o_orderkey") + 1000000L).as("k"),
+          .select((-col("o_orderkey") - 1).as("k"),
                   col("o_totalprice").as("sprice")))
       t.as("t").join(src.as("s"), col("t.k") === col("s.k"), "full_outer")
         .select(coalesce(col("t.k"), col("s.k")).as("k"),
@@ -189,7 +193,7 @@ object WarehouseOps {
         SELECT o_orderkey AS k, floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS sprice
         FROM orders WHERE o_orderkey % 10 = 7
         UNION ALL
-        SELECT o_orderkey + 1000000 AS k, o_totalprice AS sprice
+        SELECT -o_orderkey - 1 AS k, o_totalprice AS sprice
         FROM orders WHERE o_orderkey % 10 = 3)
       SELECT coalesce(t.k, src.k) AS k,
              CASE WHEN t.k IS NOT NULL AND src.k IS NOT NULL THEN 'update'

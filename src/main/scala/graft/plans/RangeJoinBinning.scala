@@ -75,34 +75,43 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
     if (!conf.getConfString("spark.graft.rangeJoinBin.enabled", "true")
           .toBoolean) plan
     else plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if matchRange(splitConj(cond)).isDefined =>
-        val rp = matchRange(splitConj(cond)).get
-        val pointIsLeft =
-          if (rp.p.references.subsetOf(left.outputSet) &&
-              rp.lo.references.subsetOf(right.outputSet)) Some(true)
-          else if (rp.p.references.subsetOf(right.outputSet) &&
-                   rp.lo.references.subsetOf(left.outputSet)) Some(false)
-          else None
-        pointIsLeft match {
-          case None => j // predicate straddles sides in a way we don't bin
-          case Some(ptLeft) =>
-            val width = rp.k + 1L
-            val ptChild = if (ptLeft) left else right
-            val ivChild = if (ptLeft) right else left
-            val ptAlias = Alias(binOf(dayOf(rp.p), width), "__graft_bin_pt")()
-            val newPt = Project(ptChild.output :+ ptAlias, ptChild)
-            val b1 = binOf(dayOf(rp.lo), width)
-            val b2 = binOf(Add(dayOf(rp.lo), Literal(rp.k)), width)
-            val gen = Explode(ArrayDistinct(CreateArray(Seq(b1, b2))))
-            val el = gen.elementSchema.head
-            val ivAttr =
-              AttributeReference("__graft_bin_iv", el.dataType, el.nullable)()
-            val newIv = Generate(gen, Nil, outer = false, None,
-                                 Seq(ivAttr), ivChild)
-            val newCond = And(EqualTo(ptAlias.toAttribute, ivAttr), cond)
-            val (nl, nr) = if (ptLeft) (newPt, newIv) else (newIv, newPt)
-            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+      // no guard on the case: matchRange walks the conjuncts once here
+      // and non-matching joins fall through via the None branches below
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        matchRange(splitConj(cond)) match {
+          case None => j
+          case Some(rp) => rewrite(j, left, right, cond, hint, rp)
         }
+    }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, hint: JoinHint,
+                      rp: RangePred): LogicalPlan = {
+    val pointIsLeft =
+      if (rp.p.references.subsetOf(left.outputSet) &&
+          rp.lo.references.subsetOf(right.outputSet)) Some(true)
+      else if (rp.p.references.subsetOf(right.outputSet) &&
+               rp.lo.references.subsetOf(left.outputSet)) Some(false)
+      else None
+    pointIsLeft match {
+      case None => j // predicate straddles sides in a way we don't bin
+      case Some(ptLeft) =>
+        val width = rp.k + 1L
+        val ptChild = if (ptLeft) left else right
+        val ivChild = if (ptLeft) right else left
+        val ptAlias = Alias(binOf(dayOf(rp.p), width), "__graft_bin_pt")()
+        val newPt = Project(ptChild.output :+ ptAlias, ptChild)
+        val b1 = binOf(dayOf(rp.lo), width)
+        val b2 = binOf(Add(dayOf(rp.lo), Literal(rp.k)), width)
+        val gen = Explode(ArrayDistinct(CreateArray(Seq(b1, b2))))
+        val el = gen.elementSchema.head
+        val ivAttr =
+          AttributeReference("__graft_bin_iv", el.dataType, el.nullable)()
+        val newIv = Generate(gen, Nil, outer = false, None,
+                             Seq(ivAttr), ivChild)
+        val newCond = And(EqualTo(ptAlias.toAttribute, ivAttr), cond)
+        val (nl, nr) = if (ptLeft) (newPt, newIv) else (newIv, newPt)
+        Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+    }
     }
 }

@@ -67,15 +67,20 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val qname =
       s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = transform(src).writeStream
-      .outputMode(mode).format("memory").queryName(qname).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    val sink = s.table(qname)
-    val out = s.createDataFrame(sink.collectAsList(), sink.schema)
-    s.catalog.dropTempView(qname)
-    dir.toFile.listFiles().foreach(_.delete())
-    java.nio.file.Files.deleteIfExists(dir)
-    out
+    // cleanup rides a finally: a failing transform/start/drain must not
+    // leak the staged copies or the driver-resident memory-sink view
+    // across repeated builds in a long-lived session
+    try {
+      val q = transform(src).writeStream
+        .outputMode(mode).format("memory").queryName(qname).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val sink = s.table(qname)
+      s.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally {
+      try s.catalog.dropTempView(qname) catch { case _: Exception => () }
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 
   val queries: Map[String, QB] = Map(
