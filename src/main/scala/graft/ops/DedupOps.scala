@@ -193,17 +193,18 @@ object DedupOps {
       // materialized (its blocks are the only remaining reader).
       var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
       while (!converged && iter < maxIter) {
-        val nbr = labels.join(sym, col("doc_id") === col("dst"))
+        // Pointer doubling, fused into the neighbor pass: each vertex's
+        // label pointer (v → label(v)) is unioned into the edge list, so
+        // ONE join+aggregate computes min(neighbors' labels, label's
+        // label) — v adopting label(label(v)) halves the distance to the
+        // component minimum every round, O(log diameter) rounds instead
+        // of O(diameter). (The unfused form — a separate labels⋈labels
+        // self-join for the jump — paid two extra joins per round, and
+        // round cost is dominated by fixed per-job overhead, not data.)
+        val e = sym.unionAll(
+          labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
+        val nbr = labels.join(e, col("doc_id") === col("dst"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
-        // Pointer doubling: besides the neighbors' labels, each vertex
-        // also adopts its label's label (labels always point at vertices
-        // of the same loop set, so the self-join is total). This halves
-        // the distance to the component minimum every round — O(log
-        // diameter) rounds instead of O(diameter), which matters because
-        // round cost is dominated by fixed per-job overhead, not data.
-        val jump = labels.as("l1")
-          .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
-          .select(col("l1.doc_id").as("jdoc"), col("l2.cluster").as("jlabel"))
         // A `changed` flag rides along with the propagated label, and a
         // LAZY localCheckpoint defers materialization to the convergence
         // count below — so counting changed labels IS the job that
@@ -213,13 +214,10 @@ object DedupOps {
         // durable storage.
         val next = labels.as("l")
           .join(nbr, col("l.doc_id") === col("src"), "left")
-          .join(jump, col("l.doc_id") === col("jdoc"), "left")
           .select(col("l.doc_id").as("doc_id"),
             least(col("l.cluster"),
-              coalesce(col("nlabel"), col("l.cluster")),
-              coalesce(col("jlabel"), col("l.cluster"))).as("cluster"),
-            (least(coalesce(col("nlabel"), col("l.cluster")),
-                   coalesce(col("jlabel"), col("l.cluster")))
+              coalesce(col("nlabel"), col("l.cluster"))).as("cluster"),
+            (coalesce(col("nlabel"), col("l.cluster"))
               < col("l.cluster")).as("changed"))
           .localCheckpoint(eager = false)
         val nChanged = next
