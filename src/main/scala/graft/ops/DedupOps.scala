@@ -251,6 +251,40 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // Stop-shingle-capped near-dup: identical to q_dedup_ngram but
+    // shingles appearing in more than T=50 documents are dropped before
+    // the pair join — the standard scale mitigation for the hot-shingle
+    // blowup (the self-join is quadratic WITHIN each shingle's posting
+    // list, so one boilerplate shingle shared by 10k docs alone creates
+    // 50M pairs while carrying no discriminative signal; capping bounds
+    // every posting list at T → pair volume ≤ T·|shingles|). Jaccard is
+    // computed over the capped shingle sets on both engines, so the
+    // operator is exactly specified and oracle-matched, not an
+    // approximation of q_dedup_ngram.
+    "q_dedup_ngram_capped" -> ((s, d) => {
+      val sh = memo(s, d, "capped_sh") {
+        val all = shingles(s, d)
+          .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+          .distinct()
+        val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 50).select("h")
+        all.join(hot, Seq("h"), "left_anti").persist()
+      }
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      sh.as("a")
+        .join(sh.as("b"), col("a.h") === col("b.h") &&
+                          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          r6(col("shared").cast("double") /
+             (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Degree distribution of the near-dup similarity graph: how many docs
     // have k verified neighbors — the health check run before clustering
     // (a heavy-tailed distribution signals a boilerplate/template shingle
@@ -412,6 +446,28 @@ object DedupOps {
       FROM reach
       GROUP BY src
       ORDER BY doc_id""",
+
+    "q_dedup_ngram_capped" -> s"""
+      WITH $shinglesSql,
+      shh AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+              FROM sh),
+      hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > 50),
+      shf AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM shf a JOIN shf b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+      SELECT * FROM (
+        SELECT doc_a, doc_b, shared,
+               round(CAST(shared AS DOUBLE)
+                     / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+        FROM p
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id)
+      WHERE jaccard >= 0.3
+      ORDER BY doc_a, doc_b""",
 
     "q_graph_degree" -> s"""
       WITH $jaccardPairsSql,

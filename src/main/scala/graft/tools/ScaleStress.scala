@@ -58,7 +58,8 @@ object ScaleStress {
       "q_dedup_clusters", "q_session_window", "q_agg_stats",
       "q_window_range_frame",
       // round-3 additions with non-trivial scale shapes
-      "q_dedup_embed", "q_join_range", "q_join_range_auto",
+      "q_dedup_embed", "q_dedup_ngram_capped", "q_join_range",
+      "q_join_range_auto",
       "q_merge_upsert", "q_zorder", "q_tpch_q3", "q_tpch_q5",
       "q_sample_stratified", "q_graph_degree")
     heavy.foreach { name =>
