@@ -72,6 +72,25 @@ object DedupOps {
     pairsCache.clear()
   }
 
+  /** The shingle-set → verified-pairs pipeline shared by the uncapped
+    * (jaccardPairs) and stop-shingle-capped variants: per-doc set sizes,
+    * equi-self-join on the shingle hash (quadratic only within a
+    * shingle's posting list), then the exact Jaccard >= 0.3 filter. */
+  private def pairsFromShingleSets(sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+                        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        r6(col("shared").cast("double") /
+           (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // memoized under its own tag so clearPairsCache releases it too — the
     // hashed-shingle set is the largest persisted frame in this module
@@ -81,19 +100,7 @@ object DedupOps {
         .distinct()
         .persist()
     }
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") &&
-                        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("shared"),
-        r6(col("shared").cast("double") /
-           (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+    pairsFromShingleSets(sh)
       .persist() // tiny (the verified pairs); shared by ngram + clusters
   }
 
@@ -270,19 +277,7 @@ object DedupOps {
           .filter(col("df") > 50).select("h")
         all.join(hot, Seq("h"), "left_anti").persist()
       }
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      sh.as("a")
-        .join(sh.as("b"), col("a.h") === col("b.h") &&
-                          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("shared"),
-          r6(col("shared").cast("double") /
-             (col("ca.n_sh") + col("cb.n_sh") - col("shared"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
-        .orderBy("doc_a", "doc_b")
+      pairsFromShingleSets(sh).orderBy("doc_a", "doc_b")
     }),
 
     // Degree distribution of the near-dup similarity graph: how many docs
