@@ -183,6 +183,11 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     s3aConfigs(opts).foreach { case (k, v) => builder.config(k, v) }
+    // the plain-HTTP monitored object profile (graft.io.GraftHttpFileSystem)
+    // — ghttp:// sources count every ranged GET and its wire bytes, the
+    // reference's read-op semantics (runner.cc:75–172)
+    builder.config("spark.hadoop.fs.ghttp.impl",
+                   "graft.io.GraftHttpFileSystem")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new Metrics
@@ -197,6 +202,8 @@ object Main {
     val s3OpsBefore =
       if (spark.sparkContext.isLocal) Metrics.s3ReadOps().getOrElse(0L)
       else 0L
+    val (ghttpOpsBefore, _, ghttpBytesBefore) =
+      graft.io.GraftHttpFileSystem.snapshot
     val t0 = System.nanoTime()
     val futures = shuffled.map { src =>
       Future(Try(runOne(spark, src)) match {
@@ -210,21 +217,30 @@ object Main {
     val t1 = System.nanoTime()
     pool.shutdown()
 
-    val bytes = metrics.bytesRead
+    val (ghttpOpsAfter, _, ghttpBytesAfter) =
+      graft.io.GraftHttpFileSystem.snapshot
+    val ghttpOps = ghttpOpsAfter - ghttpOpsBefore
+    val bytes =
+      if (ghttpOps > 0) ghttpBytesAfter - ghttpBytesBefore // wire bytes
+      else metrics.bytesRead
     System.err.println(
       s"Number data sources (parquet files): ${sources.size}")
     System.err.println(s"Threads: ${opts.threads}")
     System.err.println(f"Total Query time: ${(t1 - t0) / 1e9}%.2f s")
     System.err.println(s"Total hits: $totalHits")
-    // Object-store read ops (s3a stream_read_operations ≈ the reference's
-    // per-GET count) as a this-run delta, local mode only — on a real
-    // cluster the driver-side counter misses executor reads entirely;
-    // scan-task count is the documented fallback (SURVEY.md §3.3).
+    // Object-store read ops, preference order: the monitored ghttp
+    // profile counts actual ranged GETs (exactly the reference's
+    // semantics, runner.cc:109–117); else s3a stream_read_operations as
+    // a this-run delta, local mode only — on a real cluster the
+    // driver-side counter misses executor reads entirely; scan-task
+    // count is the documented fallback (SURVEY.md §3.3).
     val s3Ops =
       if (spark.sparkContext.isLocal)
         Metrics.s3ReadOps().map(_ - s3OpsBefore).filter(_ > 0)
       else None
-    s3Ops match {
+    if (ghttpOps > 0)
+      System.err.println(s"Total read ops: $ghttpOps")
+    else s3Ops match {
       case Some(ops) =>
         System.err.println(s"Total read ops: $ops")
       case None =>

@@ -1,0 +1,98 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+
+import graft.io.GraftHttpFileSystem
+
+/** Minimal HTTP object server shared by the filesystem and runner-CLI
+  * suites: HEAD (Content-Length) + ranged GET over the files of one
+  * directory — the subset of an object-store API a scan needs. */
+object TestHttpObjectServer {
+  def serve(dir: String): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val p = Paths.get(dir, ex.getRequestURI.getPath)
+        if (!Files.exists(p)) { ex.sendResponseHeaders(404, -1); return }
+        val bytes = Files.readAllBytes(p)
+        ex.getRequestMethod match {
+          case "HEAD" =>
+            ex.getResponseHeaders.add("Content-Length", bytes.length.toString)
+            ex.sendResponseHeaders(200, -1)
+          case _ =>
+            Option(ex.getRequestHeaders.getFirst("Range")) match {
+              case Some(r) =>
+                val spec = r.stripPrefix("bytes=").split("-", 2)
+                val lo = spec(0).toInt
+                val hi = if (spec(1).isEmpty) bytes.length - 1 else spec(1).toInt
+                val chunk = bytes.slice(lo, math.min(hi, bytes.length - 1) + 1)
+                ex.getResponseHeaders.add(
+                  "Content-Range", s"bytes $lo-$hi/${bytes.length}")
+                ex.sendResponseHeaders(206, chunk.length)
+                ex.getResponseBody.write(chunk)
+              case None =>
+                ex.sendResponseHeaders(200, bytes.length)
+                ex.getResponseBody.write(bytes)
+            }
+            ex.close()
+        }
+      }
+    })
+    server.start()
+    server
+  }
+}
+
+/** End-to-end remote-object-store execution: the flagship query runs
+  * against parquet served by an in-process HTTP object server through
+  * the ghttp:// monitored filesystem — the sandbox-faithful analog of
+  * the reference's s3-over-plain-HTTP profile (its object store speaks
+  * HTTP too; runner.cc:210 disables SSL), with the reference's read-op /
+  * byte accounting checked against real wire traffic. */
+class HttpFsSpec extends SparkTestBase {
+  import TestHttpObjectServer.serve
+
+  test("flagship query executes against the HTTP object profile with op accounting") {
+    val server = serve(sf0001)
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.ghttp.impl", "graft.io.GraftHttpFileSystem")
+      val remoteDir = s"ghttp://127.0.0.1:${server.getAddress.getPort}"
+      GraftHttpFileSystem.resetCounters()
+      val remote = ops.ScanFilterOps.queries("q_scan_flagship")(spark, remoteDir)
+        .collect().toSeq
+      val (gets, heads, bytes) = GraftHttpFileSystem.snapshot
+      val local = ops.ScanFilterOps.queries("q_scan_flagship")(spark, sf0001)
+        .collect().toSeq
+      assert(remote == local, "remote result differs from local")
+      assert(gets > 0 && heads > 0, s"no wire traffic counted ($gets/$heads)")
+      // scale posture over the wire: projection + filter pushdown mean the
+      // scan must NOT fetch the whole object — footer + the 5 referenced
+      // column chunks only (the reference reads 208 KB of its multi-MB
+      // file the same way, README.md:89)
+      val fileSize = Files.size(Paths.get(sf0001, "lineitem.parquet"))
+      assert(bytes > 0 && bytes < fileSize,
+        s"read $bytes of $fileSize-byte object — column pruning not effective")
+    } finally server.stop(0)
+  }
+
+  test("ghttp is read-only: writes are refused") {
+    val server = serve(sf0001)
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.ghttp.impl", "graft.io.GraftHttpFileSystem")
+      val port = server.getAddress.getPort
+      val e = intercept[Exception] {
+        spark.range(3).write.mode("overwrite")
+          .parquet(s"ghttp://127.0.0.1:$port/out.parquet")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+             chain(e).exists(t => Option(t.getMessage).exists(
+               _.contains("read-only"))))
+    } finally server.stop(0)
+  }
+}

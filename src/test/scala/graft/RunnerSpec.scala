@@ -77,6 +77,41 @@ class RunnerSpec extends SparkTestBase {
     assert(out.toString.linesIterator.exists(_.startsWith("- FLAT DOUBLE: ")))
   }
 
+  test("full CLI end-to-end over the HTTP object profile: remote reads, GET-level op stats") {
+    import scala.sys.process._
+    val server = TestHttpObjectServer.serve(sf0001)
+    try {
+      val port = server.getAddress.getPort
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+        .toArray.map(_.toString)
+        .filter(a => a.startsWith("--add-opens=") || a.startsWith("--add-opens"))
+        .toSeq
+      val cmd = Seq("java") ++ jvmArgs ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[2]",
+        "-cp", sys.props("java.class.path"),
+        "graft.runner.Main", "-j", "2")
+      val stdin = new java.io.ByteArrayInputStream(
+        s"ghttp://127.0.0.1:$port/lineitem.parquet\n".getBytes)
+      val out = new StringBuilder
+      val err = new StringBuilder
+      val code = (cmd #< stdin).!(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n') },
+        l => err.synchronized { err.append(l).append('\n') }))
+      assert(code == 0, s"exit=$code stderr:\n${err.toString.takeRight(2000)}")
+      val e = err.toString
+      assert(e.contains("Number data sources (parquet files): 1"))
+      assert(e.contains("Total hits: "))
+      // GET-level accounting (not the scan-task fallback): the monitored
+      // filesystem counted actual ranged requests
+      val opsLine = e.linesIterator.find(_.startsWith("Total read ops: "))
+      assert(opsLine.isDefined, s"no GET-level op line in:\n$e")
+      assert(opsLine.get.stripPrefix("Total read ops: ").trim.toLong > 0)
+      assert(e.contains("Done"))
+      assert(out.toString.linesIterator.exists(_.startsWith("Chunk - [5 Columns]")))
+    } finally server.stop(0)
+  }
+
   test("flagship on laghos schema: boundary rows excluded, sorted by E") {
     val df = Seq(
       (1, 1.55, 1.55, 1.55, 10.0),  // inside
