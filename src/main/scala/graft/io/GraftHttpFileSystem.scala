@@ -63,6 +63,11 @@ class GraftHttpFileSystem extends FileSystem {
           s"$f: HTTP ${conn.getResponseCode}")
       headOps.incrementAndGet()
       val len = conn.getHeaderFieldLong("Content-Length", -1L)
+      // fail fast here rather than as a baffling always-EOF stream later:
+      // an object profile without a declared length can't back a scan
+      if (len < 0)
+        throw new java.io.IOException(
+          s"$f: HEAD response has no Content-Length — not an object store")
       new FileStatus(len, false, 1, 128L << 20, 0L, f)
     } finally conn.disconnect()
   }
@@ -126,6 +131,14 @@ object GraftHttpFileSystem {
           throw new java.io.IOException(s"$url: HTTP $rc for range $pos-")
         readOps.incrementAndGet()
         in = conn.getInputStream
+        // A server MAY ignore Range and answer 200 with the whole object
+        // (RFC 7233); consuming from offset 0 as if it were `pos` would
+        // silently corrupt reads — skip up to position (those bytes DID
+        // cross the wire, so they count).
+        if (rc == 200 && pos > 0) {
+          in.skipNBytes(pos)
+          bytesRead.addAndGet(pos)
+        }
       }
       in
     }
@@ -168,6 +181,12 @@ object GraftHttpFileSystem {
           throw new java.io.IOException(s"$url: HTTP $rc for range $position-$hi")
         readOps.incrementAndGet()
         val s = c.getInputStream
+        // range-ignoring server (200 = whole object): skip to the offset
+        // instead of silently reading the wrong bytes (see ensureOpen)
+        if (rc == 200 && position > 0) {
+          s.skipNBytes(position)
+          bytesRead.addAndGet(position)
+        }
         var total = 0
         var n = 0
         while (total < length && n >= 0) {

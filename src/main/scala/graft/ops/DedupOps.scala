@@ -91,18 +91,22 @@ object DedupOps {
       .filter(col("jaccard") >= 0.3)
   }
 
-  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // memoized under its own tag so clearPairsCache releases it too — the
-    // hashed-shingle set is the largest persisted frame in this module
-    val sh = memo(s, d, "jaccard_sh") {
+  /** The distinct hashed-shingle set, memoized+persisted under its own
+    * tag (so clearPairsCache releases it) — the largest frame in this
+    * module, read by the uncapped pair join, the stop-shingle filter,
+    * and (without the persist) rebuilt once per consumer because
+    * Catalyst has no cross-branch subtree reuse. */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "jaccard_sh") {
       shingles(s, d)
         .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
         .distinct()
         .persist()
     }
-    pairsFromShingleSets(sh)
+
+  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromShingleSets(hashedShingles(s, d))
       .persist() // tiny (the verified pairs); shared by ngram + clusters
-  }
 
   /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
   private lazy val jaccardPairsSql = s"""$shinglesSql,
@@ -270,9 +274,11 @@ object DedupOps {
     // approximation of q_dedup_ngram.
     "q_dedup_ngram_capped" -> ((s, d) => {
       val sh = memo(s, d, "capped_sh") {
-        val all = shingles(s, d)
-          .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
-          .distinct()
+        // derives from the persisted hashedShingles frame: the hot-set
+        // aggregate and the anti-join probe both read the cache instead
+        // of re-running the explode+md5+distinct pipeline, and a session
+        // that also runs q_dedup_ngram shares the same copy
+        val all = hashedShingles(s, d)
         val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > 50).select("h")
         all.join(hot, Seq("h"), "left_anti").persist()

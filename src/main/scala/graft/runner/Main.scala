@@ -217,12 +217,18 @@ object Main {
     val t1 = System.nanoTime()
     pool.shutdown()
 
+    // ghttp counters are driver-JVM AtomicLongs: only authoritative in
+    // local mode (on a cluster, executor GETs happen in other JVMs) —
+    // same gating as the s3a counter below.
     val (ghttpOpsAfter, _, ghttpBytesAfter) =
       graft.io.GraftHttpFileSystem.snapshot
-    val ghttpOps = ghttpOpsAfter - ghttpOpsBefore
-    val bytes =
-      if (ghttpOps > 0) ghttpBytesAfter - ghttpBytesBefore // wire bytes
-      else metrics.bytesRead
+    val ghttpOps =
+      if (spark.sparkContext.isLocal) ghttpOpsAfter - ghttpOpsBefore else 0L
+    // disjoint counters (ghttp streams never update Hadoop FS statistics,
+    // so the listener's bytesRead misses them): total = sum, not either.
+    val bytes = metrics.bytesRead +
+      (if (spark.sparkContext.isLocal) ghttpBytesAfter - ghttpBytesBefore
+       else 0L)
     System.err.println(
       s"Number data sources (parquet files): ${sources.size}")
     System.err.println(s"Threads: ${opts.threads}")

@@ -13,7 +13,7 @@ object TestHttpObjectServer {
   def serve(dir: String): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
-      def handle(ex: HttpExchange): Unit = {
+      def handle(ex: HttpExchange): Unit = try {
         val p = Paths.get(dir, ex.getRequestURI.getPath)
         if (!Files.exists(p)) { ex.sendResponseHeaders(404, -1); return }
         val bytes = Files.readAllBytes(p)
@@ -36,9 +36,8 @@ object TestHttpObjectServer {
                 ex.sendResponseHeaders(200, bytes.length)
                 ex.getResponseBody.write(bytes)
             }
-            ex.close()
         }
-      }
+      } finally ex.close() // every path, or keep-alive clients stall
     })
     server.start()
     server
@@ -90,9 +89,8 @@ class HttpFsSpec extends SparkTestBase {
       }
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
-      assert(chain(e).exists(_.getMessage != null) &&
-             chain(e).exists(t => Option(t.getMessage).exists(
-               _.contains("read-only"))))
+      assert(chain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("read-only"))))
     } finally server.stop(0)
   }
 }

@@ -7,6 +7,43 @@ import org.apache.spark.sql.functions._
 class RunnerSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Spawn the runner CLI as a child JVM with the given flags + stdin,
+    * returning (exitCode, stdout, stderr). One shared recipe for every
+    * end-to-end test (the spawn details — add-opens forwarding, memory,
+    * master — must not drift between them). */
+  private def spawnRunner(flags: Seq[String], stdinText: String)
+      : (Int, String, String) = {
+    import scala.sys.process._
+    // Forward this JVM's --add-opens set (sbt injects the JDK-17 module
+    // options Spark needs). RuntimeMXBean reports the two-token spelling
+    // ("--add-opens", "mod=ALL-UNNAMED") as separate entries — keep the
+    // value token too, or the child dies with "--add-opens requires
+    // modules".
+    val raw = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.toArray.map(_.toString).toSeq
+    val jvmArgs = raw.zipWithIndex.flatMap { case (a, i) =>
+      if (a.startsWith("--add-opens=")) Seq(a)
+      else if (a == "--add-opens")
+        Seq(a) ++ raw.lift(i + 1).toSeq
+      else if (i > 0 && raw(i - 1) == "--add-opens") Nil // consumed above
+      else Nil
+    }
+    val cmd = Seq("java") ++ jvmArgs ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.runner.Main") ++ flags
+    val stdin = new java.io.ByteArrayInputStream(stdinText.getBytes)
+    val out = new StringBuilder
+    val err = new StringBuilder
+    // Main reads the master from SPARK_MASTER (a -D flag would be dead:
+    // the builder sets .master explicitly)
+    val code = (Process(cmd, None, "SPARK_MASTER" -> "local[2]") #< stdin)
+      .!(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n') },
+        l => err.synchronized { err.append(l).append('\n') }))
+    (code, out.toString, err.toString)
+  }
+
   test("seed-1 shuffle is deterministic across runs") {
     val xs = (1 to 100).map(i => s"file_$i.parquet")
     val a = new scala.util.Random(1).shuffle(xs)
@@ -40,30 +77,13 @@ class RunnerSpec extends SparkTestBase {
   }
 
   test("full CLI end-to-end over local files: chunks, stats, isolation") {
-    import scala.sys.process._
-    // Reuse this JVM's --add-opens set (sbt injects the JDK-17 module
-    // options Spark needs) for the child CLI process.
-    val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments
-      .toArray.map(_.toString)
-      .filter(a => a.startsWith("--add-opens=") || a.startsWith("--add-opens"))
-      .toSeq
-    val cmd = Seq("java") ++ jvmArgs ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[2]",
-      "-cp", sys.props("java.class.path"),
-      "graft.runner.Main",
-      "-i", "TESTKEY", "-k", "TESTSECRET", "-a", "127.0.0.1", "-p", "9000",
-      "-j", "2")
     val good = s"$sf0001/lineitem.parquet"
-    val stdin = new java.io.ByteArrayInputStream(
-      s"$good /nonexistent/missing.parquet\n'$good'\n".getBytes)
-    val out = new StringBuilder
-    val err = new StringBuilder
-    val code = (cmd #< stdin).!(ProcessLogger(
-      l => out.synchronized { out.append(l).append('\n') },
-      l => err.synchronized { err.append(l).append('\n') }))
-    assert(code == 0, s"exit=$code stderr:\n${err.toString.takeRight(2000)}")
-    val e = err.toString
+    val (code, outS, e) = spawnRunner(
+      Seq("-i", "TESTKEY", "-k", "TESTSECRET", "-a", "127.0.0.1",
+          "-p", "9000", "-j", "2"),
+      s"$good /nonexistent/missing.parquet\n'$good'\n")
+    val out = new StringBuilder(outS)
+    assert(code == 0, s"exit=$code stderr:\n${e.takeRight(2000)}")
     assert(e.contains("Number data sources (parquet files): 3"))
     assert(e.contains("Threads: 2"))
     assert(e.contains("error processing /nonexistent/missing.parquet"))
@@ -78,28 +98,13 @@ class RunnerSpec extends SparkTestBase {
   }
 
   test("full CLI end-to-end over the HTTP object profile: remote reads, GET-level op stats") {
-    import scala.sys.process._
     val server = TestHttpObjectServer.serve(sf0001)
     try {
       val port = server.getAddress.getPort
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments
-        .toArray.map(_.toString)
-        .filter(a => a.startsWith("--add-opens=") || a.startsWith("--add-opens"))
-        .toSeq
-      val cmd = Seq("java") ++ jvmArgs ++ Seq(
-        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.master=local[2]",
-        "-cp", sys.props("java.class.path"),
-        "graft.runner.Main", "-j", "2")
-      val stdin = new java.io.ByteArrayInputStream(
-        s"ghttp://127.0.0.1:$port/lineitem.parquet\n".getBytes)
-      val out = new StringBuilder
-      val err = new StringBuilder
-      val code = (cmd #< stdin).!(ProcessLogger(
-        l => out.synchronized { out.append(l).append('\n') },
-        l => err.synchronized { err.append(l).append('\n') }))
-      assert(code == 0, s"exit=$code stderr:\n${err.toString.takeRight(2000)}")
-      val e = err.toString
+      val (code, outS, e) = spawnRunner(Seq("-j", "2"),
+        s"ghttp://127.0.0.1:$port/lineitem.parquet\n")
+      val out = new StringBuilder(outS)
+      assert(code == 0, s"exit=$code stderr:\n${e.takeRight(2000)}")
       assert(e.contains("Number data sources (parquet files): 1"))
       assert(e.contains("Total hits: "))
       // GET-level accounting (not the scan-task fallback): the monitored
