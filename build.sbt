@@ -25,6 +25,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Bench calls System.gc() between timed queries to keep one query's
+  // garbage out of the next one's timed window; make that a concurrent
+  // G1 cycle, not a stop-the-world full GC, so the hint stays cheap.
+  "-XX:+ExplicitGCInvokesConcurrent",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // keep saveAsTable output (SinksSpec bucketed tables) out of the repo

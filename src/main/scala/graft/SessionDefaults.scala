@@ -12,10 +12,14 @@ object SessionDefaults {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // Local test files are small (single-digit MB); finer splits let
-      // multi-row-group files fan out across cores. At cluster scale this
-      // would stay at the 128m default.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // Every driver-generated parquet is a SINGLE row group (verified
+      // across sf0.001–0.1), so sub-file splits can never fan out — they
+      // only schedule empty tasks (the r3 4m setting cost the flagship
+      // ~0.07 s/run in empty-split overhead). 16m keeps the 10.8 MB
+      // lineitem at exactly one split while still splitting any genuinely
+      // large multi-row-group file a bigger fixture might bring. At
+      // cluster scale this would stay at the 128m default.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       // Coalesce post-shuffle partitions by SIZE, not up to core count:
       // iterative/small-intermediate queries (dedup clustering) otherwise
       // pay full-width near-empty task waves per exchange per round. The

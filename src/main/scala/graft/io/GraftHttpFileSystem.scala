@@ -37,12 +37,22 @@ class GraftHttpFileSystem extends FileSystem {
   import GraftHttpFileSystem._
 
   private var fsUri: URI = _
+  private var auth: Option[(String, String)] = None
 
   override def initialize(uri: URI, conf: org.apache.hadoop.conf.Configuration)
       : Unit = {
     super.initialize(uri, conf)
     setConf(conf)
     fsUri = URI.create(s"$scheme://${uri.getAuthority}")
+    // Credential surface mirroring the reference's access-key flags
+    // (runner.cc:211–216 wires -i/-k into its object-store connection):
+    // when both keys are configured every request carries a deterministic
+    // HMAC-signed Authorization header; servers that require auth reject
+    // anonymous requests with 401 (tested end-to-end in RunnerSpec).
+    auth = for {
+      id <- Option(conf.get("fs.ghttp.auth.id"))
+      secret <- Option(conf.get("fs.ghttp.auth.secret"))
+    } yield (id, secret)
   }
 
   private def scheme: String = "ghttp"
@@ -54,10 +64,33 @@ class GraftHttpFileSystem extends FileSystem {
     new URL(s"http://${Option(u.getAuthority).getOrElse(fsUri.getAuthority)}${u.getPath}")
   }
 
-  override def getFileStatus(f: Path): FileStatus = {
-    val conn = toHttp(f).openConnection().asInstanceOf[HttpURLConnection]
+  /** Per-object metadata cache (reference README.md:98 caches object
+    * metadata the same way): objects in this profile are immutable, and
+    * Spark's file index may stat one object several times per query
+    * (listing, then split planning, then open) — without the cache each
+    * stat is a wire HEAD. Instance-lifetime is the right scope: Hadoop's
+    * FS cache keeps one instance per (scheme, authority, ugi), so the
+    * cache lives exactly as long as the connection profile it fronts. */
+  private val statusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileStatus]()
+
+  override def getFileStatus(f: Path): FileStatus =
+    // computeIfAbsent so concurrent stats of one object (parallel split
+    // planning) collapse to a single wire HEAD; a failed fetch (404/401)
+    // propagates and caches nothing.
+    statusCache.computeIfAbsent(f.toUri.getPath, _ => fetchFileStatus(f))
+
+  private def fetchFileStatus(f: Path): FileStatus = {
+    val url = toHttp(f)
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("HEAD")
+    signFor(auth, "HEAD", url.getPath).foreach(
+      conn.setRequestProperty("Authorization", _))
     try {
+      if (conn.getResponseCode == 401)
+        throw new org.apache.hadoop.security.AccessControlException(
+          s"$f: HTTP 401 — server requires credentials " +
+            "(fs.ghttp.auth.id / fs.ghttp.auth.secret; runner flags -i/-k)")
       if (conn.getResponseCode != 200)
         throw new java.io.FileNotFoundException(
           s"$f: HTTP ${conn.getResponseCode}")
@@ -79,7 +112,7 @@ class GraftHttpFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = getFileStatus(f).getLen
-    new FSDataInputStream(new HttpObjectInputStream(toHttp(f), len))
+    new FSDataInputStream(new HttpObjectInputStream(toHttp(f), len, auth))
   }
 
   override def setWorkingDirectory(d: Path): Unit = ()
@@ -113,10 +146,34 @@ object GraftHttpFileSystem {
     (readOps.get(), headOps.get(), bytesRead.get())
   def resetCounters(): Unit = { readOps.set(0); headOps.set(0); bytesRead.set(0) }
 
+  /** Deterministic request signature: `GRAFT <id>:<hex(hmac-sha256(secret,
+    * method + "\n" + path))>`. A keyed MAC rather than the raw secret in a
+    * header — the shape of object-store request signing (the reference's
+    * store authenticates each request from its access-key pair the same
+    * way), minus provider-specific canonicalization. */
+  def signFor(auth: Option[(String, String)], method: String,
+              path: String): Option[String] =
+    auth.map { case (id, secret) =>
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        secret.getBytes("UTF-8"), "HmacSHA256"))
+      val sig = mac.doFinal(s"$method\n$path".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      s"GRAFT $id:$sig"
+    }
+
   /** Seekable HTTP object stream: one `Range: bytes=pos-…` GET per
     * repositioned read region. */
-  private final class HttpObjectInputStream(url: URL, len: Long)
+  private final class HttpObjectInputStream(url: URL, len: Long,
+                                            auth: Option[(String, String)])
       extends InputStream with Seekable with PositionedReadable {
+
+    private def openSigned(): HttpURLConnection = {
+      val c = url.openConnection().asInstanceOf[HttpURLConnection]
+      signFor(auth, "GET", url.getPath).foreach(
+        c.setRequestProperty("Authorization", _))
+      c
+    }
 
     private var pos = 0L
     private var in: InputStream = _
@@ -124,7 +181,7 @@ object GraftHttpFileSystem {
 
     private def ensureOpen(): InputStream = {
       if (in == null) {
-        conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn = openSigned()
         conn.setRequestProperty("Range", s"bytes=$pos-${len - 1}")
         val rc = conn.getResponseCode
         if (rc != 206 && rc != 200)
@@ -173,7 +230,7 @@ object GraftHttpFileSystem {
                       length: Int): Int = {
       if (position >= len) return -1
       val hi = math.min(position + length, len) - 1
-      val c = url.openConnection().asInstanceOf[HttpURLConnection]
+      val c = openSigned()
       c.setRequestProperty("Range", s"bytes=$position-$hi")
       try {
         val rc = c.getResponseCode

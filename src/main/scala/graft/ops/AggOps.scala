@@ -121,15 +121,55 @@ object AggOps {
                _.cast("string")), ",").as("linenos"))
         .orderBy("l_returnflag")),
 
-    // Interpolated percentiles (median + p90), round-clamped.
-    "q_agg_percentile" -> ((s, d) =>
-      table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-             round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-             round(expr("percentile(l_extendedprice, 0.5)"), 6)
-               .as("p50_price"))
-        .orderBy("l_returnflag")),
+    // Interpolated percentiles (median + p90) with BOUNDED aggregation
+    // state. Spark's exact `percentile` buffers a value→count map per
+    // group (ObjectHashAggregate) — an executor-memory cliff on a
+    // continuous column at scale. Same answer, scale-safe shape:
+    // pre-aggregate (group, value) counts (codegen HashAggregate,
+    // map-side combined — the shuffle moves counts, not rows), then a
+    // sort-based cumulative-rank window locates the two values
+    // bracketing each target rank, and the interpolation reproduces the
+    // exact `(hi-pos)*vlo + (pos-lo)*vhi` arithmetic both engines'
+    // continuous-quantile implementations use. Task state is O(1)
+    // streaming over the sorted run, and the sort spills instead of
+    // OOMing when one group holds billions of distinct values.
+    "q_agg_percentile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def qcont(c: String, ps: Seq[(String, Double)]) = {
+        val counts = table(s, d, "lineitem")
+          .filter(col(c).isNotNull)
+          .groupBy(col("l_returnflag"), col(c).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = counts
+          .withColumn("cum_end",
+            sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("v")))
+          .withColumn("n",
+            sum("cnt").over(Window.partitionBy("l_returnflag")))
+          .withColumn("cum_start", col("cum_end") - col("cnt"))
+        def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
+        val brackets = ps.flatMap { case (name, p) =>
+          val klo = floor(pos(p)).cast("long")
+          val khi = ceil(pos(p)).cast("long")
+          Seq(min(when(col("cum_start") <= klo && klo < col("cum_end"),
+                       col("v"))).as(s"${name}_lo"),
+              min(when(col("cum_start") <= khi && khi < col("cum_end"),
+                       col("v"))).as(s"${name}_hi"))
+        }
+        val agg = cum.groupBy(col("l_returnflag"))
+          .agg(min(col("n")).as("n"), brackets: _*)
+        ps.foldLeft(agg) { case (df, (name, p)) =>
+          df.withColumn(name, round(
+            when(floor(pos(p)) === ceil(pos(p)), col(s"${name}_lo"))
+              .otherwise((ceil(pos(p)) - pos(p)) * col(s"${name}_lo") +
+                         (pos(p) - floor(pos(p))) * col(s"${name}_hi")), 6))
+        }.select(col("l_returnflag") +: ps.map(x => col(x._1)): _*)
+      }
+      qcont("l_quantity", Seq("p50" -> 0.5, "p90" -> 0.9))
+        .join(qcont("l_extendedprice", Seq("p50_price" -> 0.5)),
+              Seq("l_returnflag"))
+        .select("l_returnflag", "p50", "p90", "p50_price")
+        .orderBy("l_returnflag")
+    }),
 
     // Conditional aggregation: per-group counts/sums restricted by
     // predicates (count(CASE…) / sum(CASE…) — FILTER semantics).

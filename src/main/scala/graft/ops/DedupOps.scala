@@ -135,19 +135,108 @@ object DedupOps {
             FROM toks),
     sh AS (SELECT DISTINCT doc_id, shingle FROM shu)"""
 
+  /** Min-label propagation to a fixpoint over a symmetric edge list
+    * (src, dst): every vertex ends labeled with the smallest vertex id
+    * reachable from it. Returns (labels(doc_id, cluster), rounds run).
+    *
+    * Pointer doubling, fused into the neighbor pass: each vertex's label
+    * pointer (v → label(v)) is unioned into the edge list, so ONE
+    * join+aggregate computes min(neighbors' labels, label's label) — v
+    * adopting label(label(v)) halves the distance to the component
+    * minimum every round, O(log diameter) rounds instead of O(diameter)
+    * (asserted on a 10k-diameter chain in DedupSimSpec). (The unfused
+    * form — a separate labels⋈labels self-join for the jump — paid two
+    * extra joins per round, and round cost is dominated by fixed per-job
+    * overhead, not data.)
+    *
+    * The iterate set is usually tiny relative to the corpus, and at full
+    * shuffle width fixed per-task overhead (32 partitions × ~5 exchanges
+    * × rounds) dominates the whole query. Right-sizing is delegated to
+    * AQE partition coalescing — size-first, not parallelism-first (see
+    * the session config in Bench/Verify) — so the loop's shuffles
+    * collapse to a handful of tasks without mutating session-global conf
+    * from inside a query builder (a shared-session race if queries ever
+    * fan out concurrently). */
+  private[graft] def propagateMinLabels(sym: DataFrame, maxIter: Int = 50)
+      : (DataFrame, Int) = {
+    // Only vertices that appear in an edge can ever change label — the
+    // propagation loop runs over that (much smaller) set; every other
+    // doc is its own cluster and joins back in one final pass. At
+    // corpus scale near-dup pairs cover a small fraction of docs, so
+    // this shrinks each round's join from |docs| to |dup-involved docs|.
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).persist()
+    var converged = false
+    var iter = 0
+    // localCheckpoint persists at the RDD level (not the cache manager),
+    // so releasing a finished round means unpersisting THAT RDD — an
+    // unpersist() on the derived `labels` frame is a no-op and the
+    // blocks would linger until ContextCleaner GC. Track each round's
+    // checkpoint RDD and drop it once the following round has
+    // materialized (its blocks are the only remaining reader).
+    var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    while (!converged && iter < maxIter) {
+      val e = sym.unionAll(
+        labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
+      val nbr = labels.join(e, col("doc_id") === col("dst"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
+      // A `changed` flag rides along with the propagated label, and a
+      // LAZY localCheckpoint defers materialization to the convergence
+      // count below — so counting changed labels IS the job that
+      // materializes the round (one job per round, not two). The
+      // checkpoint truncates lineage so every round plans and codegens a
+      // constant-size tree; on a cluster this would be checkpoint() to
+      // durable storage.
+      val next = labels.as("l")
+        .join(nbr, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster"),
+            coalesce(col("nlabel"), col("l.cluster"))).as("cluster"),
+          (coalesce(col("nlabel"), col("l.cluster"))
+            < col("l.cluster")).as("changed"))
+        .localCheckpoint(eager = false)
+      val nChanged = next
+        .agg(coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+      // Round materialized: the first round's cache-manager persist and
+      // every later round's checkpoint blocks are now dead weight. The
+      // final round's checkpoint stays persisted — the returned frame
+      // reads from it (its lineage is truncated, so its blocks must
+      // survive until the caller's action completes).
+      if (iter == 0) labels.unpersist()
+      prevCp.foreach(_.unpersist(blocking = false))
+      prevCp = org.apache.spark.sql.graftshim.Shim.checkpointRdd(next)
+      labels = next.select("doc_id", "cluster")
+      converged = nChanged == 0L
+      iter += 1
+    }
+    if (!converged)
+      // Diverging silently from the recursive-CTE oracle would be a
+      // debugging trap; a component with diameter > maxIter is loud.
+      System.err.println(
+        s"[propagateMinLabels] WARNING: not converged after $maxIter rounds")
+    (labels, iter)
+  }
+
   val queries: Map[String, QB] = Map(
     // Exact dedup on normalized text: one representative (min doc_id) per
-    // distinct normalized body. The shuffle key is md5(norm) — 16 bytes —
-    // not the document body; the body rides along as min(norm) (identical
-    // within a group, so min is a no-op pick). Output schema is unchanged.
-    "q_dedup_exact" -> ((s, d) =>
-      table(s, d, "documents")
-        .withColumn("norm0", trim(lower(col("text"))))
-        .groupBy(md5(col("norm0").cast("binary")))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
-             min(col("norm0")).as("norm"))
+    // distinct normalized body. The aggregation carries only fixed-width
+    // state (min long + count) over the 16-byte md5 key — codegen
+    // HashAggregate; carrying the body itself as min(string) would demote
+    // the whole agg to SortAggregate (a sort on both sides of the
+    // shuffle). The representative's body is recovered by joining the
+    // winning doc_id back to the scan — an equi-join Spark plans as a
+    // spillable sort-merge, moving each body once, same as the agg
+    // shuffle did. Output schema is unchanged.
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), trim(lower(col("text"))).as("norm"))
+      docs.groupBy(md5(col("norm").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .join(docs, Seq("doc_id"))
         .select("doc_id", "n_copies", "norm")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Exact dedup keyed on the md5 hash of the normalized body — the
     // 100 TB shape of q_dedup_exact: the shuffle moves 16-byte keys, not
@@ -178,79 +267,7 @@ object DedupOps {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
-      // Only vertices that appear in an edge can ever change label — the
-      // propagation loop runs over that (much smaller) set; every other
-      // doc is its own cluster and joins back in one final pass. At
-      // corpus scale near-dup pairs cover a small fraction of docs, so
-      // this shrinks each round's join from |docs| to |dup-involved docs|.
-      var labels = sym.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster", col("doc_id")).persist()
-      // The iterate set is usually tiny relative to the corpus, and at
-      // full shuffle width fixed per-task overhead (32 partitions × ~5
-      // exchanges × rounds) dominates the whole query. Right-sizing is
-      // delegated to AQE partition coalescing — size-first, not
-      // parallelism-first (see the session config in Bench/Verify) — so
-      // the loop's shuffles collapse to a handful of tasks without
-      // mutating session-global conf from inside a query builder (a
-      // shared-session race if queries ever fan out concurrently).
-      var converged = false
-      var iter = 0
-      val maxIter = 50
-      // localCheckpoint persists at the RDD level (not the cache manager),
-      // so releasing a finished round means unpersisting THAT RDD — an
-      // unpersist() on the derived `labels` frame is a no-op and the
-      // blocks would linger until ContextCleaner GC. Track each round's
-      // checkpoint RDD and drop it once the following round has
-      // materialized (its blocks are the only remaining reader).
-      var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
-      while (!converged && iter < maxIter) {
-        // Pointer doubling, fused into the neighbor pass: each vertex's
-        // label pointer (v → label(v)) is unioned into the edge list, so
-        // ONE join+aggregate computes min(neighbors' labels, label's
-        // label) — v adopting label(label(v)) halves the distance to the
-        // component minimum every round, O(log diameter) rounds instead
-        // of O(diameter). (The unfused form — a separate labels⋈labels
-        // self-join for the jump — paid two extra joins per round, and
-        // round cost is dominated by fixed per-job overhead, not data.)
-        val e = sym.unionAll(
-          labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
-        val nbr = labels.join(e, col("doc_id") === col("dst"))
-          .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
-        // A `changed` flag rides along with the propagated label, and a
-        // LAZY localCheckpoint defers materialization to the convergence
-        // count below — so counting changed labels IS the job that
-        // materializes the round (one job per round, not two). The
-        // checkpoint truncates lineage so every round plans and codegens a
-        // constant-size tree; on a cluster this would be checkpoint() to
-        // durable storage.
-        val next = labels.as("l")
-          .join(nbr, col("l.doc_id") === col("src"), "left")
-          .select(col("l.doc_id").as("doc_id"),
-            least(col("l.cluster"),
-              coalesce(col("nlabel"), col("l.cluster"))).as("cluster"),
-            (coalesce(col("nlabel"), col("l.cluster"))
-              < col("l.cluster")).as("changed"))
-          .localCheckpoint(eager = false)
-        val nChanged = next
-          .agg(coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)))
-          .head.getLong(0)
-        // Round materialized: the first round's cache-manager persist and
-        // every later round's checkpoint blocks are now dead weight. The
-        // final round's checkpoint stays persisted — the returned frame
-        // reads from it (its lineage is truncated, so its blocks must
-        // survive until the caller's action completes).
-        if (iter == 0) labels.unpersist()
-        prevCp.foreach(_.unpersist(blocking = false))
-        prevCp = org.apache.spark.sql.graftshim.Shim.checkpointRdd(next)
-        labels = next.select("doc_id", "cluster")
-        converged = nChanged == 0L
-        iter += 1
-      }
-      if (!converged)
-        // Diverging silently from the recursive-CTE oracle would be a
-        // debugging trap; a component with diameter > maxIter is loud.
-        System.err.println(
-          s"[q_dedup_clusters] WARNING: not converged after $maxIter rounds")
+      val (labels, _) = propagateMinLabels(sym)
       // the loop is done and labels is checkpoint-materialized; release
       // the per-call edge cache (repeat invocations would stack copies)
       sym.unpersist()

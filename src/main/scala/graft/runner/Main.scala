@@ -81,6 +81,15 @@ object Main {
       o.id.map("spark.hadoop.fs.s3a.access.key" -> _) ++
       o.key.map("spark.hadoop.fs.s3a.secret.key" -> _)
 
+  /** The same credential pair on the exercised remote path: ghttp signs
+    * every HEAD/ranged-GET with an HMAC Authorization header when these
+    * are set (GraftHttpFileSystem.signFor), so `-i/-k` change real request
+    * behavior — the reference's flags do exactly that over its HTTP
+    * object connection (runner.cc:211–216). */
+  private[graft] def ghttpConfigs(o: Opts): Seq[(String, String)] =
+    (o.id.map("spark.hadoop.fs.ghttp.auth.id" -> _) ++
+     o.key.map("spark.hadoop.fs.ghttp.auth.secret" -> _)).toSeq
+
   /** The flagship query template (reference runner.cc:174–182) against one
     * parquet source: 6-predicate open-interval filter, group, min×4 + avg,
     * ORDER BY the avg NULLS LAST. Applied to the reference's Laghos schema
@@ -183,6 +192,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     s3aConfigs(opts).foreach { case (k, v) => builder.config(k, v) }
+    ghttpConfigs(opts).foreach { case (k, v) => builder.config(k, v) }
     // the plain-HTTP monitored object profile (graft.io.GraftHttpFileSystem)
     // — ghttp:// sources count every ranged GET and its wire bytes, the
     // reference's read-op semantics (runner.cc:75–172)

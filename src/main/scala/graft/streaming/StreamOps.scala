@@ -110,11 +110,29 @@ object StreamOps {
     // micro-batches); dropDuplicates keys state on event_id, so the
     // replayed batch adds nothing and the sink equals the batch-distinct
     // result — the at-least-once → exactly-once repair step of an event
-    // pipeline. (Bounded input keeps the keyed state finite here; an
-    // unbounded stream would use dropDuplicatesWithinWatermark.)
+    // pipeline. (Bounded input keeps the keyed state finite here; the
+    // unbounded-stream form with watermark-evicted state is
+    // q_stream_dedup_wm below.)
     "q_stream_dedup" -> ((s, d) =>
       runStream(s, d, "append", copies = 2) { src =>
         src.dropDuplicates("event_id")
+          .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                  col("user_id"), col("event_type"), col("value"))
+      }.orderBy("event_id")),
+
+    // Streaming dedup with BOUNDED state — the unbounded-stream form of
+    // q_stream_dedup: `dropDuplicatesWithinWatermark` keeps a key's state
+    // only until the watermark passes its event time + delay, so state is
+    // O(events in the watermark horizon), not O(all keys ever seen).
+    // Replay still vanishes: a replayed row either finds its key in live
+    // state (within the horizon) or is older than the watermark and is
+    // discarded as late — both paths erase it, so the sink equals the
+    // batch-distinct result and the oracle is the same as q_stream_dedup.
+    // StreamingSpec asserts the state eviction actually happens.
+    "q_stream_dedup_wm" -> ((s, d) =>
+      runStream(s, d, "append", copies = 2) { src =>
+        src.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
                   col("user_id"), col("event_type"), col("value"))
       }.orderBy("event_id")),
@@ -183,6 +201,13 @@ object StreamOps {
 
     // The replayed copy must vanish: dedup(stream ∪ stream) = the table.
     "q_stream_dedup" -> """
+      SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value
+      FROM events
+      ORDER BY event_id""",
+
+    // Same contract as q_stream_dedup — the watermarked variant changes
+    // the state bound, not the answer.
+    "q_stream_dedup_wm" -> """
       SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value
       FROM events
       ORDER BY event_id""",

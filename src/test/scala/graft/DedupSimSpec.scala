@@ -21,6 +21,40 @@ class DedupSimSpec extends SparkTestBase {
     assert(twice.count() == once.count())
   }
 
+  test("pointer doubling: 10k-diameter chain converges in O(log d) rounds") {
+    // ScaleStress's key-shifted copies never grow a component, so the
+    // O(log diameter) claim needs a graph that actually stresses it: a
+    // path of 10 001 vertices (diameter 10 000) whose minimum sits at one
+    // end. Plain min-label propagation needs ~d rounds; the fused
+    // label(label(v)) jump doubles the covered distance per round, so
+    // rounds must stay ≤ ceil(log2 d) + c (c covers the startup round
+    // and the final no-change detection round).
+    val d = 10000L
+    val edges = spark.range(d)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+    val sym = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
+    val (labels, rounds) = ops.DedupOps.propagateMinLabels(sym, maxIter = 50)
+    val wrong = labels.filter($"cluster" =!= 0L).count()
+    sym.unpersist()
+    assert(wrong == 0, s"$wrong vertices missed the component minimum")
+    val bound = math.ceil(math.log(d.toDouble) / math.log(2)).toInt + 3
+    assert(rounds <= bound, s"$rounds rounds for diameter $d (bound $bound)")
+  }
+
+  test("pointer doubling: 10k-leaf star converges in a constant round count") {
+    val leaves = 10000L
+    val edges = spark.range(1, leaves + 1)
+      .select(lit(0L).as("src"), $"id".as("dst"))
+    val sym = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
+    val (labels, rounds) = ops.DedupOps.propagateMinLabels(sym, maxIter = 10)
+    val wrong = labels.filter($"cluster" =!= 0L).count()
+    sym.unpersist()
+    assert(wrong == 0, s"$wrong vertices missed the hub label")
+    assert(rounds <= 4, s"$rounds rounds for a diameter-2 star")
+  }
+
   test("near-identical docs land in the same minhash band bucket") {
     // Two docs sharing all shingles must have identical minhash signatures,
     // hence share all 4 bands; pairs output must contain (1,2) with 4 bands.

@@ -117,6 +117,31 @@ class RunnerSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("CLI -i/-k drive real request auth on the HTTP object profile") {
+    val creds = ("TESTKEY", "TESTSECRET")
+    val server = TestHttpObjectServer.serve(sf0001, auth = Some(creds))
+    try {
+      val src = s"ghttp://127.0.0.1:${server.getAddress.getPort}/lineitem.parquet\n"
+      // without credentials: the server's 401 surfaces as a per-file error
+      // (isolation keeps exit 0), zero hits, no chunk output
+      val (code0, out0, err0) = spawnRunner(Seq("-j", "1"), src)
+      assert(code0 == 0, s"exit=$code0")
+      assert(err0.contains("error processing"), s"expected a 401-driven error:\n$err0")
+      assert(err0.contains("Total hits: 0"))
+      assert(!out0.contains("Chunk - ["))
+      // with -i/-k: every HEAD/GET is HMAC-signed, query green, GET-level
+      // op accounting intact
+      val (code1, out1, err1) = spawnRunner(
+        Seq("-i", creds._1, "-k", creds._2, "-j", "1"), src)
+      assert(code1 == 0, s"exit=$code1 stderr:\n${err1.takeRight(2000)}")
+      assert(!err1.contains("error processing"), s"unexpected error:\n$err1")
+      val opsLine = err1.linesIterator.find(_.startsWith("Total read ops: "))
+      assert(opsLine.isDefined, s"no GET-level op line in:\n$err1")
+      assert(opsLine.get.stripPrefix("Total read ops: ").trim.toLong > 0)
+      assert(out1.linesIterator.exists(_.startsWith("Chunk - [5 Columns]")))
+    } finally server.stop(0)
+  }
+
   test("flagship on laghos schema: boundary rows excluded, sorted by E") {
     val df = Seq(
       (1, 1.55, 1.55, 1.55, 10.0),  // inside

@@ -135,6 +135,47 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state via eviction") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_stream").start()
+    // batch 1: 50 keys at hour 0
+    mem.addData((1L to 50L).map(i => (i, t("2024-01-01 00:00:00"))): _*)
+    q.processAllAvailable()
+    // batch 2: 10 fresh keys 10 hours later → watermark jumps to 09:00,
+    // far past hour-0 keys' expiry (00:00 + 1 h) → their state is evicted
+    mem.addData((101L to 110L).map(i => (i, t("2024-01-01 10:00:00"))): _*)
+    q.processAllAvailable()
+    // batch 3: replay of a batch-2 key (in live state → deduped) plus a
+    // progress tick so lastProgress reflects the post-eviction store
+    mem.addData((101L, t("2024-01-01 10:00:00")),
+                (111L, t("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    val state = q.lastProgress.stateOperators(0)
+    q.stop()
+    // unbounded dropDuplicates would hold all 61 keys forever; the
+    // watermarked store holds only the live horizon
+    assert(state.numRowsTotal < 20,
+      s"state grew to ${state.numRowsTotal} — eviction not happening")
+    val ids = spark.table("dedup_wm_stream").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == ((1L to 50L) ++ (101L to 111L)),
+      "replayed key leaked into the sink or rows were lost")
+  }
+
+  test("q_stream_dedup_wm equals the batch-distinct result under replay") {
+    val got = StreamOps.queries("q_stream_dedup_wm")(spark, sf0001)
+      .collect().toSeq
+    val want = StreamOps.queries("q_stream_dedup")(spark, sf0001)
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("stream-stream inner join matches keys across sides") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
