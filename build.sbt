@@ -25,10 +25,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
-  // Bench calls System.gc() between timed queries to keep one query's
-  // garbage out of the next one's timed window; make that a concurrent
-  // G1 cycle, not a stop-the-world full GC, so the hint stays cheap.
-  "-XX:+ExplicitGCInvokesConcurrent",
+  // (Deliberately NOT -XX:+ExplicitGCInvokesConcurrent: Bench's
+  // between-query System.gc() must finish before the next timed window
+  // opens — a concurrent cycle steals cores from the query being
+  // measured, which benchmarked strictly worse on both the flagship and
+  // the suite total.)
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // keep saveAsTable output (SinksSpec bucketed tables) out of the repo

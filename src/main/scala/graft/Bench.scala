@@ -47,6 +47,22 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-speed calibration: a fixed CPU-bound workload (codegen'd
+    // range-sum across all cores), median-of-3. Same-code flagship
+    // timings measured 0.49 s vs 0.94 s in one afternoon on this build
+    // host — raw seconds are NOT comparable across rounds unless the
+    // host ran at the same speed, so the JSON carries the yardstick
+    // (start AND end of the run; the host can drift mid-run too).
+    // Compare rounds on sec/calib, not sec.
+    def calibrate(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val calibStart = calibrate()
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = named.map { case (n, fn) => n -> once(fn) }
     def releaseCaches(): Unit = {
@@ -81,7 +97,8 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = cold.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"sf":"$sfDir"}""")
+    val calibEnd = calibrate()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
