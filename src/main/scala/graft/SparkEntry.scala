@@ -24,7 +24,8 @@ object SparkEntry {
       WindowOps.queries ++ SortSetOps.queries ++ FuncOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
       MultimodalOps.queries ++ PipelineOps.queries ++
-      WarehouseOps.queries ++ graft.streaming.StreamOps.queries
+      WarehouseOps.queries ++ EventOps.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -35,5 +36,6 @@ object SparkEntry {
       WindowOps.oracles ++ SortSetOps.oracles ++ FuncOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
       MultimodalOps.oracles ++ PipelineOps.oracles ++
-      WarehouseOps.oracles ++ graft.streaming.StreamOps.oracles
+      WarehouseOps.oracles ++ EventOps.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` fixture (round-5 additions):
+  * conversion funnel, weekly cohort retention, and activity streaks
+  * (gaps-and-islands). The reference harness has no event analytics — these
+  * extend the declared inventory (SURVEY.md §2.3) with the shapes an
+  * event-log warehouse runs daily.
+  *
+  * Scale posture: every query here is (a) one `groupBy(user_id)` shuffle to
+  * build the per-user anchor (first signup / first event / distinct days),
+  * then (b) an equi-join back on user_id with any time predicate as a
+  * residual — hash joins end to end, never a theta-only join. Week/day
+  * bucketing happens before the final aggregation, so the last shuffle is
+  * keyed on the (small) bucket space, not on users.
+  */
+object EventOps {
+
+  val queries: Map[String, QB] = Map(
+    // Conversion funnel: per signup-cohort week, how many signed-up users
+    // made a purchase within 7 days of their FIRST signup. The 7-day
+    // window rides the user_id equi-join as a residual predicate (hash
+    // join, not a range-only theta join).
+    "q_funnel" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      su.join(pur,
+          col("user_id") === col("p_user") &&
+          col("pts") >= col("signup_ts") &&
+          col("pts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), "left")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(count(col("pts")).as("n_purch_7d"))
+        .groupBy(unix_micros(date_trunc("week", col("signup_ts")))
+          .as("cohort_week"))
+        .agg(count(lit(1)).as("n_signups"),
+             sum(when(col("n_purch_7d") > 0, 1L).otherwise(0L))
+               .as("n_converted"))
+        .withColumn("conv_rate",
+          r6(col("n_converted").cast("double") / col("n_signups")))
+        .orderBy("cohort_week")
+    }),
+
+    // Weekly cohort retention: cohort = week of a user's first event (any
+    // type); the cell (cohort_week, week_k) counts users from that cohort
+    // active k weeks later. Both week buckets are Monday-truncated on both
+    // engines, so the week delta is an exact multiple of 7 days.
+    "q_retention" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+        .distinct()
+      cohort.join(active, "user_id")
+        .select(unix_micros(col("cw")).as("cohort_week"),
+          (datediff(col("aw"), col("cw")) / lit(7)).cast("long").as("week_k"))
+        .groupBy("cohort_week", "week_k")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_k")
+    }),
+
+    // Activity streaks (gaps-and-islands): runs of consecutive active days
+    // per user. The island anchor is `day - row_number()` — constant
+    // within a run of consecutive days — the standard O(1)-state
+    // formulation: one shuffle by user, one window sort, one aggregate.
+    "q_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      table(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(min(col("day")).as("streak_start"),
+             max(col("day")).as("streak_end"),
+             count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+                col("n_days"))
+        .orderBy("user_id", "streak_start")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> """
+      WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      pu AS (SELECT user_id, ts AS pts FROM events
+             WHERE event_type = 'purchase'),
+      c AS (SELECT su.user_id, su.signup_ts, count(pu.pts) AS n_purch_7d
+            FROM su LEFT JOIN pu
+              ON su.user_id = pu.user_id
+             AND pu.pts >= su.signup_ts
+             AND pu.pts <= su.signup_ts + INTERVAL 7 DAY
+            GROUP BY su.user_id, su.signup_ts)
+      SELECT epoch_us(date_trunc('week', signup_ts)) AS cohort_week,
+             count(*) AS n_signups,
+             CAST(sum(CASE WHEN n_purch_7d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+             round(CAST(sum(CASE WHEN n_purch_7d > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS conv_rate
+      FROM c
+      GROUP BY date_trunc('week', signup_ts)
+      ORDER BY cohort_week""",
+
+    "q_retention" -> """
+      WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                      FROM events GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+                 FROM events)
+      SELECT epoch_us(cw) AS cohort_week,
+             CAST(datediff('day', cw, aw) / 7 AS BIGINT) AS week_k,
+             count(*) AS n_active
+      FROM cohort JOIN active USING (user_id)
+      GROUP BY cw, CAST(datediff('day', cw, aw) / 7 AS BIGINT)
+      ORDER BY cohort_week, week_k""",
+
+    "q_streaks" -> """
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events),
+      r AS (SELECT user_id, day,
+                   row_number() OVER (PARTITION BY user_id ORDER BY day)
+                     AS rn
+            FROM days)
+      SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+             count(*) AS n_days
+      FROM r
+      GROUP BY user_id, day - CAST(rn AS INTEGER)
+      ORDER BY user_id, streak_start""",
+  )
+}
