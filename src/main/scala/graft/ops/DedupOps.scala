@@ -317,6 +317,67 @@ object DedupOps {
         .orderBy("degree")
     }),
 
+    // Train/test decontamination (round 5): which held-out docs share
+    // 3-shingles with the training split? Split assignment is the same
+    // deterministic md5 bucket as q_split_assign; the train side is
+    // reduced to its DISTINCT shingle-hash set BEFORE the join, so the
+    // probe is strictly linear — test shingles ⋈ train-shingle set is a
+    // semi-join-shaped hash join, never the quadratic posting-list
+    // self-join of the dedup pair queries. At 100 TB the train-shingle
+    // set is the big side (shuffle hash join on h); no per-shingle
+    // blowup is possible because each test shingle matches at most one
+    // set row. Docs under 3 tokens have no shingles and are absent on
+    // both engines.
+    "q_contamination" -> ((s, d) => {
+      val assign = table(s, d, "documents").select(col("doc_id"),
+        pmod(md5hash32(col("doc_id").cast("string")), lit(100)).as("hb"))
+      val sh = hashedShingles(s, d)
+      val trainH = sh
+        .join(assign.filter(col("hb") < 80).select("doc_id"), "doc_id")
+        .select("h").distinct().withColumn("hit", lit(1L))
+      sh.join(assign.filter(col("hb") >= 90).select("doc_id"), "doc_id")
+        .join(trainH, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contamination",
+          r6(col("n_contaminated").cast("double") / col("n_shingles")))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-chunk audit (round 5): 16-token chunks hashed corpus-wide;
+    // a chunk instance is "duplicated" if its hash occurs in >1 distinct
+    // doc — the chunk-level (paragraph-level) twin of exact dedup, and the
+    // standard boilerplate detector (headers/footers/templates shared
+    // across documents). Two aggregations keyed on the 8-byte chunk hash
+    // + one join back; the explode is a Generate (no shuffle), so the
+    // whole query moves hashes, never chunk text.
+    "q_dedup_chunk" -> ((s, d) => {
+      val C = 16
+      val chunks = memo(s, d, "chunks16") {
+        table(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("tok", split(col("text"), " "))
+          .select(col("doc_id"), col("tok"),
+            explode(sequence(lit(0),
+              ((size(col("tok")) - 1) / lit(C)).cast("int"))).as("cid"))
+          .select(col("doc_id"),
+            md5hash32(array_join(
+              slice(col("tok"), col("cid") * C + 1, lit(C)), " ")).as("h"))
+          .persist()
+      }
+      val dup = chunks.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("h").withColumn("dup", lit(1L))
+      chunks.join(dup, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(coalesce(col("dup"), lit(0L))).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          r6(col("n_dup_chunks").cast("double") / col("n_chunks")))
+        .orderBy("doc_id")
+    }),
+
     // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
     // sharing ≥1 band. This is the sub-quadratic scale path for near-dup.
     "q_dedup_minhash" -> ((s, d) => {
@@ -494,6 +555,49 @@ object DedupOps {
       deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
       SELECT degree, count(*) AS n_docs
       FROM deg GROUP BY degree ORDER BY degree""",
+
+    "q_contamination" -> s"""
+      WITH $shinglesSql,
+      shh AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+              FROM sh),
+      a AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS hb
+            FROM documents),
+      tr AS (SELECT DISTINCT h FROM shh JOIN a USING (doc_id) WHERE hb < 80),
+      te AS (SELECT shh.doc_id, shh.h FROM shh JOIN a USING (doc_id)
+             WHERE hb >= 90)
+      SELECT te.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated,
+             round(CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS contamination
+      FROM te LEFT JOIN tr ON te.h = tr.h
+      GROUP BY te.doc_id
+      ORDER BY doc_id""",
+
+    "q_dedup_chunk" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+                 FROM documents),
+      c AS (SELECT doc_id, tok,
+                   unnest(range(0, ((len(tok) - 1) // 16) + 1)) AS cid
+            FROM t),
+      ch AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(array_to_string(
+                      tok[cid * 16 + 1 : cid * 16 + 16], ' ')), 1, 8))
+                      AS BIGINT) AS h
+             FROM c),
+      dup AS (SELECT h FROM ch GROUP BY h
+              HAVING count(DISTINCT doc_id) > 1)
+      SELECT ch.doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_chunks,
+             round(CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS dup_frac
+      FROM ch LEFT JOIN dup ON ch.h = dup.h
+      GROUP BY ch.doc_id
+      ORDER BY doc_id""",
 
     "q_dedup_minhash" -> s"""
       WITH $shinglesSql,

@@ -111,6 +111,49 @@ class DedupSimSpec extends SparkTestBase {
     assert(recall >= 0.9, s"banded recall $recall < 0.9 — band params regressed")
   }
 
+  test("contamination: flagged shingles really exist in the train split") {
+    // Recompute both sides independently: every test doc's contaminated
+    // count must equal the size of the intersection between its shingle
+    // set and the union of train-split shingles.
+    val docs = ops.table(spark, sf0001, "documents")
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(1, size(tok) - 2),
+             i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
+                            element_at(tok, i + 2))))""")).as("shingle"))
+      .withColumn("hb", pmod(ops.md5hash32($"doc_id".cast("string")), lit(100)))
+    val trainSh = docs.filter($"hb" < 80)
+      .select("shingle").as[String].collect().toSet
+    val testSh = docs.filter($"hb" >= 90)
+      .select("doc_id", "shingle").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = ops.DedupOps.queries("q_contamination")(spark, sf0001)
+      .select($"doc_id".as[Long], $"n_shingles".as[Long],
+              $"n_contaminated".as[Long]).collect()
+    assert(got.map(_._1).toSet == testSh.keySet)
+    got.foreach { case (id, nSh, nCont) =>
+      assert(nSh == testSh(id).size)
+      assert(nCont == testSh(id).count(trainSh.contains))
+    }
+  }
+
+  test("dedup_chunk: identical docs have dup_frac 1; unique docs 0") {
+    val out = ops.DedupOps.queries("q_dedup_chunk")(spark, sf0001)
+      .select($"doc_id".as[Long], $"dup_frac".as[Double]).collect().toMap
+    // the corpus has exact duplicate bodies (q_dedup_exact finds them);
+    // every chunk of an exact-duplicate doc occurs in its twin, so its
+    // dup_frac must be exactly 1
+    val dupDocs = ops.table(spark, sf0001, "documents")
+      .groupBy(trim(lower($"text")).as("norm"))
+      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select(explode($"ids").as("doc_id")).as[Long].collect()
+    assert(dupDocs.nonEmpty, "fixture lost its exact duplicates")
+    dupDocs.foreach(id => assert(out(id) == 1.0, s"doc $id dup_frac ${out(id)}"))
+    assert(out.values.forall(f => f >= 0.0 && f <= 1.0))
+  }
+
   test("property: jaccard of identical shingle sets is 1") {
     val prop = Prop.forAll(
       Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) {
