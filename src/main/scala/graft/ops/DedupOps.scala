@@ -94,12 +94,18 @@ object DedupOps {
   /** The distinct hashed-shingle set, memoized+persisted under its own
     * tag (so clearPairsCache releases it) — the largest frame in this
     * module, read by the uncapped pair join, the stop-shingle filter,
-    * and (without the persist) rebuilt once per consumer because
-    * Catalyst has no cross-branch subtree reuse. */
+    * the contamination probe, and (without the persist) rebuilt once per
+    * consumer because Catalyst has no cross-branch subtree reuse.
+    * 60-bit hash: shingle hashes are corpus-wide-cardinality keys, and a
+    * 32-bit space saturates at 100 TB (see md5hash60's scaladoc); only
+    * the MinHash signature inputs stay 32-bit (their permutation
+    * arithmetic would overflow int64 at 60 bits — and MinHash is an
+    * approximation by construction, so collision noise there is already
+    * inside the error budget). */
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     memo(s, d, "jaccard_sh") {
       shingles(s, d)
-        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+        .select(col("doc_id"), md5hash60(col("shingle")).as("h"))
         .distinct()
         .persist()
     }
@@ -111,7 +117,7 @@ object DedupOps {
   /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
   private lazy val jaccardPairsSql = s"""$shinglesSql,
       shh AS (SELECT DISTINCT doc_id,
-                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
               FROM sh),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -351,7 +357,10 @@ object DedupOps {
     // standard boilerplate detector (headers/footers/templates shared
     // across documents). Two aggregations keyed on the 8-byte chunk hash
     // + one join back; the explode is a Generate (no shuffle), so the
-    // whole query moves hashes, never chunk text.
+    // whole query moves hashes, never chunk text. The hash is 60-bit
+    // (md5hash60): chunk hashes are corpus-cardinality keys, so a 32-bit
+    // space would saturate at 100 TB and birthday collisions would
+    // inflate dup_frac with false positives.
     "q_dedup_chunk" -> ((s, d) => {
       val C = 16
       val chunks = memo(s, d, "chunks16") {
@@ -362,7 +371,7 @@ object DedupOps {
             explode(sequence(lit(0),
               ((size(col("tok")) - 1) / lit(C)).cast("int"))).as("cid"))
           .select(col("doc_id"),
-            md5hash32(array_join(
+            md5hash60(array_join(
               slice(col("tok"), col("cid") * C + 1, lit(C)), " ")).as("h"))
           .persist()
       }
@@ -529,7 +538,7 @@ object DedupOps {
     "q_dedup_ngram_capped" -> s"""
       WITH $shinglesSql,
       shh AS (SELECT DISTINCT doc_id,
-                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
               FROM sh),
       hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > 50),
       shf AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
@@ -559,7 +568,7 @@ object DedupOps {
     "q_contamination" -> s"""
       WITH $shinglesSql,
       shh AS (SELECT DISTINCT doc_id,
-                     CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
               FROM sh),
       a AS (SELECT doc_id,
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -585,7 +594,7 @@ object DedupOps {
             FROM t),
       ch AS (SELECT doc_id,
                     CAST(('0x' || substr(md5(array_to_string(
-                      tok[cid * 16 + 1 : cid * 16 + 16], ' ')), 1, 8))
+                      tok[cid * 16 + 1 : cid * 16 + 16], ' ')), 1, 15))
                       AS BIGINT) AS h
              FROM c),
       dup AS (SELECT h FROM ch GROUP BY h

@@ -53,4 +53,18 @@ package object ops {
     * Oracle spelling: CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT). */
   def md5hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit deterministic string hash (first 15 hex chars of md5 — the
+    * widest md5 prefix that parses as a non-negative signed BIGINT in both
+    * engines). Use for corpus-wide-cardinality keys (chunk/shingle content
+    * hashes): at 100 TB the population reaches trillions of distinct keys,
+    * where a 32-bit space is fully saturated and birthday collisions would
+    * dominate dup/contamination counts; 60 bits keeps the expected
+    * collision count below ~1 per 10^9 keys² pairing.
+    * 32-bit stays appropriate for SMALL co-domains (bucket assignment
+    * mod 100, MinHash permutation inputs — whose arithmetic h*19+8 would
+    * overflow int64 on 60-bit inputs).
+    * Oracle spelling: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT). */
+  def md5hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 }
