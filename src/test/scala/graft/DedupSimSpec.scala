@@ -114,7 +114,11 @@ class DedupSimSpec extends SparkTestBase {
   test("contamination: flagged shingles really exist in the train split") {
     // Recompute both sides independently: every test doc's contaminated
     // count must equal the size of the intersection between its shingle
-    // set and the union of train-split shingles.
+    // set and the union of train-split shingles. The ground truth is
+    // computed in the SAME 60-bit hash space the query uses (md5hash60),
+    // not on raw strings — otherwise a hash collision in the query would
+    // flip a count and the test would conflate "collision happened" with
+    // "query is wrong". Collision-freeness of the fixture is not assumed.
     val docs = ops.table(spark, sf0001, "documents")
       .select($"doc_id", split($"text", " ").as("tok"))
       .filter(size($"tok") >= 3)
@@ -122,11 +126,12 @@ class DedupSimSpec extends SparkTestBase {
         """array_distinct(transform(sequence(1, size(tok) - 2),
              i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1),
                             element_at(tok, i + 2))))""")).as("shingle"))
+      .withColumn("h", ops.md5hash60($"shingle"))
       .withColumn("hb", pmod(ops.md5hash32($"doc_id".cast("string")), lit(100)))
     val trainSh = docs.filter($"hb" < 80)
-      .select("shingle").as[String].collect().toSet
+      .select("h").as[Long].collect().toSet
     val testSh = docs.filter($"hb" >= 90)
-      .select("doc_id", "shingle").as[(Long, String)].collect()
+      .select("doc_id", "h").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val got = ops.DedupOps.queries("q_contamination")(spark, sf0001)
       .select($"doc_id".as[Long], $"n_shingles".as[Long],
@@ -139,19 +144,21 @@ class DedupSimSpec extends SparkTestBase {
   }
 
   test("dedup_chunk: identical docs have dup_frac 1; unique docs 0") {
-    val out = ops.DedupOps.queries("q_dedup_chunk")(spark, sf0001)
+    // The shared sf fixtures contain zero exact-duplicate bodies, so the
+    // premise "duplicates exist" must be guaranteed by construction: build
+    // a temp documents.parquet with two identical 40-token bodies (3
+    // chunks each at C=16) and one disjoint-vocabulary unique body. Every
+    // chunk of a twin occurs in the other twin -> dup_frac exactly 1.0;
+    // no chunk of the unique doc occurs elsewhere -> exactly 0.0.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chunk_fixture").toString
+    val twin = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val uniq = (1 to 40).map(i => s"only$i").mkString(" ")
+    Seq((1L, twin), (2L, twin), (3L, uniq)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.DedupOps.queries("q_dedup_chunk")(spark, dir)
       .select($"doc_id".as[Long], $"dup_frac".as[Double]).collect().toMap
-    // the corpus has exact duplicate bodies (q_dedup_exact finds them);
-    // every chunk of an exact-duplicate doc occurs in its twin, so its
-    // dup_frac must be exactly 1
-    val dupDocs = ops.table(spark, sf0001, "documents")
-      .groupBy(trim(lower($"text")).as("norm"))
-      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("n"))
-      .filter($"n" > 1)
-      .select(explode($"ids").as("doc_id")).as[Long].collect()
-    assert(dupDocs.nonEmpty, "fixture lost its exact duplicates")
-    dupDocs.foreach(id => assert(out(id) == 1.0, s"doc $id dup_frac ${out(id)}"))
-    assert(out.values.forall(f => f >= 0.0 && f <= 1.0))
+    assert(out == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0), s"got $out")
   }
 
   test("property: jaccard of identical shingle sets is 1") {
