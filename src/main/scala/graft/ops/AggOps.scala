@@ -262,24 +262,38 @@ object AggOps {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
-    // arg-max/arg-min aggregates (SQL max_by/min_by): the value of one
-    // column at another column's extremum — single-pass, map-side
-    // combinable (each partial keeps one (ord, val) pair per group).
-    // The ordering column is the UNIQUE o_orderkey: max_by on a column
-    // with ties is nondeterministic in BOTH engines, so tie-free ordering
-    // is part of this operator's determinism contract.
-    "q_agg_minmax_by" -> ((s, d) =>
-      table(s, d, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(max_by(col("o_orderpriority"), col("o_orderkey"))
-               .as("latest_priority"),
-             min_by(col("o_orderpriority"), col("o_orderkey"))
-               .as("first_priority"),
-             max(col("o_orderkey")).as("max_key"),
-             min(col("o_orderkey")).as("min_key"),
-             r6(max_by(col("o_totalprice"), col("o_orderkey")))
-               .as("latest_price"))
-        .orderBy("o_orderstatus")),
+    // arg-max/arg-min (SQL max_by/min_by): the value of one column at
+    // another column's extremum. Spark plans max_by — and max(struct(...))
+    // — as SortAggregate, because a string-bearing aggregation buffer is
+    // not mutable fixed-width; at 100 TB that is a per-partition sort of
+    // the whole fact table. Re-expressed as the scalable argmax shape:
+    // (1) a pure-BIGINT extremum aggregate (codegen HashAggregate, map-side
+    // combinable), then (2) broadcast join-backs on the tiny per-group
+    // extremum frame to fetch the string/double payloads — one exact match
+    // per group because the ordering column o_orderkey is UNIQUE (max_by on
+    // a tied ordering is nondeterministic in BOTH engines, so tie-free
+    // ordering is part of this operator's determinism contract).
+    "q_agg_minmax_by" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val ext = o.groupBy(col("o_orderstatus"))
+        .agg(max(col("o_orderkey")).as("max_key"),
+             min(col("o_orderkey")).as("min_key"))
+      val atMax = o.join(
+          broadcast(ext.select(col("o_orderstatus").as("xs"), col("max_key"))),
+          col("o_orderkey") === col("max_key"))
+        .select(col("xs"), col("o_orderpriority").as("latest_priority"),
+                r6(col("o_totalprice")).as("latest_price"))
+      val atMin = o.join(
+          broadcast(ext.select(col("o_orderstatus").as("ns"), col("min_key"))),
+          col("o_orderkey") === col("min_key"))
+        .select(col("ns"), col("o_orderpriority").as("first_priority"))
+      ext.join(broadcast(atMax), col("o_orderstatus") === col("xs"))
+        .join(broadcast(atMin), col("o_orderstatus") === col("ns"))
+        .select(col("o_orderstatus"), col("latest_priority"),
+                col("first_priority"), col("max_key"), col("min_key"),
+                col("latest_price"))
+        .orderBy("o_orderstatus")
+    }),
 
     // Mode (most frequent value) per group, ties broken by the smaller
     // value — count-then-rank, both shuffles keyed on the group (the

@@ -45,6 +45,36 @@ object EventOps {
         .orderBy("cohort_week")
     }),
 
+    // Multi-step ORDERED funnel: view → click → purchase, each step
+    // strictly at-or-after the previous step's first occurrence (an
+    // unordered "did all three" count would overstate conversion). Three
+    // stacked per-user windows with unbounded frames: vts = first view;
+    // cts = first click with ts >= vts; pts = first purchase with
+    // ts >= cts. All three Window operators share the user_id
+    // partitioning, so Spark reuses ONE exchange — the whole funnel costs
+    // a single shuffle of the event log plus a per-user dedup aggregate.
+    // (The fixture's event vocabulary has no "cart"; click is the
+    // mid-funnel step.)
+    "q_funnel_steps" -> ((s, d) => {
+      val wU = Window.partitionBy(col("user_id"))
+      table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("vts",
+          min(when(col("event_type") === "view", col("ts"))).over(wU))
+        .withColumn("cts",
+          min(when(col("event_type") === "click" &&
+                   col("ts") >= col("vts"), col("ts"))).over(wU))
+        .withColumn("pts",
+          min(when(col("event_type") === "purchase" &&
+                   col("ts") >= col("cts"), col("ts"))).over(wU))
+        .groupBy(col("user_id"))
+        .agg(max(col("vts")).as("uvts"), max(col("cts")).as("ucts"),
+             max(col("pts")).as("upts"))
+        .agg(count(col("uvts")).as("n_view"),
+             count(col("ucts")).as("n_view_click"),
+             count(col("upts")).as("n_view_click_purchase"))
+    }),
+
     // Weekly cohort retention: cohort = week of a user's first event (any
     // type); the cell (cohort_week, week_k) counts users from that cohort
     // active k weeks later. Both week buckets are Monday-truncated on both
@@ -105,6 +135,21 @@ object EventOps {
       FROM c
       GROUP BY date_trunc('week', signup_ts)
       ORDER BY cohort_week""",
+
+    "q_funnel_steps" -> """
+      WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.vts
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.cts
+            GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+             (SELECT count(*) FROM c) AS n_view_click,
+             (SELECT count(*) FROM p) AS n_view_click_purchase""",
 
     "q_retention" -> """
       WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cw

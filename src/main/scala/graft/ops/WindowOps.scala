@@ -65,14 +65,50 @@ object WindowOps {
 
     // Ranking distributions: percent_rank / cume_dist / ntile — all
     // deterministic because the window ordering (value, event_id) is total.
+    // event_type has ~5 distinct values, and a window partition cannot be
+    // split by AQE — partitioning the raw table on it funnels everything
+    // through ≤5 reducers at 100×. Distributed-rank rewrite instead:
+    // (1) value-bucket each row (vb monotone in value, width 0.25 → ~2k
+    //     buckets on this corpus; the width is the splittability dial);
+    // (2) per-(event_type, vb) row counts → cumulative offsets via a
+    //     window over the TINY aggregated frame (bucket-cardinality rows,
+    //     a bounded input, so the ≤5-way partition key is safe there);
+    // (3) per-row rank = broadcast-joined bucket offset + local row_number
+    //     within (event_type, vb) — a splittable window partition key.
+    // With a total ordering, rank == row_number, so pr = (rn-1)/(N-1),
+    // cd = rn/N, and ntile(4) is arithmetic on (rn, N) — identical output
+    // to the single-window spelling the oracle uses.
     "q_window_pct" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
+      val e = table(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("vb", floor(col("value") * 4).cast("long"))
+      val counts = e.groupBy(col("event_type"), col("vb"))
+        .agg(count(lit(1)).as("nb"))
+      val wOff = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("nb")).over(wOff), lit(0L)))
+        .withColumn("n", sum(col("nb")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type").as("o_et"), col("vb").as("o_vb"),
+                col("off"), col("n"))
+      val wLoc = Window.partitionBy(col("event_type"), col("vb"))
         .orderBy(col("value"), col("event_id"))
-      table(s, d, "events")
+      val q = lit(4L)
+      e.join(broadcast(offsets),
+          col("event_type") === col("o_et") && col("vb") === col("o_vb"))
+        .withColumn("rn", col("off") + row_number().over(wLoc))
+        .withColumn("base", (col("n") / q).cast("long"))
+        .withColumn("rem", col("n") % q)
         .select(col("event_type"), col("event_id"), col("value"),
-          r6(percent_rank().over(w)).as("pr"),
-          r6(cume_dist().over(w)).as("cd"),
-          ntile(4).over(w).cast("long").as("quartile"))
+          r6(when(col("n") > 1,
+              (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .otherwise(lit(0.0))).as("pr"),
+          r6(col("rn").cast("double") / col("n").cast("double")).as("cd"),
+          when(col("rn") <= (col("base") + 1) * col("rem"),
+              (col("rn") - 1) / (col("base") + 1) + 1)
+            .otherwise(col("rem")
+              + (col("rn") - 1 - (col("base") + 1) * col("rem")) / col("base")
+              + 1).cast("long").as("quartile"))
         .orderBy("event_type", "event_id")
     }),
 
@@ -91,16 +127,35 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
-    // Top-k per group: row_number filter (the scalable per-group top-n —
-    // one shuffle, no global sort).
+    // Top-k per group. l_returnflag has 3 distinct values, and a window
+    // partition cannot be split by AQE — a bare row_number over it funnels
+    // the whole fact table through 3 reducers at 100×. Salted two-pass
+    // instead: hash-salt each flag into 32 sub-partitions and keep the
+    // local top-3 per (flag, salt) — any row in the global top-3 is
+    // necessarily in its salt bucket's top-3, so the survivor set
+    // (≤ 3·32 rows per flag) contains the answer. The final 3-partition
+    // window then runs over a BOUNDED input (k·salts rows per flag), which
+    // is the guarantee that makes the low-cardinality key safe. Output is
+    // identical to the single-window spelling the oracle uses: survivors
+    // are a superset of the top-3 under the same total preference order.
     "q_topk_per_group" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
-                 asc("l_linenumber"))
+      val k = 3
+      val salts = 32
+      val ord = Seq(desc("l_extendedprice"), asc("l_orderkey"),
+                    asc("l_linenumber"))
+      val wPartial = Window
+        .partitionBy(col("l_returnflag"), col("salt")).orderBy(ord: _*)
+      val wFinal = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
       table(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(w).cast("long").as("rn"))
-        .filter(col("rn") <= 3)
+                col("l_orderkey"), col("l_linenumber"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        .withColumn("prn", row_number().over(wPartial))
+        .filter(col("prn") <= k)
+        .withColumn("rn", row_number().over(wFinal).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("rn"))
         .orderBy("l_returnflag", "rn")
     }),
 
