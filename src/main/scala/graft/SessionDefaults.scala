@@ -30,9 +30,15 @@ object SessionDefaults {
               "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.ui.enabled", "false")
-      // Engine extension: date-interval theta joins rewrite to binned
-      // equi-joins (graft.plans.RangeJoinBinning); kill switch
-      // spark.graft.rangeJoinBin.enabled=false.
-      .withExtensions(_.injectOptimizerRule(_ =>
-        graft.plans.RangeJoinBinning))
+      // Engine extensions: date-interval theta joins rewrite to binned
+      // equi-joins (graft.plans.RangeJoinBinning, kill switch
+      // spark.graft.rangeJoinBin.enabled=false); global sorts over
+      // runtime-verified tiny AQE stages drop the range exchange +
+      // sampling job (graft.plans.TinySortSingularize, kill switch
+      // spark.graft.tinySort.enabled=false).
+      .withExtensions { e =>
+        e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+        e.injectRuntimeOptimizerRule(_ =>
+          graft.plans.TinySortSingularize)
+      }
 }

@@ -16,6 +16,7 @@ object FlagshipTune {
     val fn = graft.SparkEntry.queries(name)
     val combos: Seq[(String, Map[String, String])] = Seq(
       "defaults" -> Map(),
+      "tinySortOff" -> Map("spark.graft.tinySort.enabled" -> "false"),
       "split128m+shuffle8" -> Map(
         "spark.sql.files.maxPartitionBytes" -> "128m",
         "spark.sql.shuffle.partitions" -> "8"),

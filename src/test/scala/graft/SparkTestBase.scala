@@ -12,8 +12,11 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .withExtensions(_.injectOptimizerRule(_ =>
-        graft.plans.RangeJoinBinning))
+      .withExtensions { e =>
+        e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+        e.injectRuntimeOptimizerRule(_ =>
+          graft.plans.TinySortSingularize)
+      }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
