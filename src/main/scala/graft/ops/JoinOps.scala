@@ -184,6 +184,30 @@ object JoinOps {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q10 (returned-item revenue): which customers returned the most
+    // merchandise in a quarter. Same star shape as Q5 — both dimensions
+    // broadcast, the fact tables co-shuffle on orderkey, and the top-20
+    // plans as TakeOrderedAndProject (per-partition heaps, no global sort).
+    "q_tpch_q10" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      broadcast(table(s, d, "customer"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(table(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+                 col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+                col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
     // Correlated EXISTS + NOT EXISTS: customers with a finished order but
     // no pending one — the decorrelated form is a left-semi then
     // left-anti join on the same key (one co-partitioned shuffle pair).
@@ -319,6 +343,22 @@ object JoinOps {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name
       ORDER BY n_name""",
+
+    "q_tpch_q10" -> """
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
 
     "q_subquery_exists" -> """
       SELECT c_custkey, c_mktsegment

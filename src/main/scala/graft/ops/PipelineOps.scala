@@ -99,6 +99,30 @@ object PipelineOps {
         .orderBy("lang", "bin_id")
     }),
 
+    // Weighted mixture sampling — the data-mixing step that downsamples
+    // each source to its target share of the training blend. The target
+    // rate is derived from the source id (20/40/60/80%); keep/drop is an
+    // md5-bucket test on (source, doc_id), so the sample is reproducible
+    // across engines and runs with no RNG state, and rows can be
+    // filter-pushed at scan time. One partial-agg shuffle for the audit;
+    // at 100 TB the keep predicate is a per-row map, nothing more.
+    "q_mix_weighted" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("srcnum",
+          regexp_extract(col("source"), "[0-9]+", 0).cast("int"))
+        .withColumn("rate", (pmod(col("srcnum"), lit(4)) + 1) * lit(200))
+        .withColumn("h", pmod(md5hash32(
+          concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+          lit(1000)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("h") < col("rate"), 1L).otherwise(0L))
+               .as("n_kept"),
+             r6(sum(when(col("h") < col("rate"), 1L).otherwise(0L))
+                  .cast("double") / count(lit(1))).as("obs_rate"),
+             r6(max(col("rate")).cast("double") / 1000).as("target_rate"))
+        .orderBy("source")),
+
     // Symmetric int8 quantization of embeddings: scale = 127/max|x|,
     // q_i = floor(x_i·scale + 0.5). Emits the audit scalars (scale,
     // quantized checksum, saturation count) rather than the int8 array
@@ -182,6 +206,25 @@ object PipelineOps {
       FROM p
       GROUP BY lang, CAST(floor(prior / $CtxTokens.0) AS BIGINT)
       ORDER BY lang, bin_id""",
+
+    "q_mix_weighted" -> """
+      WITH t AS (
+        SELECT source,
+               (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) * 200
+                 AS rate,
+               CAST(('0x' || substr(md5(source || ':' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000 AS h
+        FROM documents)
+      SELECT source, count(*) AS n_total,
+             CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             round(CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS obs_rate,
+             round(CAST(max(rate) AS DOUBLE) / 1000, 6) AS target_rate
+      FROM t
+      GROUP BY source
+      ORDER BY source""",
 
     "q_embed_quantize" -> """
       WITH v AS (SELECT vec_id,

@@ -125,6 +125,52 @@ object TextOps {
         .orderBy(desc("freq"), asc("token"))
         .limit(20)),
 
+    // Unigram-LM surprisal scoring — the language-model quality signal of
+    // a corpus pipeline, kept rational (score = mean over token instances
+    // of N/freq, the inverse unigram probability) so it is bit-identical
+    // cross-engine where a log-perplexity would hinge on libm rounding.
+    // Shape at 100 TB: one explode → token-keyed freq agg (map-side
+    // combine), a token-keyed join back (vocabulary is unbounded — no
+    // broadcast hint, planner/AQE picks), and the 1-row total broadcast.
+    // The per-doc mean goes through the exact-decimal davg so Spark's
+    // partial/final summation order cannot diverge from the oracle's
+    // serial sum (SURVEY.md §7.3).
+    "q_text_surprisal" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks.join(freq, "token")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             r6(davg(col("total").cast("double") / col("freq")))
+               .as("surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // Composite quality filter — the keep/drop gate a pretraining pipeline
+    // runs after scoring: first failing rule wins (too_short → repetitive
+    // → unnatural → keep). Pure per-row arithmetic over the token array;
+    // at 100 TB this is a pushdown-friendly map with no shuffle before
+    // the output sort, and the verdict column is what a partitioned sink
+    // would split on.
+    "q_quality_filter" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("tok")).cast("long"))
+        .withColumn("stop_ratio",
+          size(filter(col("tok"), t => t.isInCollection(stopwords)))
+            .cast("double") / size(col("tok")))
+        .withColumn("ttr", size(array_distinct(col("tok"))).cast("double") /
+                           size(col("tok")))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") < 30, "too_short")
+            .when(col("ttr") < 0.35, "repetitive")
+            .when(col("stop_ratio") < 0.02, "unnatural")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")),
+
     // Deterministic position-weighted rolling fingerprint over tokens:
     // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a
     // permuted document fingerprints differently) yet exactly expressible
@@ -228,6 +274,35 @@ object TextOps {
       GROUP BY token
       ORDER BY freq DESC, token ASC
       LIMIT 20""",
+
+    "q_text_surprisal" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+      n AS (SELECT count(*) AS total FROM tok)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(sum(CAST(CAST(total AS DOUBLE) / freq
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS surprisal
+      FROM tok JOIN f USING (token), n
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "q_quality_filter" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(tok) AS BIGINT) AS n_tokens,
+             CASE
+               WHEN len(tok) < 30 THEN 'too_short'
+               WHEN CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) < 0.35
+                 THEN 'repetitive'
+               WHEN CAST(len(list_filter(tok, t -> t IN ($stopSql)))
+                         AS DOUBLE) / len(tok) < 0.02 THEN 'unnatural'
+               ELSE 'keep'
+             END AS verdict
+      FROM t
+      ORDER BY doc_id""",
 
     "q_text_fingerprint" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
