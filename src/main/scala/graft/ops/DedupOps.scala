@@ -114,6 +114,34 @@ object DedupOps {
     pairsFromShingleSets(hashedShingles(s, d))
       .persist() // tiny (the verified pairs); shared by ngram + clusters
 
+  /** MinHash/LSH candidate pairs (doc_a < doc_b, n_bands = shared-band
+    * count) — feeds q_dedup_minhash, its cluster query, and the
+    * recall/precision audit. The banded signatures are persisted +
+    * memoized: both self-join sides read them (without the persist the
+    * whole shingle→md5→minhash aggregation runs twice), and memoization
+    * keeps repeat invocations from stacking duplicate persisted copies. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = memo(s, d, "minhash_bands") {
+      val hashed = shingles(s, d)
+        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+      val mins = A.indices.map(i =>
+        min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
+            .as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+                col("b.bkey").as("bkey"))
+        .persist()
+    }
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
   private lazy val jaccardPairsSql = s"""$shinglesSql,
       shh AS (SELECT DISTINCT doc_id,
@@ -132,6 +160,39 @@ object DedupOps {
                JOIN cnt ca ON doc_a = ca.doc_id
                JOIN cnt cb ON doc_b = cb.doc_id)
              WHERE jaccard >= 0.3)"""
+
+  /** Oracle fragment: mp = MinHash/LSH candidate pairs (mirrors
+    * minhashPairs). Assumes `sh` (from shinglesSql — directly or via
+    * jaccardPairsSql) is already in scope, so it composes with either. */
+  private val minhashCtesSql = """
+      h AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+            FROM sh),
+      sig AS (SELECT doc_id,
+                min((h*2 + 1) % 1000000007) AS m0,
+                min((h*3 + 2) % 1000000007) AS m1,
+                min((h*5 + 3) % 1000000007) AS m2,
+                min((h*7 + 4) % 1000000007) AS m3,
+                min((h*11 + 5) % 1000000007) AS m4,
+                min((h*13 + 6) % 1000000007) AS m5,
+                min((h*17 + 7) % 1000000007) AS m6,
+                min((h*19 + 8) % 1000000007) AS m7
+              FROM h GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band,
+               CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1,
+               CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 2,
+               CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 3,
+               CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) FROM sig),
+      mp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_bands
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)"""
 
   private val shinglesSql = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
@@ -389,31 +450,49 @@ object DedupOps {
 
     // MinHash (8 perms) + LSH banding (4 bands × 2 rows): candidate pairs
     // sharing ≥1 band. This is the sub-quadratic scale path for near-dup.
-    "q_dedup_minhash" -> ((s, d) => {
-      // persist + memoize: both self-join sides read the banded
-      // signatures (without it the whole shingle→md5→minhash aggregation
-      // runs twice), and memoization keeps repeat invocations from
-      // stacking duplicate persisted copies.
-      val bands = memo(s, d, "minhash_bands") {
-        val hashed = shingles(s, d)
-          .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
-        val mins = A.indices.map(i =>
-          min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
-        val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        sig.select(col("doc_id"), explode(array(
-          (0 until 4).map(j => struct(lit(j).as("band"),
-            concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
-              .as("bkey"))): _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"),
-                  col("b.bkey").as("bkey"))
-          .persist()
-      }
-      bands.as("a")
-        .join(bands.as("b"), col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy("doc_a", "doc_b")
+    "q_dedup_minhash" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // Near-dup clusters at the sub-quadratic scale path: connected
+    // components over the MinHash/LSH candidate pairs (the corpus-scale
+    // twin of q_dedup_clusters, whose edges are exact-Jaccard pairs).
+    // Same O(log d) pointer-doubling min-label propagation; emits the
+    // per-cluster summary (representative = min doc_id, size) — the
+    // frame a dedup pipeline joins back to pick survivors.
+    "q_dedup_minhash_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      val (labels, _) = propagateMinLabels(sym)
+      sym.unpersist()
+      table(s, d, "documents").select(col("doc_id"))
+        .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csize"))
+        .orderBy("cluster")
+    }),
+
+    // Candidate-quality audit for the approximate path: MinHash/LSH pairs
+    // scored against the exact Jaccard >= 0.3 ground truth — the
+    // recall/precision dashboard a pipeline watches before trusting the
+    // sub-quadratic dedup at corpus scale. One full-outer join of two
+    // small pair sets, then a single-row audit aggregate.
+    "q_dedup_minhash_eval" -> ((s, d) => {
+      val cand = minhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1L))
+      val truth = jaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
+      cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
+             sum(coalesce(col("t"), lit(0L))).as("n_true"),
+             sum(when(col("c") === 1 && col("t") === 1, 1L).otherwise(0L))
+               .as("n_hit"))
+        .select(col("n_candidates"), col("n_true"), col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_true")).as("recall"),
+          r6(col("n_hit").cast("double") / col("n_candidates"))
+            .as("precision"))
     }),
 
     // 16-bit SimHash over the distinct-token set (per-bit majority vote of
@@ -610,33 +689,42 @@ object DedupOps {
 
     "q_dedup_minhash" -> s"""
       WITH $shinglesSql,
-      h AS (SELECT doc_id,
-                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
-            FROM sh),
-      sig AS (SELECT doc_id,
-                min((h*2 + 1) % 1000000007) AS m0,
-                min((h*3 + 2) % 1000000007) AS m1,
-                min((h*5 + 3) % 1000000007) AS m2,
-                min((h*7 + 4) % 1000000007) AS m3,
-                min((h*11 + 5) % 1000000007) AS m4,
-                min((h*13 + 6) % 1000000007) AS m5,
-                min((h*17 + 7) % 1000000007) AS m6,
-                min((h*19 + 8) % 1000000007) AS m7
-              FROM h GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, 0 AS band,
-               CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) AS bkey FROM sig
-        UNION ALL SELECT doc_id, 1,
-               CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) FROM sig
-        UNION ALL SELECT doc_id, 2,
-               CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) FROM sig
-        UNION ALL SELECT doc_id, 3,
-               CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) FROM sig)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      $minhashCtesSql
+      SELECT doc_a, doc_b, n_bands FROM mp
       ORDER BY doc_a, doc_b""",
+
+    "q_dedup_minhash_clusters" -> s"""
+      WITH RECURSIVE $shinglesSql,
+      $minhashCtesSql,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+            UNION ALL SELECT doc_b, doc_a FROM mp),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      lab AS (SELECT src AS doc_id, min(dst) AS cluster
+              FROM reach GROUP BY src)
+      SELECT cluster, count(*) AS csize
+      FROM lab
+      GROUP BY cluster
+      ORDER BY cluster""",
+
+    "q_dedup_minhash_eval" -> s"""
+      WITH $jaccardPairsSql,
+      $minhashCtesSql,
+      j AS (SELECT coalesce(c.c, 0) AS c, coalesce(t.t, 0) AS t
+            FROM (SELECT doc_a, doc_b, 1 AS c FROM mp) c
+            FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS t FROM jp) t
+              ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+      SELECT CAST(sum(c) AS BIGINT) AS n_candidates,
+             CAST(sum(t) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN c = 1 AND t = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+             round(CAST(sum(CASE WHEN c = 1 AND t = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / sum(t), 6) AS recall,
+             round(CAST(sum(CASE WHEN c = 1 AND t = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / sum(c), 6) AS precision
+      FROM j""",
 
     "q_dedup_simhash" -> """
       WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td

@@ -93,6 +93,34 @@ object SimOps {
         .limit(10)
     }),
 
+    // k-NN join (batch ANN): every vector gets its top-1 neighbor among
+    // the vectors sharing its 8-bit sign bucket — the all-rows companion
+    // to the single-query searches above. The bucketed self-equi-join IS
+    // the scale shape: candidates come from a hash join on the bucket
+    // key (never an all-pairs nested loop), the exact cosine re-rank is
+    // the codegen DotProduct, and the rank-1 window partitions on vec_id
+    // — corpus-cardinality, so it splits across any executor count.
+    // Vectors alone in their bucket have no candidates and drop out
+    // (inner join), exactly like an empty LSH probe.
+    "q_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucketed = vectors(s, d).withColumn("bucket",
+        concat((1 to 8).map(i =>
+          when(element_at(col("v"), i) > 0, "1").otherwise("0")): _*))
+      val pairs = bucketed.as("a")
+        .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+          r6(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+            .as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("cos"), asc("nn_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), col("cos"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal frame: text + embedding + scalars side by side, nested
     // array column preserved through the join (SURVEY.md §2.3).
     "q_multimodal_join" -> ((s, d) =>
@@ -146,6 +174,31 @@ object SimOps {
       WHERE c.vec_id <> 0
       ORDER BY cos DESC, vec_id ASC
       LIMIT 10""",
+
+    "q_knn_join" -> s"""
+      WITH $vectorsSql,
+      b AS (SELECT vec_id, v, nrm,
+                   concat(
+                     CASE WHEN v[1] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[2] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[3] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[4] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[5] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[6] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[7] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS bucket
+            FROM n),
+      p AS (SELECT a.vec_id AS vec_id, c.vec_id AS nn_id,
+                   round(list_sum(list_transform(range(1, len(a.v) + 1),
+                           i -> a.v[i] * c.v[i]))
+                         / nullif(a.nrm * c.nrm, 0), 6) AS cos
+            FROM b a JOIN b c
+              ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, nn_id ASC) AS rn
+            FROM p)
+      SELECT vec_id, nn_id, cos FROM r WHERE rn = 1
+      ORDER BY vec_id""",
 
     "q_multimodal_join" -> """
       SELECT doc_id, lang, label,
