@@ -187,4 +187,42 @@ class DedupSimSpec extends SparkTestBase {
         .as("h")).as[(Long, Long)].collect().toMap
     assert(hashes(1L) == hashes(2L))
   }
+
+  test("knn join: one neighbor per vector, never itself, same sign bucket") {
+    val out = ops.SimOps.queries("q_knn_join")(spark, sf0001)
+      .select($"vec_id".as[Long], $"nn_id".as[Long], $"cos".as[Double])
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length, "duplicate vec_id")
+    out.foreach { case (v, nn, cos) =>
+      assert(v != nn, s"vector $v returned itself")
+      assert(cos >= -1.000001 && cos <= 1.000001, s"cos $cos out of range")
+    }
+    // The candidate contract: a neighbor must share the query's 8-bit
+    // sign bucket (recomputed here independently from the raw parquet).
+    val buckets = ops.table(spark, sf0001, "embeddings")
+      .select($"vec_id", concat((1 to 8).map(i =>
+        when(element_at($"embedding", i) > 0.0f, "1").otherwise("0")): _*)
+        .as("b"))
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (v, nn, _) =>
+      assert(buckets(v) == buckets(nn),
+        s"$v (${buckets(v)}) paired with $nn (${buckets(nn)})")
+    }
+  }
+
+  test("minhash eval counts reconcile with the pair queries") {
+    val eval = ops.DedupOps.queries("q_dedup_minhash_eval")(spark, sf0001)
+      .select($"n_candidates".as[Long], $"n_true".as[Long],
+              $"n_hit".as[Long], $"recall".as[Double],
+              $"precision".as[Double]).head()
+    val (nCand, nTrue, nHit, recall, precision) = eval
+    // The audit's inputs ARE the other two queries — counts must agree.
+    val cand = ops.DedupOps.queries("q_dedup_minhash")(spark, sf0001).count()
+    val truth = ops.DedupOps.queries("q_dedup_ngram")(spark, sf0001).count()
+    assert(nCand == cand, s"n_candidates $nCand != q_dedup_minhash $cand")
+    assert(nTrue == truth, s"n_true $nTrue != q_dedup_ngram $truth")
+    assert(nHit <= math.min(nCand, nTrue))
+    assert(recall >= 0 && recall <= 1 && precision >= 0 && precision <= 1)
+  }
 }

@@ -33,4 +33,32 @@ class TextOpsSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
     assert(total == docs)
   }
+
+  test("surprisal: repeated-token doc scores exactly total/freq") {
+    // Synthetic corpus where the scores are exact by hand: doc 1 is four
+    // copies of one token (freq 4), doc 2 is four singletons (freq 1),
+    // total = 8 token instances. Mean inverse probability: 8/4 = 2.0 for
+    // the repetitive doc, 8/1 = 8.0 for the all-rare doc. Both values are
+    // DECIMAL(18,6)-exact, so the assertion is equality, not tolerance.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_surprisal_fixture").toString
+    Seq((1L, "x x x x"), (2L, "y z w q")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.TextOps.queries("q_text_surprisal")(spark, dir)
+      .select($"doc_id".as[Long], $"surprisal".as[Double]).collect().toMap
+    assert(got == Map(1L -> 2.0, 2L -> 8.0), s"got $got")
+  }
+
+  test("quality filter: too_short verdict tracks the token-count rule") {
+    // The verdict chain's first rule is n_tokens < 30 — so that verdict
+    // and that predicate must agree row-for-row, whatever the later
+    // rules do; and every verdict comes from the closed set.
+    val out = ops.TextOps.queries("q_quality_filter")(spark, sf0001)
+      .select($"n_tokens".as[Long], $"verdict".as[String]).collect()
+    val verdicts = Set("too_short", "repetitive", "unnatural", "keep")
+    out.foreach { case (n, v) =>
+      assert(verdicts.contains(v), s"unknown verdict $v")
+      assert((v == "too_short") == (n < 30), s"n_tokens=$n verdict=$v")
+    }
+  }
 }
