@@ -315,6 +315,22 @@ object DedupOps {
         .select("doc_id", "n_copies", "body_md5")
         .orderBy("doc_id")),
 
+    // Apply the exact dedup: materialize the surviving corpus (min doc_id
+    // per normalized body keeps its full row; every other copy drops).
+    // The shape a pipeline actually writes back out: one fixed-width agg
+    // over the 16-byte body hash to elect representatives, then a
+    // left-semi join on doc_id — both hash-partitioned, no row payload
+    // moves through the election shuffle.
+    "q_dedup_apply" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val keep = docs
+        .groupBy(md5(trim(lower(col("text"))).cast("binary")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram Jaccard over hashed 3-shingles: pairs with J >= 0.3. Joining
     // on the 32-bit shingle hash instead of the shingle string (textbook
     // hashed-shingling) cuts the shuffled/sorted key width ~5×; the oracle
@@ -594,6 +610,14 @@ object DedupOps {
              md5(trim(lower(text))) AS body_md5
       FROM documents
       GROUP BY md5(trim(lower(text)))
+      ORDER BY doc_id""",
+
+    "q_dedup_apply" -> """
+      WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(trim(lower(text))))
+      SELECT doc_id, source, lang, n_chars
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM keep)
       ORDER BY doc_id""",
 
     "q_dedup_ngram" -> s"""

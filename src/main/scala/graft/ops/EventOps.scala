@@ -94,6 +94,36 @@ object EventOps {
         .orderBy("cohort_week", "week_k")
     }),
 
+    // Per-type z-score outlier audit: two-pass anomaly detection — a tiny
+    // per-type stats aggregate (count + exact-decimal Σx and Σx²), then a
+    // broadcast join-back scoring every event against its type's mean/σ.
+    // Variance is spelled explicitly as (Σx² − (Σx)²/n)/(n−1) from the
+    // exact sums rather than stddev_samp: the engines' streaming-variance
+    // algorithms differ in rounding, the fixed expression tree over exact
+    // inputs does not (SURVEY.md §7.3). At 100 TB the stats side is
+    // |event_type| rows — always broadcastable — and the scoring pass is
+    // a pure per-row map.
+    "q_events_outliers" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("value")).as("s1"),
+             dsum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+                               / (col("n") - 1)))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             r6(max(col("mean"))).as("mean"),
+             r6(max(col("sd"))).as("sd"),
+             sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L))
+               .as("n_outliers"),
+             r6(max(col("z"))).as("max_z"))
+        .orderBy("event_type")
+    }),
+
     // Activity streaks (gaps-and-islands): runs of consecutive active days
     // per user. The island anchor is `day - row_number()` — constant
     // within a run of consecutive days — the standard O(1)-state
@@ -162,6 +192,29 @@ object EventOps {
       FROM cohort JOIN active USING (user_id)
       GROUP BY cw, CAST(datediff('day', cw, aw) / 7 AS BIGINT)
       ORDER BY cohort_week, week_k""",
+
+    "q_events_outliers" -> """
+      WITH s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS s2
+        FROM events GROUP BY event_type),
+      st AS (SELECT event_type, n, s1 / n AS mean,
+                    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+             FROM s),
+      z AS (SELECT e.event_type, (e.value - st.mean) / st.sd AS z,
+                   st.mean AS mean, st.sd AS sd
+            FROM events e JOIN st USING (event_type))
+      SELECT event_type, count(*) AS n,
+             round(max(mean), 6) AS mean,
+             round(max(sd), 6) AS sd,
+             CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             round(max(z), 6) AS max_z
+      FROM z
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "q_streaks" -> """
       WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

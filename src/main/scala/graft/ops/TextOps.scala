@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis ops for a training-data pipeline (north star,
@@ -13,6 +14,24 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
   private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** doc_id, n_tokens, verdict — the quality gate as a plain frame
+    * transform (no source, no sort), so the batch query and the
+    * streaming twin in graft.streaming.StreamOps run the identical
+    * rule chain. */
+  private[graft] def qualityVerdict(docs: DataFrame): DataFrame = docs
+    .withColumn("tok", split(col("text"), " "))
+    .withColumn("n_tokens", size(col("tok")).cast("long"))
+    .withColumn("stop_ratio",
+      size(filter(col("tok"), t => t.isInCollection(stopwords)))
+        .cast("double") / size(col("tok")))
+    .withColumn("ttr", size(array_distinct(col("tok"))).cast("double") /
+                       size(col("tok")))
+    .select(col("doc_id"), col("n_tokens"),
+      when(col("n_tokens") < 30, "too_short")
+        .when(col("ttr") < 0.35, "repetitive")
+        .when(col("stop_ratio") < 0.02, "unnatural")
+        .otherwise("keep").as("verdict"))
 
   val queries: Map[String, QB] = Map(
     // Per-language corpus stats: doc counts, char totals, token totals.
@@ -154,22 +173,11 @@ object TextOps {
     // → unnatural → keep). Pure per-row arithmetic over the token array;
     // at 100 TB this is a pushdown-friendly map with no shuffle before
     // the output sort, and the verdict column is what a partitioned sink
-    // would split on.
+    // would split on. The verdict function itself is shared with the
+    // streaming twin (q_stream_quality) — one code path, so batch/stream
+    // parity is by construction.
     "q_quality_filter" -> ((s, d) =>
-      table(s, d, "documents")
-        .withColumn("tok", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("tok")).cast("long"))
-        .withColumn("stop_ratio",
-          size(filter(col("tok"), t => t.isInCollection(stopwords)))
-            .cast("double") / size(col("tok")))
-        .withColumn("ttr", size(array_distinct(col("tok"))).cast("double") /
-                           size(col("tok")))
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") < 30, "too_short")
-            .when(col("ttr") < 0.35, "repetitive")
-            .when(col("stop_ratio") < 0.02, "unnatural")
-            .otherwise("keep").as("verdict"))
-        .orderBy("doc_id")),
+      qualityVerdict(table(s, d, "documents")).orderBy("doc_id")),
 
     // Deterministic position-weighted rolling fingerprint over tokens:
     // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a

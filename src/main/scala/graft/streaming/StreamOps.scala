@@ -42,7 +42,14 @@ object StreamOps {
       .select(unix_micros(col("window.start")).as("bucket"),
               col("event_type"), col("n"), col("total"))
 
-  /** Run a streaming transform over the staged events fixture to
+  /** documents schema for streaming reads (all plain types — no
+    * timestamp repair needed). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Run a streaming transform over a staged table fixture to
     * completion and return the drained memory-sink contents.
     * FileStreamSource consumes a directory (files arriving over time);
     * the static fixture is copied into one — `copies` times, each copy a
@@ -50,21 +57,28 @@ object StreamOps {
     * The sink table and staged files are released before returning
     * (repeated builds must not leak memory sinks or temp dirs). */
   private def runStream(s: SparkSession, d: String, mode: String,
-                        copies: Int = 1)
+                        copies: Int = 1,
+                        tableName: String = "events",
+                        schema: StructType = eventsRawSchema)
                        (transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
     dir.toFile.deleteOnExit()
     (1 to copies).foreach(i => java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      dir.resolve(s"events_$i.parquet")))
-    val src = s.readStream.schema(eventsRawSchema)
+      java.nio.file.Paths.get(s"$d/$tableName.parquet"),
+      dir.resolve(s"${tableName}_$i.parquet")))
+    val raw = s.readStream.schema(schema)
       // one file per micro-batch: replayed copies arrive as separate
       // batches (dedup state is actually exercised), and watermarks
       // advance between batches
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // events carries raw int64 ns — truncate to µs exactly like
+    // graft.ops.table(); other tables stream as-is
+    val src =
+      if (tableName == "events")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
     val qname =
       s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // cleanup rides a finally: a failing transform/start/drain must not
@@ -137,6 +151,16 @@ object StreamOps {
                   col("user_id"), col("event_type"), col("value"))
       }.orderBy("event_id")),
 
+    // Streaming quality filter — the corpus-ingest shape: documents
+    // arrive as files and the SAME verdict transform as the batch
+    // q_quality_filter maps each micro-batch (stateless, append mode,
+    // no watermark — nothing aggregates). One code path and one oracle
+    // for batch and stream, so parity is by construction, not by test.
+    "q_stream_quality" -> ((s, d) =>
+      runStream(s, d, "append", tableName = "documents",
+                schema = documentsSchema)(graft.ops.TextOps.qualityVerdict)
+        .orderBy("doc_id")),
+
     // Spark's native session_window operator (30-min gap), usable in batch
     // and streaming alike. Window end is exclusive: last event + gap.
     "q_session_window" -> ((s, d) =>
@@ -198,6 +222,9 @@ object StreamOps {
       FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
       GROUP BY n_name
       ORDER BY n_name""",
+
+    // Identical to the batch q_quality_filter oracle — that is the point.
+    "q_stream_quality" -> graft.ops.TextOps.oracles("q_quality_filter"),
 
     // The replayed copy must vanish: dedup(stream ∪ stream) = the table.
     "q_stream_dedup" -> """
