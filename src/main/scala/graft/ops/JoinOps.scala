@@ -208,6 +208,107 @@ object JoinOps {
         .limit(20)
     }),
 
+    // TPC-H Q1 (pricing summary report). No join — kept here so the whole
+    // q_tpch_* family lives in one module. Pure scan → filter → 2-key
+    // grouped agg: partial aggregation collapses the fact to ≤|groups| rows
+    // per task before the single 6-group shuffle, so at 100 TB the shuffle
+    // moves kilobytes. All sums are exact-decimal (ops.dsum); the
+    // triple-product charge is cast per-row AFTER the multiply, same as the
+    // oracle spelling.
+    "q_tpch_q1" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_base_price"),
+             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .as("sum_disc_price"),
+             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                  (lit(1) + col("l_tax"))).as("sum_charge"),
+             r6(davg(col("l_quantity"))).as("avg_qty"),
+             r6(davg(col("l_extendedprice"))).as("avg_price"),
+             r6(davg(col("l_discount"))).as("avg_disc"),
+             count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q6 (forecasting revenue change): the minimal scan-filter-agg.
+    // Every predicate reaches the parquet scan (PushedFilters on shipdate/
+    // discount/quantity → row-group min/max skipping); the global agg is a
+    // one-row partial-merge — the cheapest possible 100 TB query shape.
+    "q_tpch_q6" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+        .orderBy("revenue")),
+
+    // TPC-H Q18 (large-volume customers): HAVING-filtered agg as a join
+    // input. The per-order quantity sum keeps its DECIMAL type through the
+    // > 300 comparison and the join, casting to double only at output — so
+    // the filter and the final value are both exact. Scale: the HAVING
+    // prunes the agg to a fraction of a percent of orders, so the
+    // subsequent joins see a small build side (AQE broadcasts it from
+    // runtime stats); customer is an explicit broadcast dim.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 300)
+      broadcast(table(s, d, "customer"))
+        .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+                to_date(col("o_orderdate")).as("o_orderdate"),
+                col("o_totalprice"),
+                col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Runtime bloom-filter join pruning — the pattern Spark's
+    // InjectRuntimeFilter applies between fact scans and selective dim
+    // joins, built explicitly from public building blocks so it works on
+    // any plan shape: (1) hash the filtered dim keys into a 64 Kbit bloom
+    // (3 probes/key) folded into a map<word, bits> of ~1 KB via bit_or;
+    // (2) broadcast that ONE ROW and pre-filter the fact before its
+    // shuffle; (3) the exact join afterwards removes bloom false
+    // positives, so the result is identical to the plain join and the
+    // oracle never sees the bloom. At 100 TB this is the difference
+    // between shuffling the whole fact and shuffling the ~1/25th that
+    // matches the dim predicate — for a 1 KB broadcast, far cheaper than
+    // broadcasting the dim itself when the dim is large.
+    "q_join_bloom" -> ((s, d) => {
+      val mBits = 1L << 16
+      val dim = table(s, d, "part").filter(col("p_brand") === "Brand#13")
+      def bpos(key: org.apache.spark.sql.Column, i: Int) =
+        pmod(xxhash64(lit(i), key), lit(mBits))
+      val bloom = dim
+        .select(explode(array((0 until 3).map(i =>
+          bpos(col("p_partkey"), i)): _*)).as("pos"))
+        .groupBy(expr("CAST(pos DIV 64 AS BIGINT)").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+          .as("bits"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+          .as("bloom"))
+      var probed = table(s, d, "lineitem").crossJoin(broadcast(bloom))
+      for (i <- 0 until 3)
+        probed = probed.withColumn(s"bpos$i", bpos(col("l_partkey"), i))
+      val hit = (0 until 3).map(i => expr(
+        s"""(coalesce(element_at(bloom, CAST(bpos$i DIV 64 AS BIGINT)),
+                      CAST(0 AS BIGINT))
+             & shiftleft(CAST(1 AS BIGINT), CAST(bpos$i % 64 AS INT)))
+            != 0""")).reduce(_ && _)
+      probed.filter(hit)
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // Correlated EXISTS + NOT EXISTS: customers with a finished order but
     // no pending one — the decorrelated form is a left-semi then
     // left-anti join on the same key (one co-partitioned shuffle pair).
@@ -359,6 +460,61 @@ object JoinOps {
       GROUP BY c_custkey, c_name, c_acctbal, n_name
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""",
+
+    "q_tpch_q1" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(l_quantity), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(l_extendedprice), 6) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_tpch_q6" -> """
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24
+      ORDER BY revenue""",
+
+    "q_tpch_q18" -> """
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+             CAST(sum_qty_d AS DOUBLE) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN (SELECT l_orderkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty_d
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300) big
+        ON o_orderkey = big.l_orderkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""",
+
+    "q_join_bloom" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_subquery_exists" -> """
       SELECT c_custkey, c_mktsegment

@@ -184,9 +184,49 @@ object WarehouseOps {
             .cast("double").as("sampled_qty"))
         .orderBy("l_returnflag")
     }),
+
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // per-customer order rollup is maintained as BASE state (orders before
+    // the cutoff — in production, yesterday's materialized agg read back
+    // from storage) merged with the DELTA (the new partition) via one
+    // full-outer join on the group key, NOT by re-scanning history. Counts
+    // add; sums stay DECIMAL through the merge (exact, associative) and
+    // cast to double only at output — so the maintained result is
+    // bit-identical to the full recompute, which is exactly what the
+    // oracle computes. At 100 TB this turns a daily full-history scan into
+    // a delta-sized one; the merge join co-partitions on the group key the
+    // stored agg is already bucketed by.
+    "q_incr_agg" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val cut = lit("1997-07-01").cast("timestamp")
+      def rollup(df: DataFrame, n: String, rev: String) =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as(n),
+               sum(col("o_totalprice").cast("decimal(18,6)")).as(rev))
+      val base  = rollup(o.filter(col("o_orderdate") < cut), "n_b", "rev_b")
+      val delta = rollup(o.filter(col("o_orderdate") >= cut), "n_d", "rev_d")
+        .withColumnRenamed("o_custkey", "d_custkey")
+      base.join(delta, col("o_custkey") === col("d_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("d_custkey")).as("custkey"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("rev_b"), lit(0).cast("decimal(18,6)")) +
+           coalesce(col("rev_d"), lit(0).cast("decimal(18,6)")))
+            .cast("double").as("revenue"))
+        .orderBy("custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incr_agg" -> """
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY custkey""",
+
     "q_merge_upsert" -> """
       WITH t AS (SELECT o_orderkey AS k, o_totalprice AS tprice FROM orders),
       src AS (
