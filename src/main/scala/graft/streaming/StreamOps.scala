@@ -60,32 +60,64 @@ object StreamOps {
                         copies: Int = 1,
                         tableName: String = "events",
                         schema: StructType = eventsRawSchema)
-                       (transform: DataFrame => DataFrame): DataFrame = {
+                       (transform: DataFrame => DataFrame): DataFrame =
+    runStreamN(s, d, mode, copies, tableName, schema, nSources = 1,
+               sentinelNs = None)(srcs => transform(srcs.head))
+
+  /** Generalized harness: stage the fixture, open `nSources` independent
+    * file streams over the staged directory (a stream-stream join needs
+    * two), optionally append a far-future one-row SENTINEL file that
+    * arrives strictly last (its mtime is bumped; FileStreamSource takes
+    * files oldest-first) — the production stand-in for "the stream keeps
+    * flowing", which pushes the watermark past every real event so
+    * append-mode windows finalize and flush. */
+  private def runStreamN(s: SparkSession, d: String, mode: String,
+                         copies: Int, tableName: String, schema: StructType,
+                         nSources: Int, sentinelNs: Option[Long])
+                        (transform: Seq[DataFrame] => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
     dir.toFile.deleteOnExit()
     (1 to copies).foreach(i => java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/$tableName.parquet"),
       dir.resolve(s"${tableName}_$i.parquet")))
-    val raw = s.readStream.schema(schema)
-      // one file per micro-batch: replayed copies arrive as separate
-      // batches (dedup state is actually exercised), and watermarks
-      // advance between batches
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-    // events carries raw int64 ns — truncate to µs exactly like
-    // graft.ops.table(); other tables stream as-is
-    val src =
+    sentinelNs.foreach { ns =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+      Seq((-1L, ns, -1L, "__sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = dir.resolve(s"zz_sentinel_$tableName.parquet")
+      java.nio.file.Files.move(part, dst)
+      // strictly-later mtime => strictly-later micro-batch
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 60000))
+      tmp.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+    def source(): DataFrame = {
+      val raw = s.readStream.schema(schema)
+        // one file per micro-batch: replayed copies arrive as separate
+        // batches (dedup state is actually exercised), and watermarks
+        // advance between batches
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      // events carries raw int64 ns — truncate to µs exactly like
+      // graft.ops.table(); other tables stream as-is
       if (tableName == "events")
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
+    }
     val qname =
       s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // cleanup rides a finally: a failing transform/start/drain must not
     // leak the staged copies or the driver-resident memory-sink view
     // across repeated builds in a long-lived session
     try {
-      val q = transform(src).writeStream
+      val q = transform(Seq.fill(nSources)(source())).writeStream
         .outputMode(mode).format("memory").queryName(qname).start()
       try { q.processAllAvailable() } finally { q.stop() }
       val sink = s.table(qname)
@@ -160,6 +192,58 @@ object StreamOps {
       runStream(s, d, "append", tableName = "documents",
                 schema = documentsSchema)(graft.ops.TextOps.qualityVerdict)
         .orderBy("doc_id")),
+
+    // Stream-stream interval join — views matched to the same user's
+    // purchases within the following hour, both sides unbounded streams.
+    // This is the stateful-join shape Spark requires watermarks for:
+    // each side declares a 2 h watermark and the join condition bounds
+    // purchase time to [view, view+1h), so the state store retains only
+    // rows inside the watermark horizon — O(horizon), not O(stream).
+    // At 100× the state is per-key-partitioned across executors; the
+    // oracle is the equivalent batch interval self-join.
+    "q_stream_join" -> ((s, d) =>
+      runStreamN(s, d, "append", copies = 1, tableName = "events",
+                 schema = eventsRawSchema, nSources = 2, sentinelNs = None) {
+        case Seq(sa, sb) =>
+          val views = sa.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+                    col("ts").as("vts"))
+            .withWatermark("vts", "2 hours")
+          val purchases = sb.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"),
+                    col("event_id").as("purchase_id"), col("ts").as("pts"))
+            .withWatermark("pts", "2 hours")
+          views.join(purchases,
+            col("user_id") === col("p_user") &&
+            col("pts") >= col("vts") &&
+            col("pts") < col("vts") + expr("INTERVAL 1 HOUR"))
+            .select(col("user_id"), col("view_id"), col("purchase_id"),
+                    unix_micros(col("vts")).as("view_tsu"),
+                    unix_micros(col("pts")).as("purchase_tsu"))
+      }.orderBy("view_id", "purchase_id")),
+
+    // Append-mode watermarked tumbling aggregation — the production
+    // streaming-agg shape (q_stream_tumbling is complete-mode, which
+    // re-emits everything each batch and cannot scale to unbounded
+    // windows; append emits each window ONCE, when the watermark passes
+    // its end, and evicts its state). A far-future sentinel row arrives
+    // as the last micro-batch to stand in for "the stream keeps flowing",
+    // finalizing every real window; the sentinel's own window never
+    // finalizes, so the sink is exactly the batch aggregation of the
+    // fixture and shares q_stream_tumbling's oracle.
+    "q_stream_tumbling_append" -> ((s, d) =>
+      runStreamN(s, d, "append", copies = 1, tableName = "events",
+                 schema = eventsRawSchema, nSources = 1,
+                 // 2100-01-01 in ns — later than any fixture event
+                 sentinelNs = Some(4102444800000000000L)) {
+        case Seq(src) =>
+          src.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+            .select(unix_micros(col("window.start")).as("bucket"),
+                    col("event_type"), col("n"), col("total"))
+      }.filter(col("event_type") =!= "__sentinel")
+        .orderBy("bucket", "event_type")),
 
     // Spark's native session_window operator (30-min gap), usable in batch
     // and streaming alike. Window end is exclusive: last event + gap.
@@ -238,6 +322,26 @@ object StreamOps {
       SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value
       FROM events
       ORDER BY event_id""",
+
+    "q_stream_join" -> """
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             epoch_us(v.ts) AS view_tsu, epoch_us(p.ts) AS purchase_tsu
+      FROM events v
+      JOIN events p
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+      ORDER BY view_id, purchase_id""",
+
+    // Same oracle as the complete-mode stream and the batch window —
+    // append mode changes emission/state policy, not the answer.
+    "q_stream_tumbling_append" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY bucket, event_type""",
 
     "q_session_window" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

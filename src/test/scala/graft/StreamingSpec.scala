@@ -197,6 +197,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(1L))
   }
 
+  test("q_stream_join equals the batch interval self-join") {
+    val got = StreamOps.queries("q_stream_join")(spark, sf0001)
+      .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSeq
+    val e = ops.table(spark, sf0001, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("vts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"),
+              $"ts".as("pts"))
+    val want = v.join(p, $"user_id" === $"pu" && $"pts" >= $"vts" &&
+        $"pts" < $"vts" + expr("INTERVAL 1 HOUR"))
+      .select($"view_id", $"purchase_id")
+      .orderBy("view_id", "purchase_id").as[(Long, Long)].collect().toSeq
+    assert(want.nonEmpty, "fixture has no view→purchase pairs within 1h")
+    assert(got == want)
+  }
+
+  test("q_stream_tumbling_append equals the complete-mode stream result") {
+    // Same transform, opposite emission policy: append (emit-once on
+    // watermark passage, sentinel-flushed) must agree with complete
+    // (re-emit everything) — and neither may leak the sentinel row.
+    val append = StreamOps.queries("q_stream_tumbling_append")(spark, sf0001)
+      .collect().toSeq
+    val complete = StreamOps.queries("q_stream_tumbling")(spark, sf0001)
+      .collect().toSeq
+    assert(append == complete)
+    assert(!append.exists(_.toString.contains("__sentinel")))
+  }
+
   test("foreachBatch streams into parquet and matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_")
     val out = dir.resolve("out").toString
