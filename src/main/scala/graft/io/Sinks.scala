@@ -35,6 +35,16 @@ object Sinks {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(name)
 
+  /** Write `df` as ORC, optionally directory-partitioned — the export
+    * path toward Hive-ecosystem consumers (same pruning story as the
+    * parquet sink; ORC stripes carry min/max indexes so downstream
+    * predicate pushdown works). */
+  def writeOrc(df: DataFrame, path: String, partitionCols: String*): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** Compact a FLAT parquet directory into ~`targetFileBytes` files (the
     * small-files cure: a streaming or per-task writer leaves thousands of
     * KB-scale files whose open/footer cost dominates reads at scale).

@@ -43,4 +43,15 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+
+  /** ORC with explicit schema — the interchange format when the other
+    * side of the pipeline is a Hive-ecosystem warehouse. Columnar like
+    * parquet: predicate pushdown and column pruning reach the stripe
+    * level (SourcesSpec asserts pushed filters survive in the plan), so
+    * the 100 TB read-path posture is the same as the parquet scan's.
+    * No `_corrupt` column: ORC is a binary format — a malformed file is
+    * a failed file, not a quarantinable row. */
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -212,24 +212,38 @@ object JoinOps {
     // q_tpch_* family lives in one module. Pure scan → filter → 2-key
     // grouped agg: partial aggregation collapses the fact to ≤|groups| rows
     // per task before the single 6-group shuffle, so at 100 TB the shuffle
-    // moves kilobytes. All sums are exact-decimal (ops.dsum); the
-    // triple-product charge is cast per-row AFTER the multiply, same as the
-    // oracle spelling.
-    "q_tpch_q1" -> ((s, d) =>
+    // moves kilobytes. Single- and two-factor sums use ops.dsum (the
+    // empirically cross-engine-safe double→DECIMAL(18,6) cast). The
+    // PRICE sums need one extra care at this magnitude: a 6-dp decimal
+    // sum of ~2.8·10^10 scales to ~2.8·10^16 > 2^53, where DuckDB's
+    // decimal→double conversion (int128→double, then ×10^-6 — two
+    // roundings) can land one ulp away from Spark's correctly-rounded
+    // BigDecimal conversion. Re-rounding the exact decimal sum to CENTS
+    // (scale 2) before the double cast keeps the scaled integer under
+    // 2^53 for both engines, so the conversion is exact — and cents is
+    // the natural money precision anyway. sum_qty stays 6-dp (its
+    // magnitude is 20× smaller, in the exact range). Spark's
+    // decimal→decimal cast rounds HALF_UP; DuckDB's TRUNCATES, so the
+    // oracle spells the same operation as round(sum, 2) then an exact
+    // (no-digit-lost) cast.
+    "q_tpch_q1" -> ((s, d) => {
+      def cents(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(18,6)")).cast("decimal(30,2)").cast("double")
       table(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"),
-             dsum(col("l_extendedprice")).as("sum_base_price"),
-             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+             cents(col("l_extendedprice")).as("sum_base_price"),
+             cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
                .as("sum_disc_price"),
-             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-                  (lit(1) + col("l_tax"))).as("sum_charge"),
+             cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                   (lit(1) + col("l_tax"))).as("sum_charge"),
              r6(davg(col("l_quantity"))).as("avg_qty"),
              r6(davg(col("l_extendedprice"))).as("avg_price"),
              r6(davg(col("l_discount"))).as("avg_disc"),
              count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // TPC-H Q6 (forecasting revenue change): the minimal scan-filter-agg.
     // Every predicate reaches the parquet scan (PushedFilters on shipdate/
@@ -464,12 +478,14 @@ object JoinOps {
     "q_tpch_q1" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-               AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                       AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,6))), 2)
+                       AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                      * (1 + l_tax) AS DECIMAL(18,6))), 2)
+                       AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                    / count(l_quantity), 6) AS avg_qty,
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)

@@ -155,16 +155,27 @@ object TextOps {
     // partial/final summation order cannot diverge from the oracle's
     // serial sum (SURVEY.md §7.3).
     "q_text_surprisal" -> ((s, d) => {
+      // Per-token inverse probability total/freq, quantized to MILLI-units
+      // with pure integer arithmetic — (total·1000 + freq/2) div freq is
+      // a half-up rounding both engines compute bit-identically, and the
+      // per-doc mean divides once more in the same integer space. The
+      // earlier double-division spelling diverged from DuckDB by one ulp
+      // on a rounding-boundary row at 10× scale (float ratios cast to
+      // DECIMAL hit the half-up boundary from different representations);
+      // integers cannot. Headroom: total·1000 overflows int64 only past
+      // ~9·10^15 corpus tokens — widen the stride to DECIMAL then.
       val toks = table(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
       val total = toks.agg(count(lit(1)).as("total"))
       toks.join(freq, "token")
         .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          expr("(total * 1000 + freq DIV 2) DIV freq").as("q_milli"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-             r6(davg(col("total").cast("double") / col("freq")))
-               .as("surprisal"))
+             expr("(sum(q_milli) + count(1) DIV 2) DIV count(1)")
+               .as("surprisal_milli"))
         .orderBy("doc_id")
     }),
 
@@ -287,12 +298,13 @@ object TextOps {
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                    FROM documents),
       f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
-      n AS (SELECT count(*) AS total FROM tok)
+      n AS (SELECT count(*) AS total FROM tok),
+      q AS (SELECT doc_id, (total * 1000 + freq // 2) // freq AS q_milli
+            FROM tok JOIN f USING (token), n)
       SELECT doc_id, count(*) AS n_tokens,
-             round(CAST(sum(CAST(CAST(total AS DOUBLE) / freq
-                                 AS DECIMAL(18,6))) AS DOUBLE)
-                   / count(*), 6) AS surprisal
-      FROM tok JOIN f USING (token), n
+             CAST((sum(q_milli) + count(*) // 2) // count(*) AS BIGINT)
+               AS surprisal_milli
+      FROM q
       GROUP BY doc_id
       ORDER BY doc_id""",
 

@@ -78,9 +78,26 @@ object StreamOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
     dir.toFile.deleteOnExit()
-    (1 to copies).foreach(i => java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/$tableName.parquet"),
-      dir.resolve(s"${tableName}_$i.parquet")))
+    // driver fixtures are single parquet FILES; generated scale fixtures
+    // (ScaleStress) are DIRECTORIES of part files. One logical ARRIVAL =
+    // one fixture copy, however many part files carry it — so the
+    // per-trigger file cap below equals the per-copy part count. Part
+    // files hold arbitrary slices of event time; letting them arrive as
+    // separate batches would advance the watermark past the remaining
+    // parts after the first batch and (correctly, per streaming
+    // semantics) drop most of the fixture as late data — a harness
+    // artifact, not the contract under test.
+    val fixture = java.nio.file.Paths.get(s"$d/$tableName.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(fixture))
+        fixture.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(_.toPath)
+      else Seq(fixture)
+    val filesPerTrigger = math.max(1, parts.size)
+    for (i <- 1 to copies; (p, j) <- parts.zipWithIndex)
+      java.nio.file.Files.copy(
+        p, dir.resolve(s"${tableName}_${i}_$j.parquet"))
     sentinelNs.foreach { ns =>
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
@@ -100,10 +117,11 @@ object StreamOps {
     }
     def source(): DataFrame = {
       val raw = s.readStream.schema(schema)
-        // one file per micro-batch: replayed copies arrive as separate
-        // batches (dedup state is actually exercised), and watermarks
-        // advance between batches
-        .option("maxFilesPerTrigger", "1")
+        // one COPY per micro-batch: replayed copies arrive as separate
+        // batches (dedup state is actually exercised), watermarks advance
+        // between batches, and the sentinel (later mtime) always lands in
+        // its own final batch (FileStreamSource takes files oldest-first)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(dir.toString)
       // events carries raw int64 ns — truncate to µs exactly like
       // graft.ops.table(); other tables stream as-is

@@ -55,4 +55,43 @@ class SourcesSpec extends SparkTestBase {
     assert(bad.filter($"_corrupt".isNotNull).count() == 1)
     assert(bad.filter($"_corrupt".isNull && $"doc_id" === 1).count() == 1)
   }
+
+  test("orc round trip preserves rows; filters push to the orc scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_src_orc_")
+    val dir = base.resolve("docs").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    graft.io.Sinks.writeOrc(docs, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val back = Sources.readOrc(spark, dir, schema)
+    val a = docs.select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    val b = back.select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // the read-path posture claim: a filter must reach the ORC scan as a
+    // pushed filter, not evaluate post-scan only
+    val plan = back.filter($"n_chars" > 100).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]")
+      || plan.contains("PushedFilters: [GreaterThan(n_chars,100)"),
+      s"no pushed filter in ORC scan plan:\n$plan")
+  }
+
+  test("orc partitioned write prunes partitions at plan time") {
+    val base = java.nio.file.Files.createTempDirectory("graft_src_orcp_")
+    val dir = base.resolve("docs").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    graft.io.Sinks.writeOrc(docs, dir, "lang")
+    val back = spark.read.orc(dir).filter($"lang" === "en")
+    val scanned = back.queryExecution.executedPlan.toString
+    // partition pruning shows as a PartitionFilters entry on the scan
+    assert(scanned.contains("PartitionFilters") &&
+           scanned.contains("lang"), s"no partition pruning:\n$scanned")
+    val nEn = docs.filter($"lang" === "en").count()
+    assert(back.count() == nEn)
+  }
 }

@@ -39,7 +39,19 @@ def main():
         # 10x stress dirs) = a directory of part files — glob those
         p = f"{sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        sel = "*"
+        if t == "events":
+            # driver fixtures carry ts as TIMESTAMP(NANOS); Spark-written
+            # scale fixtures carry the same value as raw int64 ns (the
+            # nanosAsLong representation graft.ops.table() reads). Restore
+            # the µs-truncated timestamp here so every events oracle sees
+            # one type at every scale, exactly what the Spark side sees.
+            cols = con.execute(
+                f"SELECT * FROM '{src}' LIMIT 0").description
+            tstype = [c[1] for c in cols if c[0] == "ts"]
+            if tstype and str(tstype[0]).upper() in ("NUMBER", "BIGINT"):
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{src}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for name in sorted(os.listdir(out_dir)):
