@@ -24,7 +24,7 @@ object SparkEntry {
       WindowOps.queries ++ SortSetOps.queries ++ FuncOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
       MultimodalOps.queries ++ PipelineOps.queries ++
-      WarehouseOps.queries ++ EventOps.queries ++
+      WarehouseOps.queries ++ EventOps.queries ++ GraphOps.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
       WindowOps.oracles ++ SortSetOps.oracles ++ FuncOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
       MultimodalOps.oracles ++ PipelineOps.oracles ++
-      WarehouseOps.oracles ++ EventOps.oracles ++
+      WarehouseOps.oracles ++ EventOps.oracles ++ GraphOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

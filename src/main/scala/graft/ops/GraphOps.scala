@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational graph analytics beyond the similarity graph (which lives
+  * with its dedup producers in [[DedupOps]]): iterative PageRank over a
+  * graph derived from the warehouse tables.
+  *
+  * Determinism: PageRank is usually float — cross-engine float iteration
+  * compounds ulp drift, so this one is INTEGER PageRank in micro-units:
+  * pr₀ = 1 000 000; each round pr' = 150 000 + (85 · Σ_in (pr DIV
+  * outdeg)) DIV 100. Every operation is int64 arithmetic both engines
+  * execute bit-identically, so a fixed iteration count hash-matches an
+  * unrolled-CTE DuckDB oracle exactly — the same trick as the
+  * milli-unit surprisal score.
+  *
+  * Scale posture: one shuffle join (contributions keyed by dst) plus one
+  * grouped sum per iteration — the standard message-passing round, AQE
+  * skew-handled; the edge list and degree table are computed once and
+  * reused. Teleport handling: the derived bipartite graph is
+  * symmetrized, so every node has in- and out-degree ≥ 1 and no
+  * dangling-mass redistribution is needed.
+  */
+object GraphOps {
+
+  /** Fixed-iteration integer PageRank over a symmetric edge list
+    * (`src`, `dst` long columns). Returns (node, pr) in micro-units. */
+  private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src")
+    var pr = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      pr = withDeg.join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("150000 + (85 * sum(c)) DIV 100").as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+    }
+    pr
+  }
+
+  /** Supplier id offset making part and supplier node ids disjoint (far
+    * above any key the 10×/100× shifted fixtures produce). */
+  private val Off = 1000000000000L
+
+  val queries: Map[String, QB] = Map(
+    // PageRank over the part–supplier fulfillment graph: which parts and
+    // suppliers sit most centrally in the supply network. Nodes = parts ∪
+    // (suppliers + Off); one symmetric edge per distinct (part, supplier)
+    // lineitem pairing; 3 rounds. Output is every node's micro-unit rank.
+    "q_graph_pagerank" -> ((s, d) => {
+      val e0 = table(s, d, "lineitem")
+        .select(col("l_partkey").as("src"),
+                (col("l_suppkey") + Off).as("dst"))
+        .distinct()
+      val e = e0.unionAll(e0.select(col("dst").as("src"),
+                                    col("src").as("dst")))
+      pagerank(e, 3)
+        .select(col("node").as("node_id"), col("pr").as("pr_micro"))
+        .orderBy("node_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_pagerank" -> """
+      WITH e0 AS (SELECT DISTINCT l_partkey AS src,
+                         l_suppkey + 1000000000000 AS dst FROM lineitem),
+      e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+             FROM e GROUP BY src),
+      i1 AS (SELECT e.dst AS node,
+                    150000 + (85 * sum(p0.pr // deg.outdeg)) // 100 AS pr
+             FROM e JOIN p0 ON e.src = p0.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+      i2 AS (SELECT e.dst AS node,
+                    150000 + (85 * sum(i1.pr // deg.outdeg)) // 100 AS pr
+             FROM e JOIN i1 ON e.src = i1.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+      i3 AS (SELECT e.dst AS node,
+                    150000 + (85 * sum(i2.pr // deg.outdeg)) // 100 AS pr
+             FROM e JOIN i2 ON e.src = i2.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst)
+      SELECT node AS node_id, CAST(pr AS BIGINT) AS pr_micro
+      FROM i3
+      ORDER BY node_id""",
+  )
+}

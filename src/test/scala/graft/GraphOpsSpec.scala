@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for integer PageRank (GraphOps). */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pagerank fixed point: a symmetric pair keeps pr = 1e6 exactly") {
+    // Two nodes, one symmetric edge: each round every node receives the
+    // other's full rank (outdeg 1), so pr' = 150000 + 85% · 1e6 = 1e6 —
+    // the uniform distribution is an exact integer fixed point.
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = ops.GraphOps.pagerank(e, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 1000000L, 2L -> 1000000L), s"got $pr")
+  }
+
+  test("pagerank star: the hub outranks the leaves, mass stays bounded") {
+    // Symmetric 5-leaf star. The hub aggregates all leaf mass each
+    // round; leaves split the hub's. Hub must dominate, every node's
+    // rank stays >= the teleport floor, and total mass cannot exceed
+    // the initial total (truncating division only loses mass).
+    val leaves = (2L to 6L)
+    val e = leaves.flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
+    val pr = ops.GraphOps.pagerank(e, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.keySet == (1L to 6L).toSet)
+    assert(leaves.forall(l => pr(1L) > pr(l)), s"hub not dominant: $pr")
+    assert(pr.values.forall(_ >= 150000L))
+    assert(pr.values.sum <= 6 * 1000000L)
+    // leaves are symmetric: identical ranks
+    assert(leaves.map(pr).toSet.size == 1)
+  }
+
+  test("q_graph_pagerank covers every part and supplier node") {
+    val out = ops.GraphOps.queries("q_graph_pagerank")(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val nParts = ops.table(spark, sf0001, "lineitem")
+      .select("l_partkey").distinct().count()
+    val nSupps = ops.table(spark, sf0001, "lineitem")
+      .select("l_suppkey").distinct().count()
+    assert(out.length == nParts + nSupps)
+    assert(out.forall(_._2 >= 150000L))
+    // node id spaces are disjoint: suppliers live above the offset
+    val (supp, part) = out.partition(_._1 >= 1000000000000L)
+    assert(part.length == nParts && supp.length == nSupps)
+  }
+}
