@@ -141,9 +141,66 @@ object PipelineOps {
           size(expr("filter(q, y -> abs(y) >= 127)")).cast("long")
             .as("n_sat"))
         .orderBy("vec_id")),
+
+    // END-TO-END corpus assembly — the stages above composed into the
+    // one pass a pretraining ingest actually runs: quality gate (keep
+    // verdicts only) → exact dedup (min doc_id per normalized body,
+    // applied AFTER the gate so a kept duplicate of a dropped doc
+    // survives) → deterministic split assignment → per-(split, lang)
+    // corpus accounting. Reuses the same verdict function and hash
+    // spellings as the standalone queries, so this is composition under
+    // test, not new logic. Scale: two left-semi prunes (hash joins on
+    // doc_id), one 16-byte-key dedup agg, one final small agg — every
+    // stage is the shape its standalone twin already proved at 10×.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val kept = docs.join(
+        TextOps.qualityVerdict(docs).filter(col("verdict") === "keep")
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val deduped = kept.join(
+        kept.groupBy(md5(trim(lower(col("text"))).cast("binary")).as("k"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      deduped
+        .withColumn("h",
+          pmod(md5hash32(col("doc_id").cast("string")), lit(100)))
+        .withColumn("split",
+          when(col("h") < 80, "train")
+            .when(col("h") < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " ")).cast("long"))
+               .as("total_tokens"))
+        .orderBy("split", "lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // The verdict CTE is the standalone q_quality_filter oracle embedded
+    // verbatim — one spelling for one rule set.
+    "q_pipeline_e2e" -> s"""
+      WITH verdicts AS (${TextOps.oracles("q_quality_filter")}),
+      kept AS (SELECT d.* FROM documents d
+               JOIN verdicts v ON d.doc_id = v.doc_id
+               WHERE v.verdict = 'keep'),
+      keepmin AS (SELECT min(doc_id) AS doc_id FROM kept
+                  GROUP BY md5(trim(lower(text)))),
+      dedup AS (SELECT * FROM kept
+                WHERE doc_id IN (SELECT doc_id FROM keepmin)),
+      s AS (SELECT lang, text,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 100 AS h
+            FROM dedup)
+      SELECT CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS total_tokens
+      FROM s
+      GROUP BY 1, 2
+      ORDER BY split, lang""",
+
     "q_text_chunk" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
                         len(string_split(text, ' ')) AS n_tok

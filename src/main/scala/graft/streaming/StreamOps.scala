@@ -98,22 +98,30 @@ object StreamOps {
     for (i <- 1 to copies; (p, j) <- parts.zipWithIndex)
       java.nio.file.Files.copy(
         p, dir.resolve(s"${tableName}_${i}_$j.parquet"))
+    // TWO sentinel arrivals, one micro-batch apart: the first advances
+    // the watermark past every real event; the second drives one more
+    // batch AFTER that watermark has committed, which is when
+    // watermark-gated emissions (outer-join null rows, final window
+    // flushes) actually reach the sink — the watermark computed in batch
+    // N gates emission in batch N+1.
     sentinelNs.foreach { ns =>
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-      Seq((-1L, ns, -1L, "__sentinel", 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dst = dir.resolve(s"zz_sentinel_$tableName.parquet")
-      java.nio.file.Files.move(part, dst)
-      // strictly-later mtime => strictly-later micro-batch
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() + 60000))
-      tmp.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(tmp)
+      for (k <- 1 to 2) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+        Seq((-k.toLong, ns + k * 3600000000000L, -1L, "__sentinel", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = dir.resolve(s"zz_sentinel_${tableName}_$k.parquet")
+        java.nio.file.Files.move(part, dst)
+        // strictly-later mtime => strictly-later micro-batch
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 60000 * k))
+        tmp.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     def source(): DataFrame = {
       val raw = s.readStream.schema(schema)
@@ -240,6 +248,47 @@ object StreamOps {
                     unix_micros(col("pts")).as("purchase_tsu"))
       }.orderBy("view_id", "purchase_id")),
 
+    // Stream-stream LEFT OUTER interval join — the subtler emission
+    // contract: matched pairs emit as both sides arrive, but an
+    // UNMATCHED view may only emit (null-padded) once the watermark
+    // proves no qualifying purchase can still arrive. The far-future
+    // sentinels advance both watermarks past every real event, flushing
+    // the outer rows. The sentinels must REACH THE JOIN to do that:
+    // Catalyst pushes a deterministic filter below the EventTimeWatermark
+    // operator, so "watermark first, filter sentinel after" silently
+    // reorders into "filter first" and the clock never advances
+    // (measured: the last 3 h of outer rows stay pending forever).
+    // Instead the type filters admit '__sentinel' rows into the join —
+    // where they can only pair with each other (negative ids, far-future
+    // times) — and the one junk sentinel row is dropped from the DRAINED
+    // BATCH after the run. Oracle = the batch left interval join. State
+    // bound: O(watermark horizon), as for the inner join.
+    "q_stream_join_left" -> ((s, d) =>
+      runStreamN(s, d, "append", copies = 1, tableName = "events",
+                 schema = eventsRawSchema, nSources = 2,
+                 sentinelNs = Some(4102444800000000000L)) {
+        case Seq(sa, sb) =>
+          val views = sa
+            .filter(col("event_type").isin("view", "__sentinel"))
+            .select(col("user_id"), col("event_id").as("view_id"),
+                    col("ts").as("vts"))
+            .withWatermark("vts", "2 hours")
+          val purchases = sb
+            .filter(col("event_type").isin("purchase", "__sentinel"))
+            .select(col("user_id").as("p_user"),
+                    col("event_id").as("purchase_id"), col("ts").as("pts"))
+            .withWatermark("pts", "2 hours")
+          views.join(purchases,
+            col("user_id") === col("p_user") &&
+            col("pts") >= col("vts") &&
+            col("pts") < col("vts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+            .select(col("user_id"), col("view_id"), col("purchase_id"),
+                    unix_micros(col("vts")).as("view_tsu"),
+                    unix_micros(col("pts")).as("purchase_tsu"))
+      }.filter(col("view_id") >= 0)
+        .orderBy(asc("view_id"), asc_nulls_last("purchase_id"))),
+
     // Append-mode watermarked tumbling aggregation — the production
     // streaming-agg shape (q_stream_tumbling is complete-mode, which
     // re-emits everything each batch and cannot scale to unbounded
@@ -350,6 +399,15 @@ object StreamOps {
        AND v.event_type = 'view' AND p.event_type = 'purchase'
        AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
       ORDER BY view_id, purchase_id""",
+
+    "q_stream_join_left" -> """
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             epoch_us(v.ts) AS view_tsu, epoch_us(p.ts) AS purchase_tsu
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+      ORDER BY view_id, purchase_id NULLS LAST""",
 
     // Same oracle as the complete-mode stream and the batch window —
     // append mode changes emission/state policy, not the answer.

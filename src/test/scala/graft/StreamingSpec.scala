@@ -214,6 +214,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("q_stream_join_left equals the batch left join; outer rows flush") {
+    val got = StreamOps.queries("q_stream_join_left")(spark, sf0001)
+      .select($"view_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    val e = ops.table(spark, sf0001, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("vts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"),
+              $"ts".as("pts"))
+    val want = v.join(p, $"user_id" === $"pu" && $"pts" >= $"vts" &&
+        $"pts" < $"vts" + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select($"view_id", $"purchase_id")
+      .orderBy(asc("view_id"), asc_nulls_last("purchase_id"))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == want)
+    // the contract's hard part: unmatched views DID flush as null rows
+    // (Catalyst pushing filters below the watermark silently starves the
+    // flush — this asserts the sentinel actually reached the join), and
+    // no sentinel leaked into the output.
+    assert(got.exists(_._2.isEmpty), "no outer rows flushed")
+    assert(got.forall(_._1 >= 0), "sentinel row leaked into the sink")
+  }
+
   test("q_stream_tumbling_append equals the complete-mode stream result") {
     // Same transform, opposite emission policy: append (emit-once on
     // watermark passage, sentinel-flushed) must agree with complete
