@@ -245,6 +245,41 @@ object JoinOps {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H Q4 (order-priority checking), adapted to this schema: the
+    // fixture has no commit/receipt dates, so "late" = any lineitem
+    // shipped >30 days after the order date. Decorrelated EXISTS = one
+    // left-semi join with the date residual riding the orderkey equi-key;
+    // the quarter filter prunes orders at the scan.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val l = table(s, d, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+               col("l_shipdate") >
+                 col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+             "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    // part joins on the fact's partkey (dimension broadcast); the share
+    // is one deterministic division of two exact-decimal sums.
+    "q_tpch_q14" -> ((s, d) => {
+      val l = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(table(s, d, "part").select("p_partkey", "p_type")),
+             col("l_partkey") === col("p_partkey"))
+        .agg(r6(lit(100) *
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("promo_revenue"))
+        .orderBy("promo_revenue")
+    }),
+
     // TPC-H Q6 (forecasting revenue change): the minimal scan-filter-agg.
     // Every predicate reaches the parquet scan (PushedFilters on shipdate/
     // discount/quantity → row-group min/max skipping); the global agg is a
@@ -497,6 +532,30 @@ object JoinOps {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "q_tpch_q4" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_tpch_q14" -> """
+      SELECT round(100 *
+               CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+      ORDER BY promo_revenue""",
 
     "q_tpch_q6" -> """
       SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
