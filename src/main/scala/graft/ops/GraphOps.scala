@@ -27,8 +27,12 @@ object GraphOps {
   /** Fixed-iteration integer PageRank over a symmetric edge list
     * (`src`, `dst` long columns). Returns (node, pr) in micro-units. */
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    // The final frame is ONE plan containing every round as a subtree —
+    // without caching, the (edges ⋈ outdeg) message base would be
+    // recomputed per round (scan + distinct + agg × iters). Persist it
+    // once; the bench/verify session's cache-release hooks reclaim it.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src")
+    val withDeg = edges.join(deg, "src").persist()
     var pr = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
