@@ -293,6 +293,47 @@ object JoinOps {
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
         .orderBy("revenue")),
 
+    // TPC-H Q17 (small-quantity-order revenue), adapted (no p_container
+    // column): for one brand's parts, revenue of lineitems under 20% of
+    // that part's average quantity. The correlated scalar subquery
+    // (avg per part) decorrelates into a per-part aggregate joined back
+    // to the fact — one agg + one equi-join instead of a per-row
+    // subquery. The threshold is davg-deterministic, so the float
+    // comparison agrees across engines.
+    "q_tpch_q17" -> ((s, d) => {
+      val l = table(s, d, "lineitem")
+      val dim = broadcast(table(s, d, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+      val branded = l.join(dim, col("l_partkey") === col("p_partkey"))
+      val avgq = branded.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((davg(col("l_quantity")) * 0.2).as("qlimit"))
+      branded.join(avgq, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < col("qlimit"))
+        .agg(r6(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+        .orderBy("avg_yearly")
+    }),
+
+    // TPC-H Q22 (global-relationship check), adapted (no phone column):
+    // customers richer than the average positive-balance customer with
+    // no RECENT order (the bare "never ordered" matches nobody on this
+    // fixture — every rich customer has some historical order). The
+    // global scalar attaches as a one-row broadcast; the "none recent"
+    // is a left-anti join against the date-pruned fact.
+    "q_tpch_q22" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(r6(davg(col("c_acctbal"))).as("avg_bal"))
+      val recent = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+             dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // TPC-H Q18 (large-volume customers): HAVING-filtered agg as a join
     // input. The per-order quantity sum keeps its DECIMAL type through the
     // > 300 comparison and the join, casting to double only at output — so
@@ -566,6 +607,39 @@ object JoinOps {
         AND l_discount >= 0.05 AND l_discount <= 0.07
         AND l_quantity < 24
       ORDER BY revenue""",
+
+    "q_tpch_q17" -> """
+      WITH branded AS (
+        SELECT l.* FROM lineitem l
+        JOIN part p ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#13'),
+      avgq AS (
+        SELECT l_partkey AS a_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_quantity) * 0.2 AS qlimit
+        FROM branded GROUP BY l_partkey)
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE) / 7.0, 6) AS avg_yearly
+      FROM branded JOIN avgq ON l_partkey = a_partkey
+      WHERE l_quantity < qlimit
+      ORDER BY avg_yearly""",
+
+    "q_tpch_q22" -> """
+      WITH a AS (
+        SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(c_acctbal), 6) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_mktsegment, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               AS totacctbal
+      FROM customer, a
+      WHERE c_acctbal > a.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >=
+                              TIMESTAMP '1998-06-01 00:00:00')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     "q_tpch_q18" -> """
       SELECT c_custkey, c_name, o_orderkey,
