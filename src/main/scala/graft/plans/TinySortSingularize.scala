@@ -73,8 +73,13 @@ object TinySortSingularize extends Rule[LogicalPlan] {
         if (materializedTiny(child)) {
           if (debug) System.err.println(
             s"[tinySort] rewriting global sort (input ~${child.stats.sizeInBytes} B)")
+          // shuffle = false (coalesce): the child is a materialized stage,
+          // so a narrow 1-partition merge reads its output directly in the
+          // sort's own task — no second shuffle write. When AQE has already
+          // coalesced the agg exchange to one partition this is a pure
+          // no-op and the local sort fuses into the final-agg stage.
           Sort(order, global = false,
-            Repartition(1, shuffle = true, child), hint)
+            Repartition(1, shuffle = false, child), hint)
         } else {
           if (debug) System.err.println(
             s"[tinySort] NOT rewriting: child=${child.getClass.getSimpleName} " +

@@ -19,7 +19,11 @@ object TinySortCheck {
     // executedPlan only reflects the adaptive rewrite AFTER an execution
     // on this same QueryExecution (collect above) — a .write would plan
     // its own QueryExecution and leave this one showing the initial plan.
+    // toString on an AdaptiveSparkPlan prints the Final AND Initial plans;
+    // the initial section always carries the range exchange, so scope the
+    // check to the final-plan section only.
     val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     println("[tiny] rangepartitioning in final plan: " +
       plan.contains("rangepartitioning"))
     spark.conf.set("spark.graft.tinySort.enabled", "false")
