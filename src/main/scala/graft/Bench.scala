@@ -98,7 +98,22 @@ object Bench {
     val total = cold.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
     val calibEnd = calibrate()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"sf":"$sfDir"}"""
+    // Gate ratios, computed at write time so cross-round comparison stops
+    // being re-derived by hand. Raw: warm flagship vs the reference's
+    // published 0.33 s (BASELINE.md — hardware unspecified). Calib: the
+    // same ratio rescaled to the round-8 judged host (calib 0.284 s on
+    // the fixed range-sum yardstick), i.e. "what the raw ratio would read
+    // on the host the 2x gate was last adjudicated on". Host speed swings
+    // ~2x between rounds; only the calib field is round-comparable.
+    val baselineSec = 0.33
+    val calibRef = 0.284
+    val calibMid = (calibStart + calibEnd) / 2
+    val flagshipWarm = warm.toMap.getOrElse("q_scan_flagship", -1.0)
+    val vsRaw = if (flagshipWarm > 0) flagshipWarm / baselineSec else -1.0
+    val vsCalib =
+      if (flagshipWarm > 0 && calibMid > 0) vsRaw * (calibRef / calibMid)
+      else -1.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"flagship_vs_baseline_raw":$vsRaw,"flagship_vs_baseline_calib":$vsCalib,"calib_ref":$calibRef,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout, which truncates the
     // per-query map (everything alphabetically early vanished from three

@@ -45,6 +45,10 @@ object SimOps {
   private val dotSql =
     "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
 
+  /** Target expected per-bucket occupancy for the k-NN join's
+    * scale-adaptive sign-bucket width (see q_knn_join). */
+  private val knnOcc = 16
+
   val queries: Map[String, QB] = Map(
     // Exact top-10 by cosine against the vec_id=0 vector.
     "q_sim_search" -> ((s, d) => {
@@ -94,19 +98,40 @@ object SimOps {
     }),
 
     // k-NN join (batch ANN): every vector gets its top-1 neighbor among
-    // the vectors sharing its 8-bit sign bucket — the all-rows companion
-    // to the single-query searches above. The bucketed self-equi-join IS
-    // the scale shape: candidates come from a hash join on the bucket
-    // key (never an all-pairs nested loop), the exact cosine re-rank is
-    // the codegen DotProduct, and the rank-1 window partitions on vec_id
-    // — corpus-cardinality, so it splits across any executor count.
-    // Vectors alone in their bucket have no candidates and drop out
-    // (inner join), exactly like an empty LSH probe.
+    // the vectors sharing its sign bucket — the all-rows companion to the
+    // single-query searches above. The bucketed self-equi-join IS the
+    // scale shape: candidates come from a hash join on the bucket key
+    // (never an all-pairs nested loop), the exact cosine re-rank is the
+    // codegen DotProduct, and the rank-1 window partitions on vec_id —
+    // corpus-cardinality, so it splits across any executor count.
+    //
+    // The bucket key WIDTH is derived from the corpus size so per-bucket
+    // occupancy stays ~KNN_OCC in expectation regardless of scale: with a
+    // FIXED 8-bit key the within-bucket self-join is O(n²/256) — quadratic
+    // again at 100× corpus. bits = smallest b in [8, 20] with
+    // 2^b ≥ ceil(n / KNN_OCC), computed in pure integer arithmetic (one
+    // count() scalar, broadcast like any AQE statistic) so the oracle can
+    // reproduce it bit-exactly — no float log2 whose last-ulp could flip
+    // ceil() between engines. Pair count is then O(n · KNN_OCC) expected
+    // (worst case: sign-skewed corpora concentrate buckets — same caveat
+    // as any fixed-hyperplane LSH; KNN_OCC=16 keeps even a 64× skewed
+    // bucket linear). At the fixtures (n ≤ 2000 → bits = 8) this is
+    // bit-identical to the former fixed-8-bit spelling. Recall trade:
+    // wider buckets mean more vectors alone in their bucket; those drop
+    // out (inner join), exactly like an empty LSH probe.
     "q_knn_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val bucketed = vectors(s, d).withColumn("bucket",
-        concat((1 to 8).map(i =>
-          when(element_at(col("v"), i) > 0, "1").otherwise("0")): _*))
+      val base = vectors(s, d)
+      val width = base.agg(count(lit(1)).as("n_vec"))
+        .select((8 to 19).foldRight(lit(20)) { (b, rest) =>
+          when(expr(s"(n_vec + ${knnOcc - 1}) DIV $knnOcc") <= (1L << b),
+               lit(b)).otherwise(rest)
+        }.as("bits"))
+      val bucketed = base.crossJoin(broadcast(width))
+        .withColumn("bucket",
+          concat((1 to 20).map(i =>
+            when(element_at(col("v"), i) > 0, "1").otherwise("0")): _*)
+          .substr(lit(1), col("bits")))
       val pairs = bucketed.as("a")
         .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") &&
               col("a.vec_id") =!= col("b.vec_id"))
@@ -177,17 +202,15 @@ object SimOps {
 
     "q_knn_join" -> s"""
       WITH $vectorsSql,
+      bw AS (SELECT ${(8 to 19).foldRight("20") { (b, rest) =>
+               s"CASE WHEN (count(*) + ${knnOcc - 1}) // $knnOcc <= ${1L << b} THEN $b ELSE $rest END"
+             }} AS bits FROM n),
       b AS (SELECT vec_id, v, nrm,
-                   concat(
-                     CASE WHEN v[1] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[2] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[3] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[4] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[5] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[6] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[7] > 0 THEN '1' ELSE '0' END,
-                     CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS bucket
-            FROM n),
+                   substr(concat(${(1 to 20).map(i =>
+                     s"CASE WHEN v[$i] > 0 THEN '1' ELSE '0' END")
+                     .mkString(",\n                     ")}),
+                     1, bits) AS bucket
+            FROM n, bw),
       p AS (SELECT a.vec_id AS vec_id, c.vec_id AS nn_id,
                    round(list_sum(list_transform(range(1, len(a.v) + 1),
                            i -> a.v[i] * c.v[i]))
