@@ -357,6 +357,96 @@ object JoinOps {
         .limit(100)
     }),
 
+    // TPC-H Q19 (discounted revenue), adapted (no container/shipmode
+    // columns): an OR of three brand×size×quantity conjunct blocks AS THE
+    // JOIN PREDICATE — the disjunction references both sides, so it rides
+    // the p_partkey equi-key as a residual on a broadcast hash join
+    // instead of degrading to a nested loop. Catalyst keeps the
+    // single-side conjuncts it can extract (each disjunct bounds
+    // l_quantity, so the union bound [1,30] prunes fact rows before the
+    // probe); the full OR evaluates only on key-matched pairs. One
+    // broadcast, zero shuffles before the one-row agg — at 100 TB the
+    // fact is read once and never reshuffled.
+    "q_tpch_q19" -> ((s, d) => {
+      val match3 =
+        (col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")),
+              col("l_partkey") === col("p_partkey") && match3)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("revenue")
+    }),
+
+    // TPC-H Q12 (shipping priority modes), adapted (no shipmode/receipt
+    // columns — l_returnflag stands in as the mode key, and "late" =
+    // shipped after the order date): a date-pruned fact join with a
+    // two-mode CASE aggregation. The year filter reaches the lineitem
+    // scan (PushedFilters row-group skipping); the conditional counts are
+    // codegen sum(CASE) pairs sharing one aggregation pass — the
+    // canonical "two measures, one scan" OLAP shape.
+    "q_tpch_q12" -> ((s, d) => {
+      val l = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, d, "orders")
+        .join(l, col("o_orderkey") === col("l_orderkey") &&
+                 col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q7 (volume shipping), adapted to the generated nation names:
+    // revenue flowing between two nations in either direction, by ship
+    // year. The two-nation IN prune applies to BOTH nation dims BEFORE
+    // their joins (Catalyst cannot infer it from the cross-side OR, so it
+    // is spelled explicitly), shrinking supplier and customer to the two
+    // nations' rows at the broadcast build; the cross-nation residual
+    // (keep the two cross pairs, drop same-nation flows) evaluates on the
+    // joined rows. Fact-side: lineitem⋈orders co-shuffles on orderkey —
+    // the only wide exchange in the plan; everything else is broadcast.
+    "q_tpch_q7" -> ((s, d) => {
+      val nat = table(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = table(s, d, "supplier")
+        .join(nat.select(col("n_nationkey").as("n1_key"),
+                         col("n_name").as("supp_nation")),
+              col("s_nationkey") === col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = table(s, d, "customer")
+        .join(nat.select(col("n_nationkey").as("n2_key"),
+                         col("n_name").as("cust_nation")),
+              col("c_nationkey") === col("n2_key"))
+        .select("c_custkey", "cust_nation")
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, d, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+                 col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" &&
+                 col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Runtime bloom-filter join pruning — the pattern Spark's
     // InjectRuntimeFilter applies between fact scans and selective dim
     // joins, built explicitly from public building blocks so it works on
@@ -654,6 +744,49 @@ object JoinOps {
         ON o_orderkey = big.l_orderkey
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100""",
+
+    "q_tpch_q19" -> """
+      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)
+      ORDER BY revenue""",
+
+    "q_tpch_q12" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > o_orderdate
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_tpch_q7" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year""",
 
     "q_join_bloom" -> """
       SELECT l_returnflag, count(*) AS n,
