@@ -295,19 +295,27 @@ object JoinOps {
 
     // TPC-H Q17 (small-quantity-order revenue), adapted (no p_container
     // column): for one brand's parts, revenue of lineitems under 20% of
-    // that part's average quantity. The correlated scalar subquery
-    // (avg per part) decorrelates into a per-part aggregate joined back
-    // to the fact — one agg + one equi-join instead of a per-row
-    // subquery. The threshold is davg-deterministic, so the float
-    // comparison agrees across engines.
+    // that part's average quantity. The correlated scalar subquery (avg
+    // per part) is computed as a WHOLE-PARTITION WINDOW over l_partkey
+    // instead of a per-part aggregate joined back to the fact: the
+    // join-back shape scans the branded lineitem subset twice (once for
+    // the avg, once for the probe), the window shape scans it ONCE and
+    // pays one partkey shuffle. Group sizes are bounded (lineitems per
+    // part is a constant ~30 at every TPC-H scale), so the window
+    // partition can never skew. The threshold is the same exact-decimal
+    // average (sum DECIMAL / count — order-independent), so the float
+    // comparison agrees across engines and with the join-back spelling.
     "q_tpch_q17" -> ((s, d) => {
-      val l = table(s, d, "lineitem")
+      import org.apache.spark.sql.expressions.Window
       val dim = broadcast(table(s, d, "part")
         .filter(col("p_brand") === "Brand#13").select("p_partkey"))
-      val branded = l.join(dim, col("l_partkey") === col("p_partkey"))
-      val avgq = branded.groupBy(col("l_partkey").as("a_partkey"))
-        .agg((davg(col("l_quantity")) * 0.2).as("qlimit"))
-      branded.join(avgq, col("l_partkey") === col("a_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val qlimit =
+        (sum(col("l_quantity").cast("decimal(18,6)")).over(w)
+           .cast("double") / count(col("l_quantity")).over(w)) * 0.2
+      table(s, d, "lineitem")
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .withColumn("qlimit", qlimit)
         .filter(col("l_quantity") < col("qlimit"))
         .agg(r6(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
         .orderBy("avg_yearly")

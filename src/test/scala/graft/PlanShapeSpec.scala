@@ -52,8 +52,13 @@ class PlanShapeSpec extends SparkTestBase {
           ).collect { case (op, true) => op }
           if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
         } catch {
-          // streaming builders execute on build — plan checks don't apply
-          case _: Throwable => None
+          // A builder that cannot PLAN is a failure of this audit, not a
+          // skip: a silent catch-all here once masked broken builders
+          // entirely (they'd dodge the CartesianProduct/SortAggregate
+          // checks). Streaming builders are already excluded by name
+          // above; nothing left in the inventory may throw.
+          case e: Throwable =>
+            Some(s"$name: threw during planning — ${e.toString.take(120)}")
         }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
