@@ -71,6 +71,7 @@ object Bench {
       // cached storage in the bench heap and the resulting GC pressure
       // distorts warm timings far more than the cache reuse helps them.
       graft.ops.DedupOps.clearPairsCache()
+      graft.ops.GraphOps.clearMessageCache()
       spark.catalog.clearCache()
     }
     releaseCaches()

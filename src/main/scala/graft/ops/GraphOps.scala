@@ -25,15 +25,14 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Fixed-iteration integer PageRank over a symmetric edge list
-    * (`src`, `dst` long columns). Returns (node, pr) in micro-units. */
-  private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    // The final frame is ONE plan containing every round as a subtree —
-    // without caching, the (edges ⋈ outdeg) message base would be
-    // recomputed per round (scan + distinct + agg × iters). Persist it
-    // once; the bench/verify session's cache-release hooks reclaim it.
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src").persist()
-    var pr = edges.select(col("src").as("node")).distinct()
+    * (`src`, `dst` long columns). Returns (node, pr) in micro-units.
+    *
+    * The final frame is ONE plan containing every round as a subtree —
+    * without caching, the (edges ⋈ outdeg) message base would be
+    * recomputed per round (scan + distinct + agg × iters), so the caller
+    * passes an already-persisted base via [[messageBase]]. */
+  private[graft] def pagerank(withDeg: DataFrame, iters: Int): DataFrame = {
+    var pr = withDeg.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
       pr = withDeg.join(pr, col("src") === col("node"))
@@ -45,6 +44,42 @@ object GraphOps {
     pr
   }
 
+  /** The persisted (edges ⋈ outdeg) message base, memoized per
+    * (session, dir) — the [[DedupOps.clearPairsCache]] pattern: repeat
+    * q_graph_pagerank invocations in a long-lived session (Verify, an
+    * interactive Graft session) reuse ONE persisted frame instead of
+    * stacking a new persist per call. Release via [[clearMessageCache]]
+    * (Bench's between-pass hook calls it alongside the dedup caches). */
+  private val baseCache =
+    new scala.collection.concurrent.TrieMap[(org.apache.spark.sql
+      .SparkSession, String), DataFrame]
+
+  /** Attach each edge's source out-degree — the message base shape
+    * [[pagerank]] consumes. */
+  private[graft] def withDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(deg, "src")
+  }
+
+  private def messageBase(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame =
+    baseCache.getOrElseUpdate((s, d), {
+      val e0 = table(s, d, "lineitem")
+        .select(col("l_partkey").as("src"),
+                (col("l_suppkey") + Off).as("dst"))
+        .distinct()
+      withDegree(e0.unionAll(e0.select(col("dst").as("src"),
+                                       col("src").as("dst"))))
+        .persist()
+    })
+
+  /** Drop the memoized message bases and release their storage. */
+  def clearMessageCache(): Unit = {
+    baseCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Exception => () })
+    baseCache.clear()
+  }
+
   /** Supplier id offset making part and supplier node ids disjoint (far
     * above any key the 10×/100× shifted fixtures produce). */
   private val Off = 1000000000000L
@@ -54,17 +89,10 @@ object GraphOps {
     // suppliers sit most centrally in the supply network. Nodes = parts ∪
     // (suppliers + Off); one symmetric edge per distinct (part, supplier)
     // lineitem pairing; 3 rounds. Output is every node's micro-unit rank.
-    "q_graph_pagerank" -> ((s, d) => {
-      val e0 = table(s, d, "lineitem")
-        .select(col("l_partkey").as("src"),
-                (col("l_suppkey") + Off).as("dst"))
-        .distinct()
-      val e = e0.unionAll(e0.select(col("dst").as("src"),
-                                    col("src").as("dst")))
-      pagerank(e, 3)
+    "q_graph_pagerank" -> ((s, d) =>
+      pagerank(messageBase(s, d), 3)
         .select(col("node").as("node_id"), col("pr").as("pr_micro"))
-        .orderBy("node_id")
-    }),
+        .orderBy("node_id")),
   )
 
   val oracles: Map[String, String] = Map(

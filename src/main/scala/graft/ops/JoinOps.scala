@@ -458,26 +458,36 @@ object JoinOps {
     // Runtime bloom-filter join pruning — the pattern Spark's
     // InjectRuntimeFilter applies between fact scans and selective dim
     // joins, built explicitly from public building blocks so it works on
-    // any plan shape: (1) hash the filtered dim keys into a 64 Kbit bloom
-    // (3 probes/key) folded into a map<word, bits> of ~1 KB via bit_or;
-    // (2) broadcast that ONE ROW and pre-filter the fact before its
-    // shuffle; (3) the exact join afterwards removes bloom false
-    // positives, so the result is identical to the plain join and the
-    // oracle never sees the bloom. At 100 TB this is the difference
-    // between shuffling the whole fact and shuffling the ~1/25th that
-    // matches the dim predicate — for a 1 KB broadcast, far cheaper than
-    // broadcasting the dim itself when the dim is large.
+    // any plan shape: (1) SIZE the bit array from the filtered dim's key
+    // count (next power of two ≥ 16 bits/key, floor 2^16, cap 2^27 —
+    // InjectRuntimeFilter's estimate-then-size idea, computed in-plan
+    // from a one-row count so no driver action runs; a FIXED size would
+    // saturate once the dim outgrew it, passing ~everything); (2) hash
+    // the keys into that bloom (3 probes/key; m/n=16 → ~0.5% false-
+    // positive rate) folded into a map<word, bits> via bit_or — ~1 KB at
+    // the floor, ~2 MB at the 2^27 cap (~8M keys; beyond that the fpr
+    // degrades gracefully, never wrongly); (3) broadcast that ONE ROW
+    // (bloom + its size) and pre-filter the fact before its shuffle;
+    // (4) the exact join afterwards removes bloom false positives, so
+    // the result is identical to the plain join and the oracle never
+    // sees the bloom. At 100 TB this is the difference between shuffling
+    // the whole fact and shuffling the ~1/25th that matches the dim
+    // predicate — far cheaper than broadcasting a large dim itself.
     "q_join_bloom" -> ((s, d) => {
-      val mBits = 1L << 16
       val dim = table(s, d, "part").filter(col("p_brand") === "Brand#13")
+      val mRow = dim.agg(count(lit(1)).as("nk"))
+        .select((16 to 26).foldRight(lit(1L << 27)) { (b, rest) =>
+          when(col("nk") * 16 <= (1L << b), lit(1L << b)).otherwise(rest)
+        }.as("m"))
       def bpos(key: org.apache.spark.sql.Column, i: Int) =
-        pmod(xxhash64(lit(i), key), lit(mBits))
-      val bloom = dim
-        .select(explode(array((0 until 3).map(i =>
+        pmod(xxhash64(lit(i), key), col("m"))
+      val bloom = dim.crossJoin(broadcast(mRow))
+        .select(col("m"), explode(array((0 until 3).map(i =>
           bpos(col("p_partkey"), i)): _*)).as("pos"))
-        .groupBy(expr("CAST(pos DIV 64 AS BIGINT)").as("w"))
+        .groupBy(col("m"), expr("CAST(pos DIV 64 AS BIGINT)").as("w"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
           .as("bits"))
+        .groupBy(col("m"))
         .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
           .as("bloom"))
       var probed = table(s, d, "lineitem").crossJoin(broadcast(bloom))

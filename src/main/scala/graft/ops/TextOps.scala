@@ -162,8 +162,15 @@ object TextOps {
       // earlier double-division spelling diverged from DuckDB by one ulp
       // on a rounding-boundary row at 10× scale (float ratios cast to
       // DECIMAL hit the half-up boundary from different representations);
-      // integers cannot. Headroom: total·1000 overflows int64 only past
-      // ~9·10^15 corpus tokens — widen the stride to DECIMAL then.
+      // integers cannot. Headroom: a single q_milli caps at total·1000
+      // (a hapax token), overflowing int64 only past ~9·10^15 corpus
+      // tokens — but the PER-DOC SUM of q_milli caps at
+      // total·1000·max_doc_tokens, i.e. max_doc_tokens-times earlier.
+      // DuckDB widens sum(BIGINT) to HUGEINT silently; Spark's long sum
+      // would wrap. So the per-doc sum accumulates in DECIMAL(38,0) —
+      // exact to 10^38, restoring the ~9·10^15-corpus-token bound (the
+      // one the q_milli stride itself imposes); the mean always fits
+      // int64 because it never exceeds max(q_milli).
       val toks = table(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
@@ -174,7 +181,9 @@ object TextOps {
           expr("(total * 1000 + freq DIV 2) DIV freq").as("q_milli"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-             expr("(sum(q_milli) + count(1) DIV 2) DIV count(1)")
+             expr("""CAST((sum(CAST(q_milli AS DECIMAL(38,0)))
+                           + CAST(count(1) DIV 2 AS DECIMAL(38,0)))
+                          DIV count(1) AS BIGINT)""")
                .as("surprisal_milli"))
         .orderBy("doc_id")
     }),

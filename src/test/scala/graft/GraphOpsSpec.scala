@@ -11,7 +11,7 @@ class GraphOpsSpec extends SparkTestBase {
     // other's full rank (outdeg 1), so pr' = 150000 + 85% · 1e6 = 1e6 —
     // the uniform distribution is an exact integer fixed point.
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
-    val pr = ops.GraphOps.pagerank(e, 5)
+    val pr = ops.GraphOps.pagerank(ops.GraphOps.withDegree(e), 5)
       .as[(Long, Long)].collect().toMap
     assert(pr == Map(1L -> 1000000L, 2L -> 1000000L), s"got $pr")
   }
@@ -23,7 +23,7 @@ class GraphOpsSpec extends SparkTestBase {
     // the initial total (truncating division only loses mass).
     val leaves = (2L to 6L)
     val e = leaves.flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
-    val pr = ops.GraphOps.pagerank(e, 3)
+    val pr = ops.GraphOps.pagerank(ops.GraphOps.withDegree(e), 3)
       .as[(Long, Long)].collect().toMap
     assert(pr.keySet == (1L to 6L).toSet)
     assert(leaves.forall(l => pr(1L) > pr(l)), s"hub not dominant: $pr")
