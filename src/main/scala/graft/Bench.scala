@@ -40,12 +40,20 @@ object Bench {
     // GC debt of whichever queries happened to run before it — measured
     // ~0.2 s of drift on sub-second queries late in the alphabet.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") == "1"
-    def once(fn: (SparkSession, String) => DataFrame): Double = {
+    // Streaming state-store telemetry (max state rows/bytes per stateful
+    // query, harvested from the harness after each run) — the measured
+    // backing for the inventory's "state is O(horizon)" claims.
+    val streamState = scala.collection.mutable.Map[String, (Long, Long)]()
+    def once(name: String,
+             fn: (SparkSession, String) => DataFrame): Double = {
       if (gcBetween) System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.streaming.StreamOps.takeStateMetrics()
+        .foreach(m => streamState(name) = m)
+      dt
     }
     // Host-speed calibration: a fixed CPU-bound workload (codegen'd
     // range-sum across all cores), median-of-3. Same-code flagship
@@ -63,8 +71,12 @@ object Bench {
       ts(1)
     }
     val calibStart = calibrate()
+    // Local-iteration subset (comma-separated names); the driver never
+    // sets it, so round artifacts always carry the full inventory.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val cold = named.map { case (n, fn) => n -> once(fn) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val cold = named.map { case (n, fn) => n -> once(n, fn) }
     def releaseCaches(): Unit = {
       // Release every frame a pass persisted (dedup pair caches,
       // per-query persist()s): carrying them into the next pass doubles
@@ -82,7 +94,7 @@ object Bench {
     // passes and report the per-query MEDIAN.
     val warmN = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
     val warmPasses = (1 to warmN).map { _ =>
-      val p = named.map { case (n, fn) => n -> once(fn) }
+      val p = named.map { case (n, fn) => n -> once(n, fn) }
       releaseCaches()
       p
     }
@@ -114,7 +126,10 @@ object Bench {
     val vsCalib =
       if (flagshipWarm > 0 && calibMid > 0) vsRaw * (calibRef / calibMid)
       else -1.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"flagship_vs_baseline_raw":$vsRaw,"flagship_vs_baseline_calib":$vsCalib,"calib_ref":$calibRef,"sf":"$sfDir"}"""
+    val stateJs = streamState.toSeq.sortBy(_._1).map { case (k, (r, b)) =>
+      s"""\"$k\":{"rows":$r,"bytes":$b}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"flagship_vs_baseline_raw":$vsRaw,"flagship_vs_baseline_calib":$vsCalib,"calib_ref":$calibRef,"stream_state":$stateJs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout, which truncates the
     // per-query map (everything alphabetically early vanished from three

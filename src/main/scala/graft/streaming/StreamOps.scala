@@ -64,65 +64,113 @@ object StreamOps {
     runStreamN(s, d, mode, copies, tableName, schema, nSources = 1,
                sentinelNs = None)(srcs => transform(srcs.head))
 
-  /** Generalized harness: stage the fixture, open `nSources` independent
-    * file streams over the staged directory (a stream-stream join needs
-    * two), optionally append a far-future one-row SENTINEL file that
-    * arrives strictly last (its mtime is bumped; FileStreamSource takes
-    * files oldest-first) — the production stand-in for "the stream keeps
-    * flowing", which pushes the watermark past every real event so
+  /** Staged fixture directories, memoized per
+    * (session, sfDir, table, copies, sentinel): staging copies the
+    * fixture and — for sentinel queries — runs two one-row parquet WRITE
+    * JOBS; repeated builds in one session (Bench's cold + N warm passes)
+    * were paying that staging per query per pass. The staged directory
+    * is immutable after staging, so every rebuild reuses it; the JVM's
+    * temp-dir cleanup reclaims the files at exit ([[clearStagedFixtures]]
+    * for an explicit release — e.g. if the fixture files under `d` are
+    * rewritten mid-session). */
+  private val stagedCache =
+    new scala.collection.concurrent.TrieMap[
+      (SparkSession, String, String, Int, Option[Long]),
+      (java.nio.file.Path, Int)]
+
+  /** Drop the memoized staged fixture directories (files deleted now,
+    * not at JVM exit). */
+  def clearStagedFixtures(): Unit = {
+    stagedCache.values.foreach { case (dir, _) =>
+      try {
+        dir.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: Exception => () }
+    }
+    stagedCache.clear()
+  }
+
+  /** State-store telemetry of the most recent stream run: max over the
+    * run's micro-batches of (Σ state rows, Σ state memory bytes) across
+    * stateful operators. Consumed (and cleared) by Bench to turn the
+    * "state is O(horizon)" design claims into per-round measured numbers;
+    * None for stateless streams and non-stream queries. */
+  @volatile private var stateMetrics: Option[(Long, Long)] = None
+  def takeStateMetrics(): Option[(Long, Long)] = {
+    val m = stateMetrics; stateMetrics = None; m
+  }
+
+  private def stageFixture(s: SparkSession, d: String, copies: Int,
+                           tableName: String,
+                           sentinelNs: Option[Long]): (java.nio.file.Path, Int) =
+    stagedCache.getOrElseUpdate((s, d, tableName, copies, sentinelNs), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      dir.toFile.deleteOnExit()
+      // driver fixtures are single parquet FILES; generated scale fixtures
+      // (ScaleStress) are DIRECTORIES of part files. One logical ARRIVAL =
+      // one fixture copy, however many part files carry it — so the
+      // per-trigger file cap below equals the per-copy part count. Part
+      // files hold arbitrary slices of event time; letting them arrive as
+      // separate batches would advance the watermark past the remaining
+      // parts after the first batch and (correctly, per streaming
+      // semantics) drop most of the fixture as late data — a harness
+      // artifact, not the contract under test.
+      val fixture = java.nio.file.Paths.get(s"$d/$tableName.parquet")
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(fixture))
+          fixture.toFile.listFiles().toSeq
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map(_.toPath)
+        else Seq(fixture)
+      val filesPerTrigger = math.max(1, parts.size)
+      for (i <- 1 to copies; (p, j) <- parts.zipWithIndex) {
+        val dst = dir.resolve(s"${tableName}_${i}_$j.parquet")
+        java.nio.file.Files.copy(p, dst)
+        dst.toFile.deleteOnExit()
+      }
+      // TWO sentinel arrivals, one micro-batch apart: the first advances
+      // the watermark past every real event; the second drives one more
+      // batch AFTER that watermark has committed, which is when
+      // watermark-gated emissions (outer-join null rows, final window
+      // flushes) actually reach the sink — the watermark computed in batch
+      // N gates emission in batch N+1.
+      sentinelNs.foreach { ns =>
+        import s.implicits._
+        for (k <- 1 to 2) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+          Seq((-k.toLong, ns + k * 3600000000000L, -1L, "__sentinel", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          val dst = dir.resolve(s"zz_sentinel_${tableName}_$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          dst.toFile.deleteOnExit()
+          // strictly-later mtime => strictly-later micro-batch
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + 60000 * k))
+          tmp.toFile.listFiles().foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(tmp)
+        }
+      }
+      (dir, filesPerTrigger)
+    })
+
+  /** Generalized harness: stage the fixture (memoized), open `nSources`
+    * independent file streams over the staged directory (a stream-stream
+    * join needs two), optionally with a far-future one-row SENTINEL file
+    * that arrives strictly last (its mtime is bumped; FileStreamSource
+    * takes files oldest-first) — the production stand-in for "the stream
+    * keeps flowing", which pushes the watermark past every real event so
     * append-mode windows finalize and flush. */
   private def runStreamN(s: SparkSession, d: String, mode: String,
                          copies: Int, tableName: String, schema: StructType,
                          nSources: Int, sentinelNs: Option[Long])
                         (transform: Seq[DataFrame] => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    dir.toFile.deleteOnExit()
-    // driver fixtures are single parquet FILES; generated scale fixtures
-    // (ScaleStress) are DIRECTORIES of part files. One logical ARRIVAL =
-    // one fixture copy, however many part files carry it — so the
-    // per-trigger file cap below equals the per-copy part count. Part
-    // files hold arbitrary slices of event time; letting them arrive as
-    // separate batches would advance the watermark past the remaining
-    // parts after the first batch and (correctly, per streaming
-    // semantics) drop most of the fixture as late data — a harness
-    // artifact, not the contract under test.
-    val fixture = java.nio.file.Paths.get(s"$d/$tableName.parquet")
-    val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(fixture))
-        fixture.toFile.listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .map(_.toPath)
-      else Seq(fixture)
-    val filesPerTrigger = math.max(1, parts.size)
-    for (i <- 1 to copies; (p, j) <- parts.zipWithIndex)
-      java.nio.file.Files.copy(
-        p, dir.resolve(s"${tableName}_${i}_$j.parquet"))
-    // TWO sentinel arrivals, one micro-batch apart: the first advances
-    // the watermark past every real event; the second drives one more
-    // batch AFTER that watermark has committed, which is when
-    // watermark-gated emissions (outer-join null rows, final window
-    // flushes) actually reach the sink — the watermark computed in batch
-    // N gates emission in batch N+1.
-    sentinelNs.foreach { ns =>
-      import s.implicits._
-      for (k <- 1 to 2) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-        Seq((-k.toLong, ns + k * 3600000000000L, -1L, "__sentinel", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(_.getName.endsWith(".parquet")).get.toPath
-        val dst = dir.resolve(s"zz_sentinel_${tableName}_$k.parquet")
-        java.nio.file.Files.move(part, dst)
-        // strictly-later mtime => strictly-later micro-batch
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + 60000 * k))
-        tmp.toFile.listFiles().foreach(_.delete())
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
-    }
+    val (dir, filesPerTrigger) =
+      stageFixture(s, d, copies, tableName, sentinelNs)
     def source(): DataFrame = {
       val raw = s.readStream.schema(schema)
         // one COPY per micro-batch: replayed copies arrive as separate
@@ -139,19 +187,38 @@ object StreamOps {
     }
     val qname =
       s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // Run the micro-batches at a narrow shuffle width: every stateful
+    // operator opens one state-store instance PER SHUFFLE PARTITION per
+    // micro-batch, so the session's 32-wide default pays 32 store
+    // setups/commits per stateful op per trigger to process a fixture
+    // batch of a few thousand rows — pure harness overhead (measured
+    // ~2x on the stream family). Partition count never changes streaming
+    // RESULTS (hash partitioning is load distribution only); a real
+    // 24/7 deployment sizes this to its executor count in cluster conf.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     // cleanup rides a finally: a failing transform/start/drain must not
-    // leak the staged copies or the driver-resident memory-sink view
-    // across repeated builds in a long-lived session
+    // leak the session conf override or the driver-resident memory-sink
+    // view across repeated builds in a long-lived session (the staged
+    // directory is cache-owned now — see stageFixture)
     try {
       val q = transform(Seq.fill(nSources)(source())).writeStream
         .outputMode(mode).format("memory").queryName(qname).start()
       try { q.processAllAvailable() } finally { q.stop() }
+      stateMetrics = {
+        val perBatch = q.recentProgress.toSeq.map { p =>
+          val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+          (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+        }
+        if (perBatch.isEmpty) None
+        else Some((perBatch.map(_._1).max, perBatch.map(_._2).max))
+          .filter(m => m._1 > 0 || m._2 > 0)
+      }
       val sink = s.table(qname)
       s.createDataFrame(sink.collectAsList(), sink.schema)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try s.catalog.dropTempView(qname) catch { case _: Exception => () }
-      dir.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(dir)
     }
   }
 
