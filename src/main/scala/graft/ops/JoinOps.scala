@@ -455,6 +455,96 @@ object JoinOps {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // TPC-H Q13 (customer order-count distribution), adapted (no
+    // o_comment to exclude — the low-priority class stands in): LEFT
+    // join with a residual on the RIGHT side (kept in the join condition,
+    // not a post-filter, so customers with only excluded orders still
+    // count as zero), then a two-level aggregation — per-customer counts,
+    // then the histogram of counts. Both aggs are hash aggs on shrinking
+    // keys; the left join shuffles on custkey once.
+    "q_tpch_q13" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(table(s, d, "orders"),
+              col("c_custkey") === col("o_custkey") &&
+              col("o_orderpriority") =!= "5-LOW", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    // max. Revenue stays DECIMAL through the max and the equality compare
+    // (exact in both engines — a double roundtrip could make "= max" rows
+    // diverge), casting to double only at output. The max attaches as a
+    // one-row broadcast (PlanShapeSpec scalar-attach allowlist); supplier
+    // is a broadcast dim.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev_d"))
+      val maxRev = rev.agg(max(col("rev_d")).as("max_rev_d"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("rev_d") === col("max_rev_d"))
+        .join(broadcast(table(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+                col("rev_d").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 (part/supplier relationship counts), adapted: the fixture
+    // has no partsupp, so the observed (part, supplier) pairs in lineitem
+    // stand in. Grouped COUNT(DISTINCT supplier): Spark plans the
+    // two-phase distinct expansion (partial distinct on (group, supp)
+    // then count) — no row explosion beyond the distinct pairs.
+    "q_tpch_q16" -> ((s, d) =>
+      table(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+                col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .join(table(s, d, "lineitem"),
+              col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+                 asc("p_size"))),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted (no
+    // commit/receipt dates: "late" = shipped >60 days after the order
+    // date): for finished orders with multiple suppliers, count each late
+    // lineitem whose supplier was the ONLY late one on its order. The
+    // correlated EXISTS / NOT-EXISTS pair decorrelates into per-order
+    // supplier sets computed as WHOLE-PARTITION WINDOWS over one
+    // lineitem⋈orders scan (collect_set sizes — DISTINCT aggregates
+    // can't window, sets can): n_supp > 1 ↔ the EXISTS, n_late = 1 ↔ the
+    // NOT EXISTS. One orderkey shuffle, bounded partitions (lineitems
+    // per order ≤ 7 at every TPC-H scale); the oracle keeps the
+    // textbook EXISTS spelling, so the equivalence is itself under test.
+    "q_tpch_q21" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders").filter(col("o_orderstatus") === "F"),
+              col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late", late)
+        .withColumn("n_supp",
+          size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late", size(collect_set(
+          when(col("is_late"), col("l_suppkey"))).over(w)))
+        .filter(col("is_late") && col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(table(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    }),
+
     // Runtime bloom-filter join pruning — the pattern Spark's
     // InjectRuntimeFilter applies between fact scans and selective dim
     // joins, built explicitly from public building blocks so it works on
@@ -805,6 +895,57 @@ object JoinOps {
           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q13" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey) cc
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q_tpch_q15" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS rev_d
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_rev
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE rev_d = (SELECT max(rev_d) FROM rev)
+      ORDER BY s_suppkey""",
+
+    "q_tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q_tpch_q21" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""",
 
     "q_join_bloom" -> """
       SELECT l_returnflag, count(*) AS n,

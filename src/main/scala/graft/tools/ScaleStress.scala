@@ -3,12 +3,15 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale stress: derives a ~sf1 dataset from sf0.1 by unioning K
-  * key-shifted copies into /tmp parquet, then times the heaviest queries
-  * on it. Validates that plan shapes (broadcasts, LSH banding, window
-  * shuffles) hold an order of magnitude above the bench scale — the
-  * "would this survive a scale-up" check, run rather than asserted.
-  * Usage: runMain graft.tools.ScaleStress [copies] [srcSf] */
+/** 10×/100× scale stress: derives a ~sf1 (or ~sf10) dataset from sf0.1
+  * by unioning K key-shifted copies into /tmp parquet, then times the
+  * heaviest queries on it. Validates that plan shapes (broadcasts, LSH
+  * banding, window shuffles) hold one-two orders of magnitude above the
+  * bench scale — the "would this survive a scale-up" check, run rather
+  * than asserted. Reports the PEAK cached-storage footprint across each
+  * query (sampled concurrently), so the iterative family's
+  * checkpoint-release discipline is measured, not assumed.
+  * Usage: runMain graft.tools.ScaleStress [copies] [srcSf] [q1,q2,...] */
 object ScaleStress {
 
   def main(args: Array[String]): Unit = {
@@ -52,7 +55,7 @@ object ScaleStress {
       }
     }
 
-    val heavy = Seq("q_scan_flagship", "q_agg_groupby", "q_join_inner",
+    val defaultHeavy = Seq("q_scan_flagship", "q_agg_groupby", "q_join_inner",
       "q_window_rank", "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
       "q_dedup_ngram", "q_sim_search", "q_sim_search_lsh", "q_topk",
       "q_dedup_clusters", "q_session_window", "q_agg_stats",
@@ -62,15 +65,39 @@ object ScaleStress {
       "q_join_range_auto",
       "q_merge_upsert", "q_zorder", "q_tpch_q3", "q_tpch_q5",
       "q_sample_stratified", "q_graph_degree")
+    val heavy =
+      if (args.length > 2) args(2).split(",").toSeq else defaultHeavy
+    // Peak cached-storage sampler: the iterative queries persist /
+    // localCheckpoint per round and RELEASE finished rounds — the peak
+    // (not the after-query residual) is what bounds executor memory.
+    @volatile var peakStorage = 0L
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val cur = try spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+        catch { case _: Exception => 0L }
+        if (cur > peakStorage) peakStorage = cur
+        Thread.sleep(200)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     heavy.foreach { name =>
       val t0 = System.nanoTime()
+      peakStorage = 0L
       try {
         val c = graft.SparkEntry.queries(name)(spark, out).count()
-        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"($c rows, peak cached ${peakStorage / 1048576.0}%.0f MiB)")
       } catch { case e: Throwable =>
         println(s"[stress] $name FAILED: ${e.getMessage.take(120)}")
       }
+      graft.ops.DedupOps.clearPairsCache()
+      graft.ops.GraphOps.clearMessageCache()
+      spark.catalog.clearCache()
     }
+    sampling = false
     spark.stop()
   }
 }
