@@ -455,6 +455,100 @@ object JoinOps {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // TPC-H Q8 (national market share): the share of one nation's
+    // suppliers in a region's ECONOMY-part order volume, by order year.
+    // The full 6-dim star: region prunes the CUSTOMER-side nation dim
+    // before its broadcast; the supplier-side nation attaches the
+    // supp_nation label; the share is a conditional / total pair of
+    // exact-decimal sums in ONE aggregation pass (the q_tpch_q14
+    // pattern, here per-year). Fact-side shuffle: lineitem⋈orders on
+    // orderkey only — every dimension broadcasts.
+    "q_tpch_q8" -> ((s, d) => {
+      val custNat = table(s, d, "nation")
+        .join(broadcast(table(s, d, "region")
+                .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNat = table(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+                col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")
+                .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+              col("l_partkey") === col("p_partkey"))
+        .join(table(s, d, "orders")
+                .filter(col("o_orderdate") >=
+                          lit("1996-01-01").cast("timestamp") &&
+                        col("o_orderdate") <
+                          lit("1998-01-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, d, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(table(s, d, "supplier")
+                .select("s_suppkey", "s_nationkey")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(r6(dsum(when(col("supp_nation") === "NATION_3", vol)
+                 .otherwise(lit(0.0))) / dsum(vol)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 (product-type profit), adapted: the fixture has no
+    // partsupp/ps_supplycost, so unit cost is proxied as 10% of the
+    // part's retail price — the SHAPE under test (name-pattern dim
+    // filter, 4-way star, two-key agg on nation × year, per-row profit
+    // arithmetic) is Q9's. The profit expression is pure per-row float
+    // arithmetic spelled identically in both engines, then the exact
+    // decimal sum; part and supplier/nation broadcast, the fact pair
+    // co-shuffles on orderkey.
+    "q_tpch_q9" -> ((s, d) => {
+      val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.1)
+      table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")
+                .filter(col("p_name").like("%red%"))
+                .select("p_partkey", "p_retailprice")),
+              col("l_partkey") === col("p_partkey"))
+        .join(table(s, d, "orders").select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, d, "supplier")
+                .select("s_suppkey", "s_nationkey")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+                 year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(profit).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // TPC-H Q20 (part promotion eligibility), adapted: no ps_availqty,
+    // so the stock test becomes a shipped-quantity threshold — suppliers
+    // who moved > 400 units of PROMO parts in 1997. The aggregate keeps
+    // DECIMAL through the HAVING compare (exact in both engines); the
+    // supplier table left-semi-joins the qualifying key set (the IN
+    // subquery's decorrelated form), so only keys cross the network.
+    "q_tpch_q20" -> ((s, d) => {
+      val qualifying = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(table(s, d, "part")
+                .filter(col("p_type") === "PROMO").select("p_partkey")),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_d"))
+        .filter(col("qty_d") > 400)
+      table(s, d, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q13 (customer order-count distribution), adapted (no
     // o_comment to exclude — the low-priority class stands in): LEFT
     // join with a residual on the RIGHT side (kept in the join condition,
@@ -895,6 +989,56 @@ object JoinOps {
           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q8" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY year(o_orderdate)
+      ORDER BY o_year""",
+
+    "q_tpch_q9" -> """
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * l_quantity * 0.1
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY nation, o_year DESC""",
+
+    "q_tpch_q20" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 400)
+      ORDER BY s_suppkey""",
 
     "q_tpch_q13" -> """
       SELECT c_count, count(*) AS custdist
