@@ -379,6 +379,34 @@ object StreamOps {
       }.filter(col("event_type") =!= "__sentinel")
         .orderBy("bucket", "event_type")),
 
+    // STREAMING session windows — the stateful-session shape (merging
+    // variable-length windows per key as events arrive, emitting a
+    // session only when the watermark proves it closed): append mode +
+    // watermark over the same native session_window as the batch twin.
+    // The far-future sentinels close every real session; the sentinel's
+    // own session can never finalize (nothing arrives 30 min past it),
+    // so it stays in state and the defensive user_id filter is just
+    // that. State: open sessions inside the watermark horizon —
+    // O(active users), evicted on emission. Oracle = the batch
+    // q_session_window oracle verbatim: append-mode emission must not
+    // change the answer, only when it appears.
+    "q_stream_session" -> ((s, d) =>
+      runStreamN(s, d, "append", copies = 1, tableName = "events",
+                 schema = eventsRawSchema, nSources = 1,
+                 // 2100-01-01 in ns — later than any fixture event
+                 sentinelNs = Some(4102444800000000000L)) {
+        case Seq(src) =>
+          src.withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "30 minutes"),
+                     col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start"),
+              unix_micros(col("session_window.end")).as("session_end"),
+              col("n_events"))
+      }.filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")),
+
     // Spark's native session_window operator (30-min gap), usable in batch
     // and streaming alike. Window end is exclusive: last event + gap.
     "q_session_window" -> ((s, d) =>
@@ -485,6 +513,31 @@ object StreamOps {
       FROM events
       GROUP BY date_trunc('hour', ts), event_type
       ORDER BY bucket, event_type""",
+
+    // Identical to the batch session-window oracle — append mode changes
+    // emission timing and state policy, never the sessions themselves.
+    "q_stream_session" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      l AS (SELECT user_id, event_id, tsu,
+                   lag(tsu) OVER (PARTITION BY user_id
+                                  ORDER BY tsu, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, event_id, tsu,
+                   CASE WHEN prev IS NULL OR tsu - prev >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sid AS (SELECT user_id, tsu,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+              FROM f)
+      SELECT user_id, min(tsu) AS session_start,
+             max(tsu) + 1800000000 AS session_end,
+             count(*) AS n_events
+      FROM sid
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""",
 
     "q_session_window" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
