@@ -93,18 +93,24 @@ object Bench {
     // pass is not a trustworthy round-over-round comparator: run N warm
     // passes and report the per-query MEDIAN.
     val warmN = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
+    // One calibration PER WARM PASS: the host can drift ~2x WITHIN a
+    // bench run (measured calib 0.30 -> 0.16 across one round-9 run), so
+    // a start/end pair cannot say how fast the host was when a given
+    // pass ran. Per-pass yardsticks let the gate ratio normalize each
+    // flagship sample against the host speed of ITS OWN pass.
     val warmPasses = (1 to warmN).map { _ =>
       val p = named.map { case (n, fn) => n -> once(n, fn) }
       releaseCaches()
-      p
+      (p, calibrate())
     }
+    val calibPasses = warmPasses.map(_._2)
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
       else ok(ok.size / 2) // odd N -> true median; even N -> upper median
     }
     val warm = named.map { case (n, _) =>
-      n -> median(warmPasses.map(_.toMap.apply(n)))
+      n -> median(warmPasses.map(_._1.toMap.apply(n)))
     }
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -113,23 +119,26 @@ object Bench {
     val calibEnd = calibrate()
     // Gate ratios, computed at write time so cross-round comparison stops
     // being re-derived by hand. Raw: warm flagship vs the reference's
-    // published 0.33 s (BASELINE.md — hardware unspecified). Calib: the
-    // same ratio rescaled to the round-8 judged host (calib 0.284 s on
+    // published 0.33 s (BASELINE.md — hardware unspecified). Calib: each
+    // pass's flagship sample normalized by ITS OWN pass's yardstick, then
+    // the median — rescaled to the round-8 judged host (calib 0.284 s on
     // the fixed range-sum yardstick), i.e. "what the raw ratio would read
     // on the host the 2x gate was last adjudicated on". Host speed swings
-    // ~2x between rounds; only the calib field is round-comparable.
+    // ~2x between rounds AND within a run; only the calib field is
+    // round-comparable.
     val baselineSec = 0.33
     val calibRef = 0.284
-    val calibMid = (calibStart + calibEnd) / 2
     val flagshipWarm = warm.toMap.getOrElse("q_scan_flagship", -1.0)
     val vsRaw = if (flagshipWarm > 0) flagshipWarm / baselineSec else -1.0
-    val vsCalib =
-      if (flagshipWarm > 0 && calibMid > 0) vsRaw * (calibRef / calibMid)
-      else -1.0
+    val perPassCalibrated = warmPasses.flatMap { case (p, c) =>
+      p.toMap.get("q_scan_flagship").filter(t => t > 0 && c > 0)
+        .map(t => (t / c) * calibRef / baselineSec)
+    }
+    val vsCalib = median(perPassCalibrated)
     val stateJs = streamState.toSeq.sortBy(_._1).map { case (k, (r, b)) =>
       s"""\"$k\":{"rows":$r,"bytes":$b}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"flagship_vs_baseline_raw":$vsRaw,"flagship_vs_baseline_calib":$vsCalib,"calib_ref":$calibRef,"stream_state":$stateJs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"flagship_vs_baseline_raw":$vsRaw,"flagship_vs_baseline_calib":$vsCalib,"calib_ref":$calibRef,"stream_state":$stateJs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout, which truncates the
     // per-query map (everything alphabetically early vanished from three
