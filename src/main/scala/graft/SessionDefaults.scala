@@ -35,9 +35,13 @@ object SessionDefaults {
       // spark.graft.rangeJoinBin.enabled=false); global sorts over
       // runtime-verified tiny AQE stages drop the range exchange +
       // sampling job (graft.plans.TinySortSingularize, kill switch
-      // spark.graft.tinySort.enabled=false).
+      // spark.graft.tinySort.enabled=false); aggregates over exact-size-
+      // tiny single-split scans fuse to one exchange-free stage
+      // (graft.plans.TinyAggSingularize, kill switch
+      // spark.graft.tinyAgg.enabled=false).
       .withExtensions { e =>
         e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+        e.injectOptimizerRule(_ => graft.plans.TinyAggSingularize)
         e.injectRuntimeOptimizerRule(_ =>
           graft.plans.TinySortSingularize)
       }

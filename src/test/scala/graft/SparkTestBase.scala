@@ -14,6 +14,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .withExtensions { e =>
         e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+        e.injectOptimizerRule(_ => graft.plans.TinyAggSingularize)
         e.injectRuntimeOptimizerRule(_ =>
           graft.plans.TinySortSingularize)
       }

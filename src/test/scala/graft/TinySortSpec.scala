@@ -8,7 +8,16 @@ import org.apache.spark.sql.functions._
 class TinySortSpec extends SparkTestBase {
   import spark.implicits._
 
+  // TinyAggSingularize would make these plans exchange-free before the
+  // sort rule ever runs — disable it so the suite exercises the
+  // TinySortSingularize path specifically.
+  private def withoutTinyAgg[A](body: => A): A = {
+    spark.conf.set("spark.graft.tinyAgg.enabled", "false")
+    try body finally spark.conf.set("spark.graft.tinyAgg.enabled", "true")
+  }
+
   test("tiny agg+sort loses its range exchange; output order unchanged") {
+    withoutTinyAgg {
     val df = ops.table(spark, sf0001, "lineitem")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"))
@@ -28,9 +37,11 @@ class TinySortSpec extends SparkTestBase {
         .orderBy(desc("n"), asc("l_returnflag")).collect()
       assert(rows.toSeq == expected.toSeq)
     } finally spark.conf.set("spark.graft.tinySort.enabled", "true")
+    }
   }
 
   test("kill switch restores the range-partitioned global sort") {
+    withoutTinyAgg {
     spark.conf.set("spark.graft.tinySort.enabled", "false")
     try {
       val df = ops.table(spark, sf0001, "lineitem")
@@ -41,5 +52,6 @@ class TinySortSpec extends SparkTestBase {
       assert(df.queryExecution.executedPlan.toString
         .contains("rangepartitioning"))
     } finally spark.conf.set("spark.graft.tinySort.enabled", "true")
+    }
   }
 }
