@@ -78,6 +78,28 @@ object StreamOps {
       (SparkSession, String, String, Int, Option[Long]),
       (java.nio.file.Path, Int)]
 
+  /** Harness scratch root. Micro-batch execution is dominated by tiny
+    * rename-committed files (offset log, commit log, one state delta per
+    * store per partition per batch) — on a disk-backed /tmp each costs a
+    * real fsync, which is pure HARNESS latency: a production deployment
+    * checkpoints to durable shared storage and sizes batches thousands of
+    * times larger than this fixture. Use the ram-backed /dev/shm when
+    * present so the bench measures the operators, not the local disk.
+    * Checkpoint contents are identical either way. Kill switch:
+    * spark.graft.stream.ramScratch=false (session conf). */
+  private def scratchRoot(s: SparkSession): Option[java.nio.file.Path] = {
+    val enabled = s.conf.getOption("spark.graft.stream.ramScratch")
+      .forall(_.toBoolean)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (enabled && java.nio.file.Files.isWritable(shm)) Some(shm) else None
+  }
+
+  private def mkScratchDir(s: SparkSession, prefix: String): java.nio.file.Path =
+    scratchRoot(s) match {
+      case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+
   /** Drop the memoized staged fixture directories (files deleted now,
     * not at JVM exit). */
   def clearStagedFixtures(): Unit = {
@@ -104,7 +126,7 @@ object StreamOps {
                            tableName: String,
                            sentinelNs: Option[Long]): (java.nio.file.Path, Int) =
     stagedCache.getOrElseUpdate((s, d, tableName, copies, sentinelNs), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val dir = mkScratchDir(s, "graft_stream_")
       dir.toFile.deleteOnExit()
       // driver fixtures are single parquet FILES; generated scale fixtures
       // (ScaleStress) are DIRECTORIES of part files. One logical ARRIVAL =
@@ -201,9 +223,14 @@ object StreamOps {
     // leak the session conf override or the driver-resident memory-sink
     // view across repeated builds in a long-lived session (the staged
     // directory is cache-owned now — see stageFixture)
+    // Explicit ram-backed checkpoint dir (see scratchRoot) — owned here,
+    // removed in the finally below; Spark's auto temp checkpoints live
+    // under java.io.tmpdir, which may be disk-backed.
+    val ckptDir = mkScratchDir(s, "graft_ckpt_")
     try {
       val q = transform(Seq.fill(nSources)(source())).writeStream
-        .outputMode(mode).format("memory").queryName(qname).start()
+        .outputMode(mode).format("memory").queryName(qname)
+        .option("checkpointLocation", ckptDir.toString).start()
       try { q.processAllAvailable() } finally { q.stop() }
       stateMetrics = {
         val perBatch = q.recentProgress.toSeq.map { p =>
@@ -219,6 +246,12 @@ object StreamOps {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try s.catalog.dropTempView(qname) catch { case _: Exception => () }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
     }
   }
 
