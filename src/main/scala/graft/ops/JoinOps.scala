@@ -639,6 +639,92 @@ object JoinOps {
         .limit(100)
     }),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: the fixture has no
+    // partsupp, so the observed (part, supplier) pairs in lineitem stand
+    // in and "supply cost" is the cheapest observed line price —
+    // min(l_extendedprice) per pair, an order-independent pick both
+    // engines make identically on the same double set. The correlated
+    // scalar subquery ("cost equals the region-wide minimum for that
+    // part") decorrelates into a per-part MIN WINDOW over the same
+    // region-restricted pair set — one lineitem scan, no join-back (the
+    // q_tpch_q17 single-scan shape); per-part window fan-in is the
+    // supplier count per part (single digits at every TPC-H scale). The
+    // part size/type filter lands BEFORE the pair aggregation, so at
+    // 100 TB only ~1/180 of the fact reaches the shuffle; supplier⋈
+    // nation⋈region ride along as one broadcast dim. The oracle keeps
+    // the textbook correlated spelling, so the equivalence is itself
+    // under test.
+    "q_tpch_q2" -> ((s, d) => {
+      val eu = table(s, d, "supplier")
+        .join(broadcast(table(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")
+                .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val pairs = table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")
+                .filter(col("p_size").isin(5, 15, 25) &&
+                        col("p_type") === "LARGE")
+                .select("p_partkey", "p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+                 col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      pairs
+        .withColumn("min_cost",
+          min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+                col("p_partkey"), col("p_brand"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+                 asc("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 (important stock), adapted: no partsupp/ps_availqty, so
+    // a part's "stock value" in the target nation is its shipped value —
+    // sum(l_extendedprice * l_quantity) over lines sold by that nation's
+    // suppliers. All money stays in INTEGER CENTS end to end
+    // (round-to-cents → DECIMAL(18,2) → ×100 → BIGINT per line): the
+    // per-part and grand totals are exact int64 sums, and the HAVING
+    // threshold is the pure integer compare value*n_parts > 2*total
+    // ("more than twice the mean part value") — no decimal→double cast
+    // whose 2^53 rounding diverges between engines at 10×+ scale, and
+    // no decimal width overflow in either engine. Q11's own threshold
+    // is FRACTION/SF × total, i.e. a constant multiple of the mean —
+    // a fixed fraction empties the result as the part population grows
+    // (measured: 303 rows at sf0.01 → 0 at 10×), so the mean-relative
+    // form IS the faithful scale adaptation, derived in-plan from the
+    // same one-row aggregate. Headroom: value*n_parts < 2^63 holds
+    // while max-part-cents × parts < 9.2e18 — per-part value is
+    // SF-invariant (~1e6 cents), so that is ~1e12 parts, far past a
+    // 100 TB slice. The nation restriction broadcasts; one partkey
+    // shuffle aggregates; the one-row (total, count) attaches by
+    // broadcast (PlanShapeSpec scalar-attach allowlist).
+    "q_tpch_q11" -> ((s, d) => {
+      val natSupp = table(s, d, "supplier")
+        .join(broadcast(table(s, d, "nation")
+                .filter(col("n_name") === "NATION_7")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val lineCents = expr(
+        """CAST(CAST(round(l_extendedprice * l_quantity, 2)
+                     AS DECIMAL(18,2)) * 100 AS BIGINT)""")
+      val pv = table(s, d, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(lineCents).as("value_cents"))
+      val total = pv.agg(sum(col("value_cents")).as("total_cents"),
+                         count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") >
+                col("total_cents") * 2)
+        .select(col("partkey"), col("value_cents"))
+        .orderBy(desc("value_cents"), asc("partkey"))
+    }),
+
     // Runtime bloom-filter join pruning — the pattern Spark's
     // InjectRuntimeFilter applies between fact scans and selective dim
     // joins, built explicitly from public building blocks so it works on
@@ -1090,6 +1176,45 @@ object JoinOps {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name
       LIMIT 100""",
+
+    "q_tpch_q2" -> """
+      WITH pairs AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      FROM pairs
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size IN (5, 15, 25) AND p_type = 'LARGE'
+        AND r_name = 'EUROPE'
+        AND cost = (SELECT min(p2.cost)
+                    FROM pairs p2
+                    JOIN supplier s2 ON p2.l_suppkey = s2.s_suppkey
+                    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                    WHERE r2.r_name = 'EUROPE'
+                      AND p2.l_partkey = pairs.l_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""",
+
+    "q_tpch_q11" -> """
+      WITH pv AS (
+        SELECT l_partkey AS partkey,
+               CAST(sum(CAST(CAST(round(l_extendedprice * l_quantity, 2)
+                                  AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey)
+      SELECT partkey, value_cents
+      FROM pv
+      WHERE value_cents * (SELECT count(*) FROM pv)
+            > 2 * (SELECT sum(value_cents) FROM pv)
+      ORDER BY value_cents DESC, partkey""",
 
     "q_join_bloom" -> """
       SELECT l_returnflag, count(*) AS n,

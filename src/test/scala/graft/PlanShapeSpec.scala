@@ -32,6 +32,7 @@ class PlanShapeSpec extends SparkTestBase {
     "q_subquery_scalar",    // scalar subquery attach
     "q_tpch_q22",           // broadcast global avg-balance scalar (1 row)
     "q_tpch_q15",           // broadcast max-revenue scalar (1 row)
+    "q_tpch_q11",           // broadcast nation-total scalar (1 row)
     "q_mix_weighted",       // per-source target share scalar
     "q_events_outliers",    // global robust-stats scalar
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
