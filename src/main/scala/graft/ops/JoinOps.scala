@@ -26,14 +26,31 @@ object JoinOps {
         .orderBy("c_mktsegment")
     }),
 
-    "q_join_left" -> ((s, d) =>
-      broadcast(table(s, d, "nation"))
-        .join(table(s, d, "customer"),
+    // All nations with their customer count/avg balance, keeping
+    // customer-less nations. Aggregate customer FIRST — partial
+    // aggregation combines map-side, so only ≤25 rows per task reach the
+    // exchange — then LEFT-join nation to the tiny result with THAT side
+    // broadcast. The naive "broadcast(nation) LEFT JOIN customer"
+    // spelling cannot broadcast at all (a left-outer join only builds
+    // its right side, so the hint is silently dropped) and falls back to
+    // shuffling every customer row on a 25-value key — a skewed
+    // full-fact exchange at 100 TB. Same oracle as the join-then-agg
+    // spelling: count() over an unmatched group is 0, avg is NULL.
+    "q_join_left" -> ((s, d) => {
+      val perNation = table(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("c_custkey")).as("n_cust_raw"),
+             sum(col("c_acctbal").cast("decimal(18,6)")).as("sum_bal"),
+             count(col("c_acctbal")).as("n_bal"))
+      table(s, d, "nation")
+        .join(broadcast(perNation),
               col("n_nationkey") === col("c_nationkey"), "left")
-        .groupBy(col("n_name"))
-        .agg(count(col("c_custkey")).as("n_cust"),
-             r6(davg(col("c_acctbal"))).as("avg_bal"))
-        .orderBy("n_name")),
+        .select(col("n_name"),
+                coalesce(col("n_cust_raw"), lit(0L)).as("n_cust"),
+                r6(col("sum_bal").cast("double") / col("n_bal"))
+                  .as("avg_bal"))
+        .orderBy("n_name")
+    }),
 
     // Orders having at least one heavy lineitem (EXISTS → left_semi).
     "q_join_semi" -> ((s, d) =>
