@@ -142,6 +142,64 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Embedding near-dup pairs: sign-LSH banded candidates verified at
+    * cos ≥ 0.45 — the full pipeline documented on q_dedup_embed (which
+    * just orders this frame); also the semantic edge source for the
+    * multi-signal cluster query. Returns distinct (vec_a, vec_b, cos). */
+  private def embedPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_norm}
+    // persist + memoize: band explode and both gather sides read the
+    // normed vectors; memoization keeps repeat invocations (bench warm
+    // pass, shared sessions) from stacking duplicate persisted copies.
+    val n = memo(s, d, "embed_normed") {
+      // The test corpus is one small parquet file → a 1-partition scan;
+      // everything downstream of a broadcast join inherits the probe
+      // side's partitioning, so without a spread the entire candidate
+      // join + cosine scoring would run as ONE task. Explicit
+      // repartition (exempt from AQE coalescing) restores core-width
+      // parallelism; at real scale the scan arrives multi-partition and
+      // this exchange is a few MB of vectors.
+      table(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"), l2_norm(col("embedding")).as("nrm"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .persist()
+    }
+    // Band key = the 4 sign bits packed into an int nibble (any
+    // injective encoding of the bits induces the same equality
+    // partition, so the candidate set is identical to the oracle's
+    // '0101' string spelling — at a quarter of the shuffle bytes and
+    // none of the per-row string building).
+    val bands = n.select(col("vec_id"), explode(array(
+      (0 until 16).map(j => struct(lit(j).as("band"),
+        (1 to 4).map(i =>
+          when(element_at(col("v"), j * 4 + i) > 0.0f, lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _).as("bkey"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+              col("b.bkey").as("bkey"))
+    // Candidate pairs stay a MULTISET (one row per shared band): the
+    // exact-cosine verifier is a codegen'd 64-wide dot product — cheap
+    // enough that scoring duplicate candidates (~1.5× rows on this
+    // corpus) costs far less than the alternative, an Exchange that
+    // deduplicates millions of candidate pairs before scoring. The
+    // threshold filter then prunes ~all of them, so the distinct that
+    // restores set semantics shuffles only the surviving near-dup
+    // pairs (hundreds, not millions). With an expensive verifier the
+    // tradeoff flips — dedupe first, then score.
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ca"), col("b.vec_id").as("cb"))
+    cand
+      .join(n.as("a"), col("ca") === col("a.vec_id"))
+      .join(n.as("b"), col("cb") === col("b.vec_id"))
+      .select(col("ca").as("vec_a"), col("cb").as("vec_b"),
+        r6(dot_product(col("a.v"), col("b.v")) /
+           (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .distinct()
+  }
+
   /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
   private lazy val jaccardPairsSql = s"""$shinglesSql,
       shh AS (SELECT DISTINCT doc_id,
@@ -541,59 +599,57 @@ object DedupOps {
     // where sign agreement is ~94%/plane) the same bands prune >99%.
     // Uses the native codegen DotProduct expression — same element-order
     // double accumulation as the oracle's list_sum, ~10× HOF-lambda speed.
-    "q_dedup_embed" -> ((s, d) => {
-      import graft.functions.VectorFunctions.{dot_product, l2_norm}
-      // persist + memoize: band explode and both gather sides read the
-      // normed vectors; memoization keeps repeat invocations (bench warm
-      // pass, shared sessions) from stacking duplicate persisted copies.
-      val n = memo(s, d, "embed_normed") {
-        // The test corpus is one small parquet file → a 1-partition scan;
-        // everything downstream of a broadcast join inherits the probe
-        // side's partitioning, so without a spread the entire candidate
-        // join + cosine scoring would run as ONE task. Explicit
-        // repartition (exempt from AQE coalescing) restores core-width
-        // parallelism; at real scale the scan arrives multi-partition and
-        // this exchange is a few MB of vectors.
-        table(s, d, "embeddings").select(col("vec_id"),
-          col("embedding").as("v"), l2_norm(col("embedding")).as("nrm"))
-          .repartition(s.sparkContext.defaultParallelism)
-          .persist()
-      }
-      // Band key = the 4 sign bits packed into an int nibble (any
-      // injective encoding of the bits induces the same equality
-      // partition, so the candidate set is identical to the oracle's
-      // '0101' string spelling — at a quarter of the shuffle bytes and
-      // none of the per-row string building).
-      val bands = n.select(col("vec_id"), explode(array(
-        (0 until 16).map(j => struct(lit(j).as("band"),
-          (1 to 4).map(i =>
-            when(element_at(col("v"), j * 4 + i) > 0.0f, lit(1 << i))
-              .otherwise(lit(0))).reduce(_ + _).as("bkey"))): _*)).as("b"))
-        .select(col("vec_id"), col("b.band").as("band"),
-                col("b.bkey").as("bkey"))
-      // Candidate pairs stay a MULTISET (one row per shared band): the
-      // exact-cosine verifier is a codegen'd 64-wide dot product — cheap
-      // enough that scoring duplicate candidates (~1.5× rows on this
-      // corpus) costs far less than the alternative, an Exchange that
-      // deduplicates millions of candidate pairs before scoring. The
-      // threshold filter then prunes ~all of them, so the distinct that
-      // restores set semantics shuffles only the surviving near-dup
-      // pairs (hundreds, not millions). With an expensive verifier the
-      // tradeoff flips — dedupe first, then score.
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("ca"), col("b.vec_id").as("cb"))
-      cand
-        .join(n.as("a"), col("ca") === col("a.vec_id"))
-        .join(n.as("b"), col("cb") === col("b.vec_id"))
-        .select(col("ca").as("vec_a"), col("cb").as("vec_b"),
-          r6(dot_product(col("a.v"), col("b.v")) /
-             (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .filter(col("cos") >= 0.45)
-        .distinct()
-        .orderBy("vec_a", "vec_b")
+    "q_dedup_embed" -> ((s, d) =>
+      embedPairs(s, d).orderBy("vec_a", "vec_b")),
+
+    // Multi-signal dedup clustering — the composed corpus-curation
+    // pattern: candidate duplicate edges from THREE independent signals
+    // are unioned into one graph and resolved together, so a chain like
+    // "A is a byte-copy of B, B is a lexical near-dup of C, C is a
+    // semantic near-dup of D" collapses to ONE cluster no single signal
+    // could find. Signals: byte-identical text (md5 of the normalized
+    // body — star edges to the group's min doc, linear, no pairing),
+    // lexical near-dup (MinHash/LSH band collisions), semantic near-dup
+    // (sign-LSH banded embedding pairs verified at cos ≥ 0.45; the
+    // fixture keys embeddings by vec_id ≡ doc_id, as q_multimodal_join
+    // does). Same O(log d) pointer-doubling min-label propagation as the
+    // single-signal cluster queries; every edge source is banded/keyed —
+    // nothing all-pairs. Output: each doc, its cluster representative
+    // (min reachable doc_id), and keep = 1 on the representative — the
+    // survivor list a curation pipeline writes back out.
+    "q_dedup_multi_signal" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val bodyKey = md5(trim(lower(col("text"))).cast("binary"))
+      val rep = docs
+        .groupBy(bodyKey.as("k"))
+        .agg(min(col("doc_id")).as("rep"))
+      val exactE = docs
+        .select(col("doc_id"), bodyKey.as("k"))
+        .join(rep, "k")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("src"), col("rep").as("dst"))
+      val lexE = minhashPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val semE = embedPairs(s, d)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      // persist the union BEFORE symmetrizing: both direction branches
+      // read it, and unlike the single-signal cluster queries (whose
+      // pair frames are memoized+persisted upstream) the exact-star and
+      // embed-verify pipelines here are per-call — without this they
+      // would compute twice.
+      val edges = exactE.unionAll(lexE).unionAll(semE).persist()
+      val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      val (labels, _) = propagateMinLabels(sym)
+      sym.unpersist()
+      edges.unpersist()
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("c"), col("doc_id")).as("cluster"))
+        .withColumn("keep",
+          when(col("cluster") === col("doc_id"), 1L).otherwise(0L))
+        .orderBy("doc_id")
     }),
   )
 
@@ -786,5 +842,52 @@ object DedupOps {
         FROM cand JOIN n a ON ca = a.vec_id JOIN n b ON cb = b.vec_id)
       WHERE cos >= 0.45
       ORDER BY vec_a, vec_b""",
+
+    "q_dedup_multi_signal" -> s"""
+      WITH RECURSIVE $shinglesSql,
+      $minhashCtesSql,
+      reph AS (SELECT md5(trim(lower(text))) AS k, min(doc_id) AS rep
+               FROM documents GROUP BY 1),
+      em AS (SELECT d.doc_id AS doc_a, r.rep AS doc_b
+             FROM documents d
+             JOIN reph r ON md5(trim(lower(d.text))) = r.k
+             WHERE d.doc_id <> r.rep),
+      v AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      nv AS (SELECT vec_id, v,
+                    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM v),
+      ebands AS (SELECT vec_id, j AS band,
+                   array_to_string(list_transform(
+                     range(j * 4 + 1, j * 4 + 5),
+                     i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END), '')
+                     AS bkey
+                 FROM nv, (SELECT unnest(range(0, 16)) AS j)),
+      ecand AS (SELECT DISTINCT a.vec_id AS ca, b.vec_id AS cb
+                FROM ebands a JOIN ebands b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.vec_id < b.vec_id),
+      ep AS (SELECT * FROM (
+               SELECT ca AS doc_a, cb AS doc_b,
+                      round(list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+                            / nullif(a.nrm * b.nrm, 0), 6) AS cos
+               FROM ecand JOIN nv a ON ca = a.vec_id
+                          JOIN nv b ON cb = b.vec_id)
+             WHERE cos >= 0.45),
+      alle AS (SELECT doc_a AS src, doc_b AS dst FROM em
+               UNION SELECT doc_a, doc_b FROM mp
+               UNION SELECT doc_a, doc_b FROM ep),
+      e AS (SELECT src, dst FROM alle
+            UNION ALL SELECT dst, src FROM alle),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+      SELECT src AS doc_id, min(dst) AS cluster,
+             CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT)
+               AS keep
+      FROM reach GROUP BY src ORDER BY doc_id""",
   )
 }

@@ -225,4 +225,39 @@ class DedupSimSpec extends SparkTestBase {
     assert(nHit <= math.min(nCand, nTrue))
     assert(recall >= 0 && recall <= 1 && precision >= 0 && precision <= 1)
   }
+
+  test("multi-signal clustering is a partition refinement of every signal") {
+    // The union-of-edges clustering must (a) assign every doc exactly one
+    // cluster with exactly one keeper per cluster, and (b) be COARSER than
+    // each input signal: any pair connected by one signal alone must share
+    // a multi-signal cluster. Each signal's pair set is recomputed here
+    // from its own standalone query, so a regression that drops a signal
+    // from the union shows up as a split pair.
+    val out = ops.DedupOps.queries("q_dedup_multi_signal")(spark, sf0001)
+      .select($"doc_id".as[Long], $"cluster".as[Long], $"keep".as[Long])
+      .collect()
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val nDocs = ops.table(spark, sf0001, "documents").count()
+    assert(out.length == nDocs, s"${out.length} rows for $nDocs docs")
+    // exactly one keeper per cluster, and it is the cluster minimum
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._3 == 1L) == 1, s"cluster $c keeper count != 1")
+      assert(members.filter(_._3 == 1L).head._1 == members.map(_._1).min)
+    }
+    val lex = ops.DedupOps.queries("q_dedup_minhash")(spark, sf0001)
+      .select($"doc_a".as[Long], $"doc_b".as[Long]).collect()
+    val sem = ops.DedupOps.queries("q_dedup_embed")(spark, sf0001)
+      .select($"vec_a".as[Long], $"vec_b".as[Long]).collect()
+    val exact = ops.table(spark, sf0001, "documents")
+      .groupBy(trim(lower($"text")).as("k"))
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode($"ids").as("a"), array_min($"ids").as("b"))
+      .filter($"a" =!= $"b").as[(Long, Long)].collect()
+    (lex ++ sem ++ exact).foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b),
+        s"signal pair ($a,$b) split across clusters " +
+          s"${cluster(a)} / ${cluster(b)}")
+    }
+  }
 }
