@@ -36,6 +36,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged stream fixtures are memoized in RAM-backed scratch for the
+    // session; release them at end-of-run so repeated Verify invocations
+    // can't accumulate copies in /dev/shm.
+    graft.streaming.StreamOps.clearStagedFixtures()
     spark.stop()
   }
 }

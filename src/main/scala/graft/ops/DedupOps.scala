@@ -70,7 +70,25 @@ object DedupOps {
     pairsCache.values.foreach(df =>
       try df.unpersist() catch { case _: Exception => () })
     pairsCache.clear()
+    cpRegistry.synchronized {
+      cpRegistry.foreach(r =>
+        try r.unpersist(blocking = false) catch { case _: Exception => () })
+      cpRegistry.clear()
+    }
   }
+
+  /** Final-round fixpoint checkpoints, one per [[propagateMinLabels]]
+    * call. The returned labels frame reads from its final localCheckpoint
+    * RDD, so the loop cannot release it — but once the caller's action
+    * has run, the blocks are dead weight that would otherwise accumulate
+    * per invocation for the JVM lifetime (measured: one ~5k-row block
+    * leaked per cluster query per bench pass). Registered here and freed
+    * by [[clearPairsCache]]. NOTE a localCheckpoint's lineage is
+    * truncated — after release the old frame is NOT recomputable, which
+    * is safe because every release point (Bench between-pass hook,
+    * session teardown) also discards the frames. */
+  private val cpRegistry =
+    scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
 
   /** The shingle-set → verified-pairs pipeline shared by the uncapped
     * (jaccardPairs) and stop-shingle-capped variants: per-doc set sizes,
@@ -300,7 +318,9 @@ object DedupOps {
     // checkpoint RDD and drop it once the following round has
     // materialized (its blocks are the only remaining reader).
     var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    val t0 = System.nanoTime()
     while (!converged && iter < maxIter) {
+      val tr = System.nanoTime()
       val e = sym.unionAll(
         labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
       val nbr = labels.join(e, col("doc_id") === col("dst"))
@@ -334,12 +354,17 @@ object DedupOps {
       labels = next.select("doc_id", "cluster")
       converged = nChanged == 0L
       iter += 1
+      System.err.println(f"[propagateMinLabels] round $iter%d: " +
+        f"changed=$nChanged%d ${(System.nanoTime() - tr) / 1e9}%.2fs")
     }
+    System.err.println(f"[propagateMinLabels] converged=$converged " +
+      f"rounds=$iter total=${(System.nanoTime() - t0) / 1e9}%.2fs")
     if (!converged)
       // Diverging silently from the recursive-CTE oracle would be a
       // debugging trap; a component with diameter > maxIter is loud.
       System.err.println(
         s"[propagateMinLabels] WARNING: not converged after $maxIter rounds")
+    prevCp.foreach(r => cpRegistry.synchronized { cpRegistry += r })
     (labels, iter)
   }
 
@@ -608,45 +633,61 @@ object DedupOps {
     // "A is a byte-copy of B, B is a lexical near-dup of C, C is a
     // semantic near-dup of D" collapses to ONE cluster no single signal
     // could find. Signals: byte-identical text (md5 of the normalized
-    // body — star edges to the group's min doc, linear, no pairing),
-    // lexical near-dup (MinHash/LSH band collisions), semantic near-dup
-    // (sign-LSH banded embedding pairs verified at cos ≥ 0.45; the
-    // fixture keys embeddings by vec_id ≡ doc_id, as q_multimodal_join
-    // does). Same O(log d) pointer-doubling min-label propagation as the
-    // single-signal cluster queries; every edge source is banded/keyed —
-    // nothing all-pairs. Output: each doc, its cluster representative
-    // (min reachable doc_id), and keep = 1 on the representative — the
-    // survivor list a curation pipeline writes back out.
+    // body), lexical near-dup (MinHash/LSH band collisions), semantic
+    // near-dup (sign-LSH banded embedding pairs verified at cos ≥ 0.45;
+    // the fixture keys embeddings by vec_id ≡ doc_id, as
+    // q_multimodal_join does). Every edge source is banded/keyed —
+    // nothing all-pairs.
+    //
+    // The exact signal is an equivalence relation already in star form
+    // (every copy points at its group's min doc), so it is CONTRACTED
+    // before the fixpoint instead of fed through it: docs map to their
+    // exact representative in one agg + one join, and the iterative
+    // min-label propagation runs only on the lex/sem graph REMAPPED onto
+    // representatives (self-loops dropped). Contraction is
+    // exactness-preserving — rep = min(doc_id) of its byte-identical
+    // group, so the min doc_id reachable in the full 3-signal graph
+    // equals the min representative reachable in the contracted graph.
+    // The uncontracted spelling paid for this round 9: byte-copy stars
+    // chained under lex/sem edges stretched the fixpoint to 6 rounds
+    // over a vertex set inflated by every copy (round 1 alone relabeled
+    // 1,428 of ~3k vertices), and each extra round is a fixed ~1 s of
+    // job overhead at local[32]. Output: each doc, its cluster
+    // representative (min reachable doc_id), and keep = 1 on the
+    // representative — the survivor list a curation pipeline writes out.
     "q_dedup_multi_signal" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val bodyKey = md5(trim(lower(col("text"))).cast("binary"))
-      val rep = docs
-        .groupBy(bodyKey.as("k"))
-        .agg(min(col("doc_id")).as("rep"))
-      val exactE = docs
-        .select(col("doc_id"), bodyKey.as("k"))
-        .join(rep, "k")
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("doc_id").as("src"), col("rep").as("dst"))
+      // doc_id → exact representative, memoized+persisted (both remap
+      // joins and the final assembly read it; clearPairsCache releases).
+      val doc2rep = memo(s, d, "ms_doc2rep") {
+        val keyed = docs.select(col("doc_id"), bodyKey.as("k"))
+        keyed.groupBy("k").agg(min(col("doc_id")).as("rep"))
+          .join(keyed, "k").select(col("doc_id"), col("rep")).persist()
+      }
       val lexE = minhashPairs(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val semE = embedPairs(s, d)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      // persist the union BEFORE symmetrizing: both direction branches
-      // read it, and unlike the single-signal cluster queries (whose
-      // pair frames are memoized+persisted upstream) the exact-star and
-      // embed-verify pipelines here are per-call — without this they
-      // would compute twice.
-      val edges = exactE.unionAll(lexE).unionAll(semE).persist()
+      // Remap both pair signals onto exact representatives; edges inside
+      // one exact group collapse to self-loops and drop out.
+      val edges = lexE.unionAll(semE)
+        .join(doc2rep.select(col("doc_id"), col("rep").as("src_rep")),
+              col("src") === col("doc_id"))
+        .drop("doc_id", "src")
+        .join(doc2rep.select(col("doc_id"), col("rep").as("dst_rep")),
+              col("dst") === col("doc_id"))
+        .filter(col("src_rep") =!= col("dst_rep"))
+        .select(col("src_rep").as("src"), col("dst_rep").as("dst"))
       val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
       val (labels, _) = propagateMinLabels(sym)
       sym.unpersist()
-      edges.unpersist()
-      docs.select(col("doc_id"))
-        .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
+      doc2rep
+        .join(labels.withColumnRenamed("doc_id", "rep")
+                    .withColumnRenamed("cluster", "c"), Seq("rep"), "left")
         .select(col("doc_id"),
-                coalesce(col("c"), col("doc_id")).as("cluster"))
+                coalesce(col("c"), col("rep")).as("cluster"))
         .withColumn("keep",
           when(col("cluster") === col("doc_id"), 1L).otherwise(0L))
         .orderBy("doc_id")

@@ -437,10 +437,13 @@ object JoinOps {
     // year. The two-nation IN prune applies to BOTH nation dims BEFORE
     // their joins (Catalyst cannot infer it from the cross-side OR, so it
     // is spelled explicitly), shrinking supplier and customer to the two
-    // nations' rows at the broadcast build; the cross-nation residual
-    // (keep the two cross pairs, drop same-nation flows) evaluates on the
-    // joined rows. Fact-side: lineitem⋈orders co-shuffles on orderkey —
-    // the only wide exchange in the plan; everything else is broadcast.
+    // nations' rows before their joins; the cross-nation residual (keep
+    // the two cross pairs, drop same-nation flows) evaluates on the
+    // joined rows. Fact-side: lineitem⋈orders co-shuffles on orderkey.
+    // The supplier side keeps a broadcast hint (2/25 of a table already
+    // 10× smaller than customer); the customer side — SF-proportional
+    // even after the nation prune — is left to AQE: broadcast while it
+    // fits, shuffle-hash on custkey at scale.
     "q_tpch_q7" -> ((s, d) => {
       val nat = table(s, d, "nation")
         .filter(col("n_name").isin("NATION_1", "NATION_2"))
@@ -460,7 +463,7 @@ object JoinOps {
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(table(s, d, "orders"),
               col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter((col("supp_nation") === "NATION_1" &&
                  col("cust_nation") === "NATION_2") ||
                 (col("supp_nation") === "NATION_2" &&
@@ -478,8 +481,12 @@ object JoinOps {
     // before its broadcast; the supplier-side nation attaches the
     // supp_nation label; the share is a conditional / total pair of
     // exact-decimal sums in ONE aggregation pass (the q_tpch_q14
-    // pattern, here per-year). Fact-side shuffle: lineitem⋈orders on
-    // orderkey only — every dimension broadcasts.
+    // pattern, here per-year). The FIXED-cardinality dims (nation,
+    // region, and the type-filtered part/supplier sides at this
+    // fixture's scale) carry explicit broadcast hints; customer is
+    // SF-proportional (~15 B rows at 100 TB), so its join is left to
+    // AQE — broadcast while it fits, shuffle-hash on custkey when it
+    // doesn't, instead of a forced hint that would OOM at scale.
     "q_tpch_q8" -> ((s, d) => {
       val custNat = table(s, d, "nation")
         .join(broadcast(table(s, d, "region")
@@ -500,8 +507,7 @@ object JoinOps {
                         col("o_orderdate") <
                           lit("1998-01-01").cast("timestamp")),
               col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(table(s, d, "customer")
-                .select("c_custkey", "c_nationkey")),
+        .join(table(s, d, "customer").select("c_custkey", "c_nationkey"),
               col("o_custkey") === col("c_custkey"))
         .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
         .join(broadcast(table(s, d, "supplier")
@@ -703,8 +709,13 @@ object JoinOps {
     // TPC-H Q11 (important stock), adapted: no partsupp/ps_availqty, so
     // a part's "stock value" in the target nation is its shipped value —
     // sum(l_extendedprice * l_quantity) over lines sold by that nation's
-    // suppliers. All money stays in INTEGER CENTS end to end
-    // (round-to-cents → DECIMAL(18,2) → ×100 → BIGINT per line): the
+    // suppliers. All money stays in INTEGER CENTS end to end — price
+    // cents and quantity are derived per-FACTOR (price → DECIMAL(18,2)
+    // → ×100 → BIGINT; quantity → BIGINT, integral in this schema) and
+    // multiplied as int64, so no floating-point product is ever rounded
+    // (round(a*b, 2) on a double product was the one remaining float
+    // boundary here — exactly the half-up-vs-binary-expansion class that
+    // divergences at 10×+ scale hide in): the
     // per-part and grand totals are exact int64 sums, and the HAVING
     // threshold is the pure integer compare value*n_parts > 2*total
     // ("more than twice the mean part value") — no decimal→double cast
@@ -727,8 +738,8 @@ object JoinOps {
               col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val lineCents = expr(
-        """CAST(CAST(round(l_extendedprice * l_quantity, 2)
-                     AS DECIMAL(18,2)) * 100 AS BIGINT)""")
+        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * CAST(l_quantity AS BIGINT)""")
       val pv = table(s, d, "lineitem")
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey").as("partkey"))
@@ -1219,8 +1230,9 @@ object JoinOps {
     "q_tpch_q11" -> """
       WITH pv AS (
         SELECT l_partkey AS partkey,
-               CAST(sum(CAST(CAST(round(l_extendedprice * l_quantity, 2)
-                                  AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(l_quantity AS BIGINT))
                     AS BIGINT) AS value_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
