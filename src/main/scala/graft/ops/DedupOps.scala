@@ -133,12 +133,19 @@ object DedupOps {
       .persist() // tiny (the verified pairs); shared by ngram + clusters
 
   /** MinHash/LSH candidate pairs (doc_a < doc_b, n_bands = shared-band
-    * count) — feeds q_dedup_minhash, its cluster query, and the
-    * recall/precision audit. The banded signatures are persisted +
-    * memoized: both self-join sides read them (without the persist the
-    * whole shingle→md5→minhash aggregation runs twice), and memoization
-    * keeps repeat invocations from stacking duplicate persisted copies. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    * count) — feeds q_dedup_minhash, its cluster query, the
+    * recall/precision audit, and the multi-signal lexical edges. The
+    * banded signatures are persisted + memoized: both self-join sides
+    * read them (without the persist the whole shingle→md5→minhash
+    * aggregation runs twice). The resulting PAIR frame is memoized too —
+    * it is tiny (the band collisions) and read by four queries per
+    * bench pass, so caching it saves three runs of the band self-join
+    * per pass; memoization keeps repeat invocations from stacking
+    * duplicate persisted copies. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "minhash_pairs")(buildMinhashPairs(s, d).persist())
+
+  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val bands = memo(s, d, "minhash_bands") {
       val hashed = shingles(s, d)
         .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
@@ -163,8 +170,13 @@ object DedupOps {
   /** Embedding near-dup pairs: sign-LSH banded candidates verified at
     * cos ≥ 0.45 — the full pipeline documented on q_dedup_embed (which
     * just orders this frame); also the semantic edge source for the
-    * multi-signal cluster query. Returns distinct (vec_a, vec_b, cos). */
-  private def embedPairs(s: SparkSession, d: String): DataFrame = {
+    * multi-signal cluster query. Returns distinct (vec_a, vec_b, cos),
+    * memoized + persisted (tiny — the verified pairs) so the two
+    * consumers per bench pass share one run of the candidate join. */
+  private def embedPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "embed_pairs")(buildEmbedPairs(s, d).persist())
+
+  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, l2_norm}
     // persist + memoize: band explode and both gather sides read the
     // normed vectors; memoization keeps repeat invocations (bench warm
@@ -300,8 +312,21 @@ object DedupOps {
     * collapse to a handful of tasks without mutating session-global conf
     * from inside a query builder (a shared-session race if queries ever
     * fan out concurrently). */
-  private[graft] def propagateMinLabels(sym: DataFrame, maxIter: Int = 50)
+  private[graft] def propagateMinLabels(sym0: DataFrame, maxIter: Int = 50)
       : (DataFrame, Int) = {
+    // Truncate the edge list's lineage ONCE before iterating: persist()
+    // caches the ROWS but the frame still carries its full logical plan,
+    // and every round's job re-analyzes + re-optimizes that tree on the
+    // driver — with a many-join edge pipeline upstream (the multi-signal
+    // union of two banded pair generators remapped through the exact-rep
+    // map) that fixed per-round driver cost measured ~2 s/round vs
+    // ~0.7 s for a simple-lineage edge list on the same-size graph. The
+    // eager local checkpoint replaces the pipeline with its materialized
+    // blocks so each round plans over a leaf scan; the blocks are
+    // released before returning (the final labels checkpoint has its own
+    // truncated lineage and never reads them).
+    val sym = sym0.localCheckpoint(eager = true)
+    val symRdd = org.apache.spark.sql.graftshim.Shim.checkpointRdd(sym)
     // Only vertices that appear in an edge can ever change label — the
     // propagation loop runs over that (much smaller) set; every other
     // doc is its own cluster and joins back in one final pass. At
@@ -364,6 +389,8 @@ object DedupOps {
       // debugging trap; a component with diameter > maxIter is loud.
       System.err.println(
         s"[propagateMinLabels] WARNING: not converged after $maxIter rounds")
+    symRdd.foreach(r => try r.unpersist(blocking = false)
+                        catch { case _: Exception => () })
     prevCp.foreach(r => cpRegistry.synchronized { cpRegistry += r })
     (labels, iter)
   }
@@ -432,11 +459,10 @@ object DedupOps {
       val edges = jaccardPairs(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = edges.unionAll(
-        edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      // propagateMinLabels checkpoints sym once and releases the blocks
+      // itself — no per-call persist to leak across invocations.
       val (labels, _) = propagateMinLabels(sym)
-      // the loop is done and labels is checkpoint-materialized; release
-      // the per-call edge cache (repeat invocations would stack copies)
-      sym.unpersist()
       // Singletons (no edges) never entered the loop: cluster = own id.
       table(s, d, "documents").select(col("doc_id"))
         .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
@@ -558,13 +584,24 @@ object DedupOps {
     // Same O(log d) pointer-doubling min-label propagation; emits the
     // per-cluster summary (representative = min doc_id, size) — the
     // frame a dedup pipeline joins back to pick survivors.
+    //
+    // The fixpoint clusters only pairs agreeing in ≥ 2 of the 4 bands —
+    // AND-amplification on top of the banded OR. A single shared band is
+    // the LSH candidate bar (cheap to generate, noisy by design); the
+    // 100× posture run measured 65 M single-band collisions feeding the
+    // fixpoint 451.6 s of clustering, where the ≥2-band subset is orders
+    // smaller. Transitive closure is exactly where candidate noise
+    // compounds (one spurious edge glues two whole clusters), so the
+    // precision bar belongs HERE, not on the pair-listing query
+    // (q_dedup_minhash still reports every candidate with its band
+    // count; the recall audit q_dedup_minhash_eval still scores the
+    // full candidate set). The oracle applies the identical threshold.
     "q_dedup_minhash_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
+      val pairs = minhashPairs(s, d).filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = pairs.unionAll(
-        pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
       val (labels, _) = propagateMinLabels(sym)
-      sym.unpersist()
       table(s, d, "documents").select(col("doc_id"))
         .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("cluster"))
@@ -665,7 +702,11 @@ object DedupOps {
         keyed.groupBy("k").agg(min(col("doc_id")).as("rep"))
           .join(keyed, "k").select(col("doc_id"), col("rep")).persist()
       }
-      val lexE = minhashPairs(s, d)
+      // Lexical edges carry the same ≥2-band AND-amplification as
+      // q_dedup_minhash_clusters — transitive closure compounds
+      // candidate noise, and at 100× the single-band collision set is
+      // orders larger than the ≥2-band subset.
+      val lexE = minhashPairs(s, d).filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val semE = embedPairs(s, d)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -680,9 +721,8 @@ object DedupOps {
         .filter(col("src_rep") =!= col("dst_rep"))
         .select(col("src_rep").as("src"), col("dst_rep").as("dst"))
       val sym = edges.unionAll(
-        edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        edges.select(col("dst").as("src"), col("src").as("dst")))
       val (labels, _) = propagateMinLabels(sym)
-      sym.unpersist()
       doc2rep
         .join(labels.withColumnRenamed("doc_id", "rep")
                     .withColumnRenamed("cluster", "c"), Seq("rep"), "left")
@@ -817,8 +857,9 @@ object DedupOps {
     "q_dedup_minhash_clusters" -> s"""
       WITH RECURSIVE $shinglesSql,
       $minhashCtesSql,
-      e AS (SELECT doc_a AS src, doc_b AS dst FROM mp
-            UNION ALL SELECT doc_b, doc_a FROM mp),
+      mp2 AS (SELECT doc_a, doc_b FROM mp WHERE n_bands >= 2),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM mp2
+            UNION ALL SELECT doc_b, doc_a FROM mp2),
       reach(src, dst) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
@@ -918,7 +959,7 @@ object DedupOps {
                           JOIN nv b ON cb = b.vec_id)
              WHERE cos >= 0.45),
       alle AS (SELECT doc_a AS src, doc_b AS dst FROM em
-               UNION SELECT doc_a, doc_b FROM mp
+               UNION SELECT doc_a, doc_b FROM mp WHERE n_bands >= 2
                UNION SELECT doc_a, doc_b FROM ep),
       e AS (SELECT src, dst FROM alle
             UNION ALL SELECT dst, src FROM alle),

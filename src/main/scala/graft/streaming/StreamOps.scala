@@ -218,7 +218,21 @@ object StreamOps {
     // RESULTS (hash partitioning is load distribution only); a real
     // 24/7 deployment sizes this to its executor count in cluster conf.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.shuffleWidth").getOrElse("8"))
+    // No-data micro-batches exist to advance wall-clock-ish triggers and
+    // flush watermark-gated state without new input. This harness never
+    // needs them: every watermark advance is DRIVEN by a data batch (the
+    // two staged sentinel arrivals), so the extra empty batch after each
+    // real one — with its full round of per-partition state-store
+    // open/commit and offset/commit-log writes — is pure overhead.
+    // Kill switch to restore Spark's default:
+    // spark.graft.stream.noDataBatches=true.
+    val savedNoData =
+      s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+        .getOrElse("true")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      s.conf.getOption("spark.graft.stream.noDataBatches").getOrElse("false"))
     // cleanup rides a finally: a failing transform/start/drain must not
     // leak the session conf override or the driver-resident memory-sink
     // view across repeated builds in a long-lived session (the staged
@@ -245,6 +259,8 @@ object StreamOps {
       s.createDataFrame(sink.collectAsList(), sink.schema)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                 savedNoData)
       try s.catalog.dropTempView(qname) catch { case _: Exception => () }
       try {
         import scala.jdk.CollectionConverters._

@@ -244,7 +244,12 @@ class DedupSimSpec extends SparkTestBase {
       assert(members.count(_._3 == 1L) == 1, s"cluster $c keeper count != 1")
       assert(members.filter(_._3 == 1L).head._1 == members.map(_._1).min)
     }
+    // lexical edges enter the multi-signal union only at >= 2 shared
+    // bands (AND-amplification before transitive closure — see the
+    // builder's scaladoc); a single-band candidate pair may legitimately
+    // split across clusters.
     val lex = ops.DedupOps.queries("q_dedup_minhash")(spark, sf0001)
+      .filter($"n_bands" >= 2)
       .select($"doc_a".as[Long], $"doc_b".as[Long]).collect()
     val sem = ops.DedupOps.queries("q_dedup_embed")(spark, sf0001)
       .select($"vec_a".as[Long], $"vec_b".as[Long]).collect()
