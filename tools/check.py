@@ -34,6 +34,14 @@ def cmp_cell(a, b):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Scale-fixture runs: an unbounded DuckDB eats the whole box on the
+    # quadratic closure oracles (measured 124 GB on the 10x jaccard
+    # closure before the kill). A limit makes DuckDB spill instead.
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+        con.execute("SET temp_directory='/tmp/graft_duck_spill'")
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={os.environ['GRAFT_DUCK_THREADS']}")
     for t in TABLES:
         # driver testdata = single parquet file; ScaleStress output (the
         # 10x stress dirs) = a directory of part files — glob those
