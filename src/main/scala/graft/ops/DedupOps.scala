@@ -147,14 +147,28 @@ object DedupOps {
 
   private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val bands = memo(s, d, "minhash_bands") {
-      val hashed = shingles(s, d)
-        .select(col("doc_id"), md5hash32(col("shingle")).as("h"))
+      // The 32-bit MinHash input is the top 32 bits of the 60-bit shingle
+      // hash already persisted for the jaccard/capped/contamination
+      // family (first 8 vs first 15 hex chars of the same md5, so
+      // h32 = h60 >> 28 — bit-exact with the oracle's substr(md5,1,8)).
+      // Deriving it from hashedShingles means ONE explode+md5 pass over
+      // the corpus serves every dedup consumer; at 100× that pass covers
+      // 120 M shingle rows and was previously run twice. min() over the
+      // h60-distinct set equals min() over the raw multiset (equal h60 ⇒
+      // equal h32), so the signatures are unchanged.
+      val hashed = hashedShingles(s, d)
+        .select(col("doc_id"), shiftright(col("h"), 28).as("h"))
       val mins = A.indices.map(i =>
         min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
       val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // Band key packed as a BIGINT: m0·P + m1 (each min < P = 1e9+7, so
+      // the product stays under 2^60 — exact int64 in both engines, and
+      // injective, so the equality partition — hence the candidate set —
+      // is identical to the former "m0,m1" string spelling at a fraction
+      // of the shuffle bytes and none of the per-row string building).
       sig.select(col("doc_id"), explode(array(
         (0 until 4).map(j => struct(lit(j).as("band"),
-          concat_ws(",", col(s"m${2 * j}"), col(s"m${2 * j + 1}"))
+          (col(s"m${2 * j}") * P + col(s"m${2 * j + 1}"))
             .as("bkey"))): _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"),
                 col("b.bkey").as("bkey"))
@@ -267,14 +281,10 @@ object DedupOps {
                 min((h*19 + 8) % 1000000007) AS m7
               FROM h GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, 0 AS band,
-               CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) AS bkey FROM sig
-        UNION ALL SELECT doc_id, 1,
-               CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) FROM sig
-        UNION ALL SELECT doc_id, 2,
-               CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) FROM sig
-        UNION ALL SELECT doc_id, 3,
-               CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) FROM sig),
+        SELECT doc_id, 0 AS band, m0 * 1000000007 + m1 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, m2 * 1000000007 + m3 FROM sig
+        UNION ALL SELECT doc_id, 2, m4 * 1000000007 + m5 FROM sig
+        UNION ALL SELECT doc_id, 3, m6 * 1000000007 + m7 FROM sig),
       mp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     count(*) AS n_bands
              FROM bands a JOIN bands b
