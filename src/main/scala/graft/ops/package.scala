@@ -20,14 +20,38 @@ package object ops {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is ns-precision parquet (TIMESTAMP(NANOS)), which Spark's
-      // vectorized reader rejects. Read the raw int64 and truncate ns→µs —
-      // exactly what DuckDB 1.0 does on read, so both engines see the same
-      // µs values (SURVEY.md §7.3).
+      // Schema-on-read for events.ts — the fixture's physical type is the
+      // generator's choice, not ours (the reference delegates schema to the
+      // engine's parquet footer read, runner.cc:178; DuckDB reads any
+      // timestamp precision transparently). Dispatch on the footer type:
+      //   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read
+      //     the raw int64 (nanosAsLong) and truncate ns→µs — exactly what
+      //     DuckDB does on read (SURVEY.md §7.3);
+      //   - timestamp[us] NTZ: cast to session-TZ timestamp — the session
+      //     is pinned UTC (SessionDefaults), so the cast is value-identity
+      //     and downstream unix_micros/date_trunc see the same µs values;
+      //   - timestamp[us] UTC-adjusted: already TimestampType, pass through.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      normalizeEventsTs(raw)
     } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize an events frame's `ts` column to session-TZ TimestampType
+    * (µs), whatever physical representation the fixture carried. Shared by
+    * the batch reader above and the streaming staging (StreamOps). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // raw int64 ns (nanosAsLong read of a NANOS fixture)
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // µs wall-clock; UTC session ⇒ value-identity
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported fixture type $other — expected " +
+        "TIMESTAMP(NANOS) (read as long), timestamp_ntz, or timestamp")
+    }
   }
 
   /** Exact, summation-order-independent sum of a double column.

@@ -25,11 +25,27 @@ import graft.ops._
   */
 object StreamOps {
 
-  /** events schema for streaming reads: ts read as raw int64 ns (the
-    * nanosAsLong representation) and truncated to µs, matching
-    * graft.ops.table(). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Physical type of events.ts in the fixture at `d` (footer sniff,
+    * memoized per path): LongType for TIMESTAMP(NANOS) fixtures (the
+    * nanosAsLong read), TimestampNTZType for µs wall-clock fixtures.
+    * FileStreamSource needs the schema up front, so the batch reader's
+    * schema-on-read dispatch (graft.ops.table) becomes a one-time sniff
+    * here. Cleared with the staged fixtures (fixture rewrites mid-session
+    * must re-sniff). */
+  private val tsTypeCache =
+    new scala.collection.concurrent.TrieMap[String, DataType]
+  def eventsTsType(s: SparkSession, d: String): DataType =
+    tsTypeCache.getOrElseUpdate(s"$d/events.parquet", {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    })
+
+  /** events schema for streaming reads, shaped to the fixture's physical
+    * ts type ([[eventsTsType]]); the source normalizes ts to session-TZ
+    * µs timestamps via graft.ops.normalizeEventsTs, matching the batch
+    * reader. */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -59,7 +75,7 @@ object StreamOps {
   private def runStream(s: SparkSession, d: String, mode: String,
                         copies: Int = 1,
                         tableName: String = "events",
-                        schema: StructType = eventsRawSchema)
+                        schema: StructType = null)
                        (transform: DataFrame => DataFrame): DataFrame =
     runStreamN(s, d, mode, copies, tableName, schema, nSources = 1,
                sentinelNs = None)(srcs => transform(srcs.head))
@@ -110,6 +126,7 @@ object StreamOps {
       } catch { case _: Exception => () }
     }
     stagedCache.clear()
+    tsTypeCache.clear()
   }
 
   /** State-store telemetry of the most recent stream run: max over the
@@ -123,8 +140,8 @@ object StreamOps {
   }
 
   private def stageFixture(s: SparkSession, d: String, copies: Int,
-                           tableName: String,
-                           sentinelNs: Option[Long]): (java.nio.file.Path, Int) =
+                           tableName: String, sentinelNs: Option[Long],
+                           tsType: DataType): (java.nio.file.Path, Int) =
     stagedCache.getOrElseUpdate((s, d, tableName, copies, sentinelNs), {
       val dir = mkScratchDir(s, "graft_stream_")
       dir.toFile.deleteOnExit()
@@ -155,14 +172,24 @@ object StreamOps {
       // batch AFTER that watermark has committed, which is when
       // watermark-gated emissions (outer-join null rows, final window
       // flushes) actually reach the sink — the watermark computed in batch
-      // N gates emission in batch N+1.
+      // N gates emission in batch N+1. Sentinel ts is written in the SAME
+      // physical representation the fixture carries (tsType), so one read
+      // schema covers fixture copies and sentinels alike.
       sentinelNs.foreach { ns =>
         import s.implicits._
         for (k <- 1 to 2) {
           val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-          Seq((-k.toLong, ns + k * 3600000000000L, -1L, "__sentinel", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val base =
+            Seq((-k.toLong, ns + k * 3600000000000L, -1L, "__sentinel",
+                 0.0, ""))
+              .toDF("event_id", "ts", "user_id", "event_type", "value",
+                    "props")
+          val row = tsType match {
+            case LongType => base // raw ns long, as the ns fixture
+            case t => base.withColumn("ts",
+              timestamp_micros(expr("ts DIV 1000")).cast(t))
+          }
+          row.repartition(1).write.mode("overwrite").parquet(tmp.toString)
           val part = tmp.toFile.listFiles()
             .find(_.getName.endsWith(".parquet")).get.toPath
           val dst = dir.resolve(s"zz_sentinel_${tableName}_$k.parquet")
@@ -191,21 +218,24 @@ object StreamOps {
                          nSources: Int, sentinelNs: Option[Long])
                         (transform: Seq[DataFrame] => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events: read schema follows the fixture's physical ts type (footer
+    // sniff), then ts is normalized to session-TZ µs timestamps exactly
+    // like the batch reader; other tables stream under the passed schema.
+    val tsType: DataType =
+      if (tableName == "events") eventsTsType(s, d) else null
+    val effSchema =
+      if (tableName == "events") eventsRawSchema(tsType) else schema
     val (dir, filesPerTrigger) =
-      stageFixture(s, d, copies, tableName, sentinelNs)
+      stageFixture(s, d, copies, tableName, sentinelNs, tsType)
     def source(): DataFrame = {
-      val raw = s.readStream.schema(schema)
+      val raw = s.readStream.schema(effSchema)
         // one COPY per micro-batch: replayed copies arrive as separate
         // batches (dedup state is actually exercised), watermarks advance
         // between batches, and the sentinel (later mtime) always lands in
         // its own final batch (FileStreamSource takes files oldest-first)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(dir.toString)
-      // events carries raw int64 ns — truncate to µs exactly like
-      // graft.ops.table(); other tables stream as-is
-      if (tableName == "events")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+      if (tableName == "events") graft.ops.normalizeEventsTs(raw) else raw
     }
     val qname =
       s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -345,7 +375,7 @@ object StreamOps {
     // oracle is the equivalent batch interval self-join.
     "q_stream_join" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = eventsRawSchema, nSources = 2, sentinelNs = None) {
+                 schema = null, nSources = 2, sentinelNs = None) {
         case Seq(sa, sb) =>
           val views = sa.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"),
@@ -381,7 +411,7 @@ object StreamOps {
     // bound: O(watermark horizon), as for the inner join.
     "q_stream_join_left" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = eventsRawSchema, nSources = 2,
+                 schema = null, nSources = 2,
                  sentinelNs = Some(4102444800000000000L)) {
         case Seq(sa, sb) =>
           val views = sa
@@ -416,7 +446,7 @@ object StreamOps {
     // fixture and shares q_stream_tumbling's oracle.
     "q_stream_tumbling_append" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = eventsRawSchema, nSources = 1,
+                 schema = null, nSources = 1,
                  // 2100-01-01 in ns — later than any fixture event
                  sentinelNs = Some(4102444800000000000L)) {
         case Seq(src) =>
@@ -441,7 +471,7 @@ object StreamOps {
     // change the answer, only when it appears.
     "q_stream_session" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = eventsRawSchema, nSources = 1,
+                 schema = null, nSources = 1,
                  // 2100-01-01 in ns — later than any fixture event
                  sentinelNs = Some(4102444800000000000L)) {
         case Seq(src) =>
