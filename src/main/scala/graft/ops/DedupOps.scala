@@ -481,25 +481,38 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
-    // Stop-shingle-capped near-dup: identical to q_dedup_ngram but
-    // shingles appearing in more than T=50 documents are dropped before
-    // the pair join — the standard scale mitigation for the hot-shingle
-    // blowup (the self-join is quadratic WITHIN each shingle's posting
-    // list, so one boilerplate shingle shared by 10k docs alone creates
-    // 50M pairs while carrying no discriminative signal; capping bounds
-    // every posting list at T → pair volume ≤ T·|shingles|). Jaccard is
-    // computed over the capped shingle sets on both engines, so the
-    // operator is exactly specified and oracle-matched, not an
-    // approximation of q_dedup_ngram.
+    // Stop-shingle-capped near-dup: identical to q_dedup_ngram but hot
+    // shingles are dropped before the pair join — the standard scale
+    // mitigation for the hot-shingle blowup (the self-join is quadratic
+    // WITHIN each shingle's posting list, so one boilerplate shingle
+    // shared by 10k docs alone creates 50M pairs while carrying no
+    // discriminative signal). The threshold ADAPTS to the corpus:
+    // T = clamp(2·mean(df), 8, 50). An absolute T=50 went inert when the
+    // round-11 fixture regeneration produced a denser corpus (mean df
+    // ≈ 9.6, max 25 — nothing above 50), silently degenerating the
+    // "bounded" variant into the uncapped join; 2·mean tracks density
+    // (T≈19 here, provably dropping the hot tail), the floor of 8 keeps
+    // near-unique corpora from losing all signal, and the ceiling of 50
+    // preserves a HARD bound on any corpus: capped posting lists ≤ T ⇒
+    // pair volume ≤ T·Σdf ≤ 2·mean·(shingle instances) — linear in
+    // corpus size. Jaccard is computed over the capped shingle sets on
+    // both engines, so the operator is exactly specified and
+    // oracle-matched, not an approximation of q_dedup_ngram. The mean is
+    // an exact integer-sum / count division (bit-identical in both
+    // engines); the threshold joins the df frame as a broadcast scalar,
+    // never a collect.
     "q_dedup_ngram_capped" -> ((s, d) => {
       val sh = memo(s, d, "capped_sh") {
-        // derives from the persisted hashedShingles frame: the hot-set
+        // derives from the persisted hashedShingles frame: the df
         // aggregate and the anti-join probe both read the cache instead
         // of re-running the explode+md5+distinct pipeline, and a session
         // that also runs q_dedup_ngram shares the same copy
         val all = hashedShingles(s, d)
-        val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > 50).select("h")
+        val dfs = all.groupBy("h").agg(count(lit(1)).as("df"))
+        val thr = dfs.agg(least(lit(50.0),
+          greatest(lit(8.0), avg(col("df")) * 2)).as("t"))
+        val hot = dfs.join(broadcast(thr))
+          .filter(col("df") > col("t")).select("h")
         all.join(hot, Seq("h"), "left_anti").persist()
       }
       pairsFromShingleSets(sh).orderBy("doc_a", "doc_b")
@@ -790,7 +803,9 @@ object DedupOps {
       shh AS (SELECT DISTINCT doc_id,
                      CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
               FROM sh),
-      hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > 50),
+      dfs AS (SELECT h, count(*) AS df FROM shh GROUP BY h),
+      thr AS (SELECT least(50.0, greatest(8.0, 2 * avg(df))) AS t FROM dfs),
+      hot AS (SELECT h FROM dfs, thr WHERE df > t),
       shf AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
