@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fixture-drift tripwire, shared by FixtureDriftSpec (sbt test) and
+  * Verify.main (the driver path). The driver regenerates /root/testdata
+  * between rounds and has twice shifted a column's physical type
+  * mid-round (events.ts ns→µs, r11), which silently broke dozens of
+  * queries before anything named the cause. Running the same pin as a
+  * Verify preamble turns the next regeneration into one diagnostic line
+  * and a nonzero exit BEFORE any query runs — the sbt-only spec couldn't
+  * fire on the driver's own invocation.
+  */
+object FixtureGuard {
+
+  /** column -> accepted Spark typeName set. Time-typed columns accept
+    * every representation the readers normalize (raw int64 ns under
+    * nanosAsLong, timestamp_ntz, session timestamp) — the tripwire is for
+    * NEW representations, not the ones schema-on-read already covers. */
+  private val ts = Set("long", "timestamp", "timestamp_ntz")
+  val expected: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("integer"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("integer"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("integer")),
+    "customer" -> Seq("c_custkey" -> Set("long"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("integer"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("long"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("integer"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("long"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("integer"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("long"), "o_custkey" -> Set("long"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> ts, "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("long"), "l_partkey" -> Set("long"),
+      "l_suppkey" -> Set("long"), "l_linenumber" -> Set("integer"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> ts),
+    "events" -> Seq("event_id" -> Set("long"), "ts" -> ts,
+      "user_id" -> Set("long"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("long"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("long")),
+    "embeddings" -> Seq("vec_id" -> Set("long"),
+      "embedding" -> Set("array"), "label" -> Set("integer")),
+  )
+
+  /** Every table()-normalized time column, pinned to the fixture's real
+    * epoch: 'long' in the accepted set above is only safe BECAUSE the
+    * reader converts it, and a unit error (ns read as µs or vice versa)
+    * lands decades away from the generated corpus. */
+  val epochPins: Seq[(String, String)] =
+    Seq("events" -> "ts", "orders" -> "o_orderdate",
+        "lineitem" -> "l_shipdate")
+
+  /** All drift diagnostics for the fixture set under `dir`; empty = ok. */
+  def drift(spark: SparkSession, dir: String): Seq[String] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schemaDrift = expected.toSeq.sortBy(_._1).flatMap {
+      case (name, cols) =>
+        val observed = spark.read.parquet(s"$dir/$name.parquet")
+          .schema.fields.map(f => f.name -> f.dataType.typeName)
+        if (observed.map(_._1).toSeq != cols.map(_._1))
+          Seq(s"$name: column set drifted — observed " +
+            observed.map { case (n, t) => s"$n:$t" }.mkString("(", ", ", ")"))
+        else cols.zip(observed).collect {
+          case ((cname, ok), (_, got)) if !ok.contains(got) =>
+            s"$name.$cname: $got (accepted: ${ok.mkString("/")})"
+        }
+    }
+    // Only epoch-check tables whose schema resolved — a drifted schema
+    // already failed above and may not normalize at all.
+    val badTables = schemaDrift.map(_.takeWhile(c => c != '.' && c != ':'))
+    val epochDrift = epochPins.filterNot(p => badTables.contains(p._1))
+      .flatMap { case (tbl, c) =>
+        val mm = graft.ops.table(spark, dir, tbl)
+          .agg(year(min(col(c))).as("lo"), year(max(col(c))).as("hi"))
+          .head()
+        val (lo, hi) = (mm.getInt(0), mm.getInt(1))
+        if (lo >= 1990 && hi <= 2035) None
+        else Some(s"$tbl.$c normalized to years [$lo, $hi] — unit " +
+          "mismatch between the fixture's physical type and the reader's " +
+          "conversion")
+      }
+    schemaDrift ++ epochDrift
+  }
+}

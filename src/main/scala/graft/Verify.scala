@@ -11,6 +11,19 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SessionDefaults.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-drift tripwire BEFORE any query runs: a regenerated fixture
+    // with an unhandled physical type fails here with one diagnostic line
+    // and a nonzero exit, instead of 150 opaque per-query failures (the
+    // r11 burn; FixtureGuard holds the pins, FixtureDriftSpec runs the
+    // same check under sbt).
+    val drift = FixtureGuard.drift(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println(
+        s"FIXTURE DRIFT at $sfDir — regenerate-proof the readers before " +
+        s"anything else this round:\n  ${drift.mkString("\n  ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -497,10 +497,13 @@ object DedupOps {
     // pair volume ≤ T·Σdf ≤ 2·mean·(shingle instances) — linear in
     // corpus size. Jaccard is computed over the capped shingle sets on
     // both engines, so the operator is exactly specified and
-    // oracle-matched, not an approximation of q_dedup_ngram. The mean is
-    // an exact integer-sum / count division (bit-identical in both
-    // engines); the threshold joins the df frame as a broadcast scalar,
-    // never a collect.
+    // oracle-matched, not an approximation of q_dedup_ngram. The
+    // threshold test is spelled WITHOUT division or floats:
+    //   df > clamp(2·Σdf/n, 8, 50)  ⟺  df > 50 ∨ (df > 8 ∧ df·n > 2·Σdf)
+    // (min/max distribute over strict >), all integer arithmetic in
+    // DECIMAL(38,0) — bit-identical in both engines for any corpus with
+    // df·n < 10^38 (a 100 TB corpus sits near 10^28). The (Σdf, n) pair
+    // joins the df frame as a broadcast 1-row scalar, never a collect.
     "q_dedup_ngram_capped" -> ((s, d) => {
       val sh = memo(s, d, "capped_sh") {
         // derives from the persisted hashedShingles frame: the df
@@ -509,10 +512,14 @@ object DedupOps {
         // that also runs q_dedup_ngram shares the same copy
         val all = hashedShingles(s, d)
         val dfs = all.groupBy("h").agg(count(lit(1)).as("df"))
-        val thr = dfs.agg(least(lit(50.0),
-          greatest(lit(8.0), avg(col("df")) * 2)).as("t"))
+        val thr = dfs.agg(sum(col("df").cast("decimal(38,0)")).as("sdf"),
+                          count(lit(1)).as("n"))
         val hot = dfs.join(broadcast(thr))
-          .filter(col("df") > col("t")).select("h")
+          .filter(col("df") > 50 ||
+                  (col("df") > 8 &&
+                   col("df").cast("decimal(38,0)") * col("n") >
+                     col("sdf") * 2))
+          .select("h")
         all.join(hot, Seq("h"), "left_anti").persist()
       }
       pairsFromShingleSets(sh).orderBy("doc_a", "doc_b")
@@ -804,8 +811,11 @@ object DedupOps {
                      CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
               FROM sh),
       dfs AS (SELECT h, count(*) AS df FROM shh GROUP BY h),
-      thr AS (SELECT least(50.0, greatest(8.0, 2 * avg(df))) AS t FROM dfs),
-      hot AS (SELECT h FROM dfs, thr WHERE df > t),
+      thr AS (SELECT sum(CAST(df AS DECIMAL(38,0))) AS sdf,
+                     count(*) AS n FROM dfs),
+      hot AS (SELECT h FROM dfs, thr
+              WHERE df > 50
+                 OR (df > 8 AND CAST(df AS DECIMAL(38,0)) * n > sdf * 2)),
       shf AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

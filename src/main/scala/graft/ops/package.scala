@@ -18,41 +18,57 @@ package object ops {
   /** A query builder: (session, scale-factor dir) => result frame. */
   type QB = (SparkSession, String) => DataFrame
 
+  /** Fixture columns that are time-typed and therefore subject to the
+    * generator's precision choice; each is normalized on read. */
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // Schema-on-read for events.ts — the fixture's physical type is the
-      // generator's choice, not ours (the reference delegates schema to the
-      // engine's parquet footer read, runner.cc:178; DuckDB reads any
-      // timestamp precision transparently). Dispatch on the footer type:
-      //   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read
-      //     the raw int64 (nanosAsLong) and truncate ns→µs — exactly what
-      //     DuckDB does on read (SURVEY.md §7.3);
-      //   - timestamp[us] NTZ: cast to session-TZ timestamp — the session
-      //     is pinned UTC (SessionDefaults), so the cast is value-identity
-      //     and downstream unix_micros/date_trunc see the same µs values;
-      //   - timestamp[us] UTC-adjusted: already TimestampType, pass through.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/$name.parquet")
-      normalizeEventsTs(raw)
-    } else s.read.parquet(s"$dir/$name.parquet")
+    tsColumns.get(name) match {
+      case Some(cols) =>
+        // Schema-on-read for time-typed fixture columns — the physical type
+        // is the generator's choice, not ours (the reference delegates
+        // schema to the engine's parquet footer read, runner.cc:178; DuckDB
+        // reads any timestamp precision transparently). Dispatch on the
+        // footer type:
+        //   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+        //     read the raw int64 (nanosAsLong) and truncate ns→µs — exactly
+        //     what DuckDB does on read (SURVEY.md §7.3);
+        //   - timestamp NTZ: cast to session-TZ timestamp — the session is
+        //     pinned UTC (SessionDefaults), so the cast is value-identity
+        //     and downstream unix_micros/date_trunc see the same µs values;
+        //   - timestamp (UTC-adjusted): already TimestampType, pass through.
+        // The conf set is session-global but idempotent (always true, set
+        // before every read that could see a NANOS footer) — it only
+        // changes how NANOS columns surface, never µs/ms ones.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/$name.parquet")
+        cols.foldLeft(raw)((df, c) => normalizeTs(df, c))
+      case None => s.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
-  /** Normalize an events frame's `ts` column to session-TZ TimestampType
-    * (µs), whatever physical representation the fixture carried. Shared by
-    * the batch reader above and the streaming staging (StreamOps). */
-  def normalizeEventsTs(df: DataFrame): DataFrame = {
+  /** Normalize one time column to session-TZ TimestampType (µs), whatever
+    * physical representation the fixture carried. Shared by the batch
+    * reader above and the streaming staging (StreamOps). */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
     import org.apache.spark.sql.types._
-    df.schema("ts").dataType match {
+    df.schema(colName).dataType match {
       case LongType => // raw int64 ns (nanosAsLong read of a NANOS fixture)
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        df.withColumn(colName, timestamp_micros(expr(s"$colName DIV 1000")))
       case TimestampNTZType => // µs wall-clock; UTC session ⇒ value-identity
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn(colName, col(colName).cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalStateException(
-        s"events.ts: unsupported fixture type $other — expected " +
+        s"$colName: unsupported fixture type $other — expected " +
         "TIMESTAMP(NANOS) (read as long), timestamp_ntz, or timestamp")
     }
   }
+
+  /** Back-compat alias for the events-specific call sites (StreamOps). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
 
   /** Exact, summation-order-independent sum of a double column.
     * Casting each value to DECIMAL(18,6) is a per-row deterministic op; the

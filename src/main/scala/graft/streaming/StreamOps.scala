@@ -25,17 +25,32 @@ import graft.ops._
   */
 object StreamOps {
 
+  /** (path, total bytes, newest mtime) fingerprint of a fixture — a file
+    * or a directory of part files. Keying the memo caches below on it
+    * makes an in-place fixture rewrite invalidate automatically (the r12
+    * ADVICE hazard: a path-keyed cache served a stale sniffed schema
+    * after a mid-session regeneration while the batch reader re-sniffed
+    * every call — silent batch/stream divergence). */
+  private def fixtureStamp(path: String): (String, Long, Long) = {
+    val f = new java.io.File(path)
+    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    if (f.isDirectory)
+      (path, kids.map(_.length).sum,
+       kids.foldLeft(f.lastModified)((m, k) => math.max(m, k.lastModified)))
+    else (path, f.length, f.lastModified)
+  }
+
   /** Physical type of events.ts in the fixture at `d` (footer sniff,
-    * memoized per path): LongType for TIMESTAMP(NANOS) fixtures (the
-    * nanosAsLong read), TimestampNTZType for µs wall-clock fixtures.
-    * FileStreamSource needs the schema up front, so the batch reader's
-    * schema-on-read dispatch (graft.ops.table) becomes a one-time sniff
-    * here. Cleared with the staged fixtures (fixture rewrites mid-session
-    * must re-sniff). */
+    * memoized per fixture fingerprint): LongType for TIMESTAMP(NANOS)
+    * fixtures (the nanosAsLong read), TimestampNTZType for µs wall-clock
+    * fixtures. FileStreamSource needs the schema up front, so the batch
+    * reader's schema-on-read dispatch (graft.ops.table) becomes a
+    * one-time sniff here. A fixture rewrite changes the fingerprint and
+    * re-sniffs; [[clearStagedFixtures]] also drops the memo. */
   private val tsTypeCache =
-    new scala.collection.concurrent.TrieMap[String, DataType]
+    new scala.collection.concurrent.TrieMap[(String, Long, Long), DataType]
   def eventsTsType(s: SparkSession, d: String): DataType =
-    tsTypeCache.getOrElseUpdate(s"$d/events.parquet", {
+    tsTypeCache.getOrElseUpdate(fixtureStamp(s"$d/events.parquet"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet").schema("ts").dataType
     })
@@ -75,13 +90,13 @@ object StreamOps {
   private def runStream(s: SparkSession, d: String, mode: String,
                         copies: Int = 1,
                         tableName: String = "events",
-                        schema: StructType = null)
+                        schema: Option[StructType] = None)
                        (transform: DataFrame => DataFrame): DataFrame =
     runStreamN(s, d, mode, copies, tableName, schema, nSources = 1,
                sentinelNs = None)(srcs => transform(srcs.head))
 
   /** Staged fixture directories, memoized per
-    * (session, sfDir, table, copies, sentinel): staging copies the
+    * (session, fixture fingerprint, copies, sentinel): staging copies the
     * fixture and — for sentinel queries — runs two one-row parquet WRITE
     * JOBS; repeated builds in one session (Bench's cold + N warm passes)
     * were paying that staging per query per pass. The staged directory
@@ -91,7 +106,7 @@ object StreamOps {
     * rewritten mid-session). */
   private val stagedCache =
     new scala.collection.concurrent.TrieMap[
-      (SparkSession, String, String, Int, Option[Long]),
+      (SparkSession, (String, Long, Long), Int, Option[Long]),
       (java.nio.file.Path, Int)]
 
   /** Harness scratch root. Micro-batch execution is dominated by tiny
@@ -142,7 +157,8 @@ object StreamOps {
   private def stageFixture(s: SparkSession, d: String, copies: Int,
                            tableName: String, sentinelNs: Option[Long],
                            tsType: DataType): (java.nio.file.Path, Int) =
-    stagedCache.getOrElseUpdate((s, d, tableName, copies, sentinelNs), {
+    stagedCache.getOrElseUpdate(
+      (s, fixtureStamp(s"$d/$tableName.parquet"), copies, sentinelNs), {
       val dir = mkScratchDir(s, "graft_stream_")
       dir.toFile.deleteOnExit()
       // driver fixtures are single parquet FILES; generated scale fixtures
@@ -214,17 +230,22 @@ object StreamOps {
     * keeps flowing", which pushes the watermark past every real event so
     * append-mode windows finalize and flush. */
   private def runStreamN(s: SparkSession, d: String, mode: String,
-                         copies: Int, tableName: String, schema: StructType,
+                         copies: Int, tableName: String,
+                         schema: Option[StructType],
                          nSources: Int, sentinelNs: Option[Long])
                         (transform: Seq[DataFrame] => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // events: read schema follows the fixture's physical ts type (footer
-    // sniff), then ts is normalized to session-TZ µs timestamps exactly
-    // like the batch reader; other tables stream under the passed schema.
+    // sniff — a passed schema would be ignored, so events callers pass
+    // None); other tables stream under the caller's schema, required
+    // because FileStreamSource cannot infer one.
     val tsType: DataType =
       if (tableName == "events") eventsTsType(s, d) else null
     val effSchema =
-      if (tableName == "events") eventsRawSchema(tsType) else schema
+      if (tableName == "events") eventsRawSchema(tsType)
+      else schema.getOrElse(throw new IllegalArgumentException(
+        s"runStreamN($tableName): a read schema is required for " +
+        "non-events fixtures (FileStreamSource cannot infer one)"))
     val (dir, filesPerTrigger) =
       stageFixture(s, d, copies, tableName, sentinelNs, tsType)
     def source(): DataFrame = {
@@ -362,7 +383,7 @@ object StreamOps {
     // for batch and stream, so parity is by construction, not by test.
     "q_stream_quality" -> ((s, d) =>
       runStream(s, d, "append", tableName = "documents",
-                schema = documentsSchema)(graft.ops.TextOps.qualityVerdict)
+                schema = Some(documentsSchema))(graft.ops.TextOps.qualityVerdict)
         .orderBy("doc_id")),
 
     // Stream-stream interval join — views matched to the same user's
@@ -375,7 +396,7 @@ object StreamOps {
     // oracle is the equivalent batch interval self-join.
     "q_stream_join" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = null, nSources = 2, sentinelNs = None) {
+                 schema = None, nSources = 2, sentinelNs = None) {
         case Seq(sa, sb) =>
           val views = sa.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"),
@@ -411,7 +432,7 @@ object StreamOps {
     // bound: O(watermark horizon), as for the inner join.
     "q_stream_join_left" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = null, nSources = 2,
+                 schema = None, nSources = 2,
                  sentinelNs = Some(4102444800000000000L)) {
         case Seq(sa, sb) =>
           val views = sa
@@ -446,7 +467,7 @@ object StreamOps {
     // fixture and shares q_stream_tumbling's oracle.
     "q_stream_tumbling_append" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = null, nSources = 1,
+                 schema = None, nSources = 1,
                  // 2100-01-01 in ns — later than any fixture event
                  sentinelNs = Some(4102444800000000000L)) {
         case Seq(src) =>
@@ -471,7 +492,7 @@ object StreamOps {
     // change the answer, only when it appears.
     "q_stream_session" -> ((s, d) =>
       runStreamN(s, d, "append", copies = 1, tableName = "events",
-                 schema = null, nSources = 1,
+                 schema = None, nSources = 1,
                  // 2100-01-01 in ns — later than any fixture event
                  sentinelNs = Some(4102444800000000000L)) {
         case Seq(src) =>

@@ -35,6 +35,7 @@ class PlanShapeSpec extends SparkTestBase {
     "q_tpch_q11",           // broadcast nation-total scalar (1 row)
     "q_mix_weighted",       // per-source target share scalar
     "q_events_outliers",    // global robust-stats scalar
+    "q_dedup_ngram_capped", // broadcast adaptive-cap threshold T (1 row)
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     "q_knn_join")           // broadcast query vector / centroid set
 
