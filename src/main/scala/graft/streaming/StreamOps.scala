@@ -177,18 +177,33 @@ object StreamOps {
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .map(_.toPath)
         else Seq(fixture)
-      val filesPerTrigger = math.max(1, parts.size)
+      // Sentinel queries (always copies=1): the FIRST sentinel rides the
+      // data batch — the watermark is computed at batch COMPLETION, so
+      // "data + far-future sentinel" in one batch leaves in-batch
+      // processing untouched (wm is still the pre-batch value) and jumps
+      // the watermark far past every real event the moment the batch
+      // commits; the second sentinel then drives the single flush batch
+      // where watermark-gated emissions (outer-join null rows, final
+      // window/session flushes) reach the sink. Two micro-batches total
+      // instead of three — the r12 bench's slowest stateful query
+      // (q_stream_join_left) was paying a full extra state-store
+      // open/commit round for a sentinel-only batch that existed purely
+      // to advance the clock.
+      val filesPerTrigger =
+        if (sentinelNs.isDefined && copies == 1) parts.size + 1
+        else math.max(1, parts.size)
       for (i <- 1 to copies; (p, j) <- parts.zipWithIndex) {
         val dst = dir.resolve(s"${tableName}_${i}_$j.parquet")
         java.nio.file.Files.copy(p, dst)
         dst.toFile.deleteOnExit()
       }
-      // TWO sentinel arrivals, one micro-batch apart: the first advances
-      // the watermark past every real event; the second drives one more
-      // batch AFTER that watermark has committed, which is when
-      // watermark-gated emissions (outer-join null rows, final window
-      // flushes) actually reach the sink — the watermark computed in batch
-      // N gates emission in batch N+1. Sentinel ts is written in the SAME
+      // TWO sentinel arrivals: the first rides the data batch (see
+      // filesPerTrigger above) and advances the watermark past every real
+      // event when that batch commits; the second drives the one batch
+      // AFTER that watermark has committed, which is when watermark-gated
+      // emissions (outer-join null rows, final window flushes) actually
+      // reach the sink — the watermark computed in batch N gates emission
+      // in batch N+1. Sentinel ts is written in the SAME
       // physical representation the fixture carries (tsType), so one read
       // schema covers fixture copies and sentinels alike.
       sentinelNs.foreach { ns =>
@@ -270,7 +285,7 @@ object StreamOps {
     // 24/7 deployment sizes this to its executor count in cluster conf.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.getOption("spark.graft.stream.shuffleWidth").getOrElse("8"))
+      s.conf.getOption("spark.graft.stream.shuffleWidth").getOrElse("4"))
     // No-data micro-batches exist to advance wall-clock-ish triggers and
     // flush watermark-gated state without new input. This harness never
     // needs them: every watermark advance is DRIVEN by a data batch (the
