@@ -154,6 +154,14 @@ object StreamOps {
     val m = stateMetrics; stateMetrics = None; m
   }
 
+  /** Micro-batch count of the most recent stream run — the cost driver
+    * of the fixture-sized harness (each batch pays a full state-store
+    * open/commit round per stateful op per partition). Pinned by
+    * StreamingSpec: sentinel queries must run exactly TWO batches (data +
+    * first sentinel, then the flush sentinel); a regression to three was
+    * the r12 bench's slowest-stateful-query finding. */
+  @volatile var lastBatchCount: Int = -1
+
   private def stageFixture(s: SparkSession, d: String, copies: Int,
                            tableName: String, sentinelNs: Option[Long],
                            tsType: DataType): (java.nio.file.Path, Int) =
@@ -312,6 +320,7 @@ object StreamOps {
         .outputMode(mode).format("memory").queryName(qname)
         .option("checkpointLocation", ckptDir.toString).start()
       try { q.processAllAvailable() } finally { q.stop() }
+      lastBatchCount = q.recentProgress.count(_.numInputRows > 0)
       stateMetrics = {
         val perBatch = q.recentProgress.toSeq.map { p =>
           val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)

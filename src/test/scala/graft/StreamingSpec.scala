@@ -236,6 +236,14 @@ class StreamingSpec extends SparkTestBase {
     // no sentinel leaked into the output.
     assert(got.exists(_._2.isEmpty), "no outer rows flushed")
     assert(got.forall(_._1 >= 0), "sentinel row leaked into the sink")
+    // Harness cost contract: the first sentinel rides the data batch, the
+    // second drives the flush — exactly TWO micro-batches. A third batch
+    // means the sentinel staging regressed to one-arrival-per-batch (the
+    // r12 slowest-stateful-query finding: a full extra state-store
+    // open/commit round that existed only to advance the clock).
+    assert(StreamOps.lastBatchCount == 2,
+      s"q_stream_join_left ran ${StreamOps.lastBatchCount} micro-batches, " +
+      "expected 2 (data+sentinel, flush-sentinel)")
   }
 
   test("q_stream_tumbling_append equals the complete-mode stream result") {
