@@ -145,8 +145,17 @@ object DedupOps {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "minhash_pairs")(buildMinhashPairs(s, d).persist())
 
-  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = memo(s, d, "minhash_bands") {
+  /** Band self-join: candidate pairs (doc_a < doc_b) with shared-band
+    * count, from any (doc_id, band, bkey) frame. */
+  private def bandPairs(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    memo(s, d, "minhash_bands") {
       // The 32-bit MinHash input is the top 32 bits of the 60-bit shingle
       // hash already persisted for the jaccard/capped/contamination
       // family (first 8 vs first 15 hex chars of the same md5, so
@@ -174,12 +183,10 @@ object DedupOps {
                 col("b.bkey").as("bkey"))
         .persist()
     }
-    bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") &&
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
   }
+
+  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame =
+    bandPairs(minhashBands(s, d))
 
   /** Embedding near-dup pairs: sign-LSH banded candidates verified at
     * cos ≥ 0.45 — the full pipeline documented on q_dedup_embed (which
@@ -190,12 +197,13 @@ object DedupOps {
   private def embedPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "embed_pairs")(buildEmbedPairs(s, d).persist())
 
-  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dot_product, l2_norm}
-    // persist + memoize: band explode and both gather sides read the
-    // normed vectors; memoization keeps repeat invocations (bench warm
-    // pass, shared sessions) from stacking duplicate persisted copies.
-    val n = memo(s, d, "embed_normed") {
+  /** Normed embedding vectors (vec_id, v, nrm), memoized + persisted:
+    * band explode and both gather sides read them; memoization keeps
+    * repeat invocations (bench warm pass, shared sessions) from stacking
+    * duplicate persisted copies. */
+  private def normedVecs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "embed_normed") {
+      import graft.functions.VectorFunctions.l2_norm
       // The test corpus is one small parquet file → a 1-partition scan;
       // everything downstream of a broadcast join inherits the probe
       // side's partitioning, so without a spread the entire candidate
@@ -208,6 +216,12 @@ object DedupOps {
         .repartition(s.sparkContext.defaultParallelism)
         .persist()
     }
+
+  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromNormedVecs(normedVecs(s, d))
+
+  private def pairsFromNormedVecs(n: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
     // Band key = the 4 sign bits packed into an int nibble (any
     // injective encoding of the bits induces the same equality
     // partition, so the candidate set is identical to the oracle's
@@ -732,14 +746,54 @@ object DedupOps {
         keyed.groupBy("k").agg(min(col("doc_id")).as("rep"))
           .join(keyed, "k").select(col("doc_id"), col("rep")).persist()
       }
-      // Lexical edges carry the same ≥2-band AND-amplification as
-      // q_dedup_minhash_clusters — transitive closure compounds
-      // candidate noise, and at 100× the single-band collision set is
-      // orders larger than the ≥2-band subset.
-      val lexE = minhashPairs(s, d).filter(col("n_bands") >= 2)
+      // Both near-dup signals are generated on DISTINCT CONTENTS, not
+      // raw docs (round 13): signatures, band keys and cosines are pure
+      // functions of content, so an edge exists between two docs iff it
+      // exists between their content representatives — the remapped edge
+      // set is IDENTICAL (the sf0.01 oracle, which computes the uncon-
+      // tracted form, still hash-matches). What changes is the cost
+      // shape: pair volume becomes quadratic in DISTINCT contents and
+      // immune to copy-duplication density. The uncontracted spelling
+      // banded all 200 K vec copies on the 100× stress corpus — 2 K
+      // distinct contents × 100 copies ⇒ every bucket's posting list
+      // ×100, pair volume ×10⁴ (~13 G candidate pairs) — and filled
+      // 78 GB of shuffle before dying. This is the same adversarial-
+      // duplication boundary as the uncapped n-gram join, but here the
+      // fix is free: exact-dup contraction is already part of the
+      // operator.
+      //
+      // Lexical edges (on text reps) carry the same ≥2-band
+      // AND-amplification as q_dedup_minhash_clusters — transitive
+      // closure compounds candidate noise, and at 100× the single-band
+      // collision set is orders larger than the ≥2-band subset.
+      val reps = doc2rep.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      val lexE = bandPairs(
+          minhashBands(s, d).join(reps, Seq("doc_id"), "semi"))
+        .filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val semE = embedPairs(s, d)
+      // Semantic edges: canonical vec per distinct embedding content +
+      // a star over each content's copies. The star preserves exactness
+      // in general (not just on copy corpora): identical non-zero
+      // vectors share every sign band and have cos = 1 ≥ 0.45, so the
+      // full computation connects all copies of a content pairwise —
+      // the star spans the same component; zero-norm vectors have NULL
+      // cosine and no edges, so they get no star either. Cross-content
+      // edges are computed once per content pair on the canonical vecs.
+      val v2c = memo(s, d, "ms_vec2content") {
+        val n = normedVecs(s, d)
+        n.join(n.groupBy(col("v")).agg(min(col("vec_id")).as("vrep")),
+               Seq("v"))
+          .select(col("vec_id"), col("vrep"), col("nrm")).persist()
+      }
+      val star = v2c.filter(col("nrm") > 0 && col("vec_id") =!= col("vrep"))
+        .select(col("vrep").as("src"), col("vec_id").as("dst"))
+      val canon = normedVecs(s, d).join(
+        v2c.filter(col("vec_id") === col("vrep")).select("vec_id"),
+        Seq("vec_id"), "semi")
+      val semE = pairsFromNormedVecs(canon)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionAll(star)
       // Remap both pair signals onto exact representatives; edges inside
       // one exact group collapse to self-loops and drop out.
       val edges = lexE.unionAll(semE)
