@@ -154,36 +154,53 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
 
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    memo(s, d, "minhash_bands") {
-      // The 32-bit MinHash input is the top 32 bits of the 60-bit shingle
-      // hash already persisted for the jaccard/capped/contamination
-      // family (first 8 vs first 15 hex chars of the same md5, so
-      // h32 = h60 >> 28 — bit-exact with the oracle's substr(md5,1,8)).
-      // Deriving it from hashedShingles means ONE explode+md5 pass over
-      // the corpus serves every dedup consumer; at 100× that pass covers
-      // 120 M shingle rows and was previously run twice. min() over the
-      // h60-distinct set equals min() over the raw multiset (equal h60 ⇒
-      // equal h32), so the signatures are unchanged.
-      val hashed = hashedShingles(s, d)
-        .select(col("doc_id"), shiftright(col("h"), 28).as("h"))
-      val mins = A.indices.map(i =>
-        min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
-      val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      // Band key packed as a BIGINT: m0·P + m1 (each min < P = 1e9+7, so
-      // the product stays under 2^60 — exact int64 in both engines, and
-      // injective, so the equality partition — hence the candidate set —
-      // is identical to the former "m0,m1" string spelling at a fraction
-      // of the shuffle bytes and none of the per-row string building).
-      sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(j => struct(lit(j).as("band"),
-          (col(s"m${2 * j}") * P + col(s"m${2 * j + 1}"))
-            .as("bkey"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"),
-                col("b.bkey").as("bkey"))
-        .persist()
-    }
+  /** MinHash signature + band explode from any (doc_id, h) hashed-shingle
+    * frame.
+    *
+    * The 32-bit MinHash input is the top 32 bits of the 60-bit shingle
+    * hash already persisted for the jaccard/capped/contamination
+    * family (first 8 vs first 15 hex chars of the same md5, so
+    * h32 = h60 >> 28 — bit-exact with the oracle's substr(md5,1,8)).
+    * Deriving it from hashedShingles means ONE explode+md5 pass over
+    * the corpus serves every dedup consumer; at 100× that pass covers
+    * 120 M shingle rows and was previously run twice. min() over the
+    * h60-distinct set equals min() over the raw multiset (equal h60 ⇒
+    * equal h32), so the signatures are unchanged. */
+  private def bandsFromHashedShingles(hs: DataFrame): DataFrame = {
+    val hashed = hs.select(col("doc_id"), shiftright(col("h"), 28).as("h"))
+    val mins = A.indices.map(i =>
+      min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // Band key packed as a BIGINT: m0·P + m1 (each min < P = 1e9+7, so
+    // the product stays under 2^60 — exact int64 in both engines, and
+    // injective, so the equality partition — hence the candidate set —
+    // is identical to the former "m0,m1" string spelling at a fraction
+    // of the shuffle bytes and none of the per-row string building).
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band"),
+        (col(s"m${2 * j}") * P + col(s"m${2 * j + 1}"))
+          .as("bkey"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+              col("b.bkey").as("bkey"))
   }
+
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "minhash_bands") {
+      bandsFromHashedShingles(hashedShingles(s, d)).persist()
+    }
+
+  /** doc_id → exact representative (min doc_id of its byte-identical
+    * normalized-body group), memoized + persisted — the contraction map
+    * shared by the multi-signal and minhash-cluster queries (remap
+    * joins, rep-restricted signal generation, and final assembly all
+    * read it; clearPairsCache releases). */
+  private def exactDoc2Rep(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ms_doc2rep") {
+      val keyed = table(s, d, "documents").select(col("doc_id"),
+        md5(trim(lower(col("text"))).cast("binary")).as("k"))
+      keyed.groupBy("k").agg(min(col("doc_id")).as("rep"))
+        .join(keyed, "k").select(col("doc_id"), col("rep")).persist()
+    }
 
   private def buildMinhashPairs(s: SparkSession, d: String): DataFrame =
     bandPairs(minhashBands(s, d))
@@ -640,15 +657,46 @@ object DedupOps {
     // (q_dedup_minhash still reports every candidate with its band
     // count; the recall audit q_dedup_minhash_eval still scores the
     // full candidate set). The oracle applies the identical threshold.
+    // Round 13: the whole pipeline — signatures, banding, pairing, and
+    // the fixpoint — runs on DISTINCT CONTENTS (one representative per
+    // byte-identical normalized body among shingled docs), then expands
+    // through the rep map. Exactness-preserving on ANY corpus:
+    // signatures and band keys are pure functions of content, so a
+    // cross-content edge exists between two docs iff it exists between
+    // their reps; same-content shingled docs share ALL 4 bands (≥ the 2
+    // threshold), so the full computation connects every copy group
+    // pairwise — the expansion "cluster(doc) = label(rep(doc))" spans
+    // the same components, and min-reachable-doc = min-reachable-rep
+    // because reps are their groups' minima. Shingled-ness is itself
+    // content-determined (same text ⇒ same tokens), so a group is
+    // uniformly in or out and unshingled docs stay singletons exactly as
+    // in the uncontracted form. The sf0.01/10× oracles (which compute
+    // the uncontracted recursive closure) still hash-match. Cost shape:
+    // signature agg + band self-join + fixpoint become quadratic/linear
+    // in DISTINCT contents — the r10 100× row paid 268 s / 6.8 GiB peak
+    // banding all 100 copies of every content.
     "q_dedup_minhash_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).filter(col("n_bands") >= 2)
+      val shingledD2r = memo(s, d, "mc_shingled_d2r") {
+        exactDoc2Rep(s, d)
+          .join(hashedShingles(s, d).select("doc_id").distinct(),
+                Seq("doc_id"), "semi")
+          .persist()
+      }
+      val reps = shingledD2r.filter(col("doc_id") === col("rep"))
+        .select("doc_id")
+      val pairs = bandPairs(bandsFromHashedShingles(
+          hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")))
+        .filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       val (labels, _) = propagateMinLabels(sym)
       table(s, d, "documents").select(col("doc_id"))
-        .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("cluster"))
+        .join(shingledD2r, Seq("doc_id"), "left")
+        .join(labels.withColumnRenamed("doc_id", "rep")
+                    .withColumnRenamed("cluster", "c"), Seq("rep"), "left")
+        .select(col("doc_id"),
+                coalesce(col("c"), col("rep"), col("doc_id")).as("cluster"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("csize"))
         .orderBy("cluster")
@@ -737,15 +785,8 @@ object DedupOps {
     // representative (min reachable doc_id), and keep = 1 on the
     // representative — the survivor list a curation pipeline writes out.
     "q_dedup_multi_signal" -> ((s, d) => {
-      val docs = table(s, d, "documents")
-      val bodyKey = md5(trim(lower(col("text"))).cast("binary"))
-      // doc_id → exact representative, memoized+persisted (both remap
-      // joins and the final assembly read it; clearPairsCache releases).
-      val doc2rep = memo(s, d, "ms_doc2rep") {
-        val keyed = docs.select(col("doc_id"), bodyKey.as("k"))
-        keyed.groupBy("k").agg(min(col("doc_id")).as("rep"))
-          .join(keyed, "k").select(col("doc_id"), col("rep")).persist()
-      }
+      // doc_id → exact representative (shared contraction map).
+      val doc2rep = exactDoc2Rep(s, d)
       // Both near-dup signals are generated on DISTINCT CONTENTS, not
       // raw docs (round 13): signatures, band keys and cosines are pure
       // functions of content, so an edge exists between two docs iff it
@@ -768,8 +809,8 @@ object DedupOps {
       // collision set is orders larger than the ≥2-band subset.
       val reps = doc2rep.filter(col("doc_id") === col("rep"))
         .select(col("doc_id"))
-      val lexE = bandPairs(
-          minhashBands(s, d).join(reps, Seq("doc_id"), "semi"))
+      val lexE = bandPairs(bandsFromHashedShingles(
+          hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")))
         .filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       // Semantic edges: canonical vec per distinct embedding content +
