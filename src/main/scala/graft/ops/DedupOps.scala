@@ -189,6 +189,23 @@ object DedupOps {
       bandsFromHashedShingles(hashedShingles(s, d)).persist()
     }
 
+  /** Banded signatures restricted to exact-content representatives —
+    * the shared signal source of both contracted clustering queries
+    * (q_dedup_minhash_clusters and q_dedup_multi_signal's lexical
+    * edges). One frame serves both because their rep sets coincide on
+    * the rows that matter: clusters restricts to SHINGLED reps, but an
+    * unshingled rep contributes no shingle rows, so the semi-join
+    * against either set selects identical rows. Memoized + persisted —
+    * the sig aggregation + band explode run once per session, not once
+    * per consumer. */
+  private def repBands(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "rep_bands") {
+      val reps = exactDoc2Rep(s, d)
+        .filter(col("doc_id") === col("rep")).select("doc_id")
+      bandsFromHashedShingles(
+        hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")).persist()
+    }
+
   /** doc_id → exact representative (min doc_id of its byte-identical
     * normalized-body group), memoized + persisted — the contraction map
     * shared by the multi-signal and minhash-cluster queries (remap
@@ -682,10 +699,7 @@ object DedupOps {
                 Seq("doc_id"), "semi")
           .persist()
       }
-      val reps = shingledD2r.filter(col("doc_id") === col("rep"))
-        .select("doc_id")
-      val pairs = bandPairs(bandsFromHashedShingles(
-          hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")))
+      val pairs = bandPairs(repBands(s, d))
         .filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = pairs.unionAll(
@@ -807,10 +821,7 @@ object DedupOps {
       // AND-amplification as q_dedup_minhash_clusters — transitive
       // closure compounds candidate noise, and at 100× the single-band
       // collision set is orders larger than the ≥2-band subset.
-      val reps = doc2rep.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"))
-      val lexE = bandPairs(bandsFromHashedShingles(
-          hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")))
+      val lexE = bandPairs(repBands(s, d))
         .filter(col("n_bands") >= 2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       // Semantic edges: canonical vec per distinct embedding content +

@@ -64,7 +64,10 @@ object ScaleStress {
       "q_dedup_embed", "q_dedup_ngram_capped", "q_join_range",
       "q_join_range_auto",
       "q_merge_upsert", "q_zorder", "q_tpch_q3", "q_tpch_q5",
-      "q_sample_stratified", "q_graph_degree")
+      "q_sample_stratified", "q_graph_degree",
+      // round-13: the content-contracted clustering pair — the two
+      // queries whose 100× posture the contraction rewrote
+      "q_dedup_minhash_clusters", "q_dedup_multi_signal")
     val heavy =
       if (args.length > 2) args(2).split(",").toSeq else defaultHeavy
     // Peak cached-storage sampler: the iterative queries persist /
