@@ -206,6 +206,17 @@ object DedupOps {
         hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")).persist()
     }
 
+  /** ≥2-band rep-level candidate pairs — the lexical edge set both
+    * contracted clustering queries consume; memoized + persisted so the
+    * band self-join runs once per session, not once per consumer
+    * (q_dedup_minhash_clusters builds it first in a bench pass,
+    * q_dedup_multi_signal reads the cache). */
+  private def repBandPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "rep_band_pairs") {
+      bandPairs(repBands(s, d)).filter(col("n_bands") >= 2)
+        .select(col("doc_a"), col("doc_b")).persist()
+    }
+
   /** doc_id → exact representative (min doc_id of its byte-identical
     * normalized-body group), memoized + persisted — the contraction map
     * shared by the multi-signal and minhash-cluster queries (remap
@@ -699,8 +710,7 @@ object DedupOps {
                 Seq("doc_id"), "semi")
           .persist()
       }
-      val pairs = bandPairs(repBands(s, d))
-        .filter(col("n_bands") >= 2)
+      val pairs = repBandPairs(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -821,8 +831,7 @@ object DedupOps {
       // AND-amplification as q_dedup_minhash_clusters — transitive
       // closure compounds candidate noise, and at 100× the single-band
       // collision set is orders larger than the ≥2-band subset.
-      val lexE = bandPairs(repBands(s, d))
-        .filter(col("n_bands") >= 2)
+      val lexE = repBandPairs(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       // Semantic edges: canonical vec per distinct embedding content +
       // a star over each content's copies. The star preserves exactness
