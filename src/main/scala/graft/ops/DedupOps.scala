@@ -184,54 +184,99 @@ object DedupOps {
               col("b.bkey").as("bkey"))
   }
 
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "minhash_bands") {
-      bandsFromHashedShingles(hashedShingles(s, d)).persist()
-    }
-
-  /** Banded signatures restricted to exact-content representatives —
-    * the shared signal source of both contracted clustering queries
-    * (q_dedup_minhash_clusters and q_dedup_multi_signal's lexical
-    * edges). One frame serves both because their rep sets coincide on
-    * the rows that matter: clusters restricts to SHINGLED reps, but an
-    * unshingled rep contributes no shingle rows, so the semi-join
-    * against either set selects identical rows. Memoized + persisted —
-    * the sig aggregation + band explode run once per session, not once
-    * per consumer. */
+  /** Banded signatures restricted to byte-exact content representatives
+    * — the shared signal source of every MinHash consumer (the full
+    * pair listing via expansion, both contracted clustering queries'
+    * lexical edges). Restricting to SHINGLED reps vs all reps selects
+    * identical rows (an unshingled rep contributes no shingle rows).
+    * Memoized + persisted — the sig aggregation + band explode run once
+    * per session, not once per consumer. */
   private def repBands(s: SparkSession, d: String): DataFrame =
     memo(s, d, "rep_bands") {
-      val reps = exactDoc2Rep(s, d)
+      val reps = rawDoc2Rep(s, d)
         .filter(col("doc_id") === col("rep")).select("doc_id")
       bandsFromHashedShingles(
         hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")).persist()
     }
 
-  /** ≥2-band rep-level candidate pairs — the lexical edge set both
-    * contracted clustering queries consume; memoized + persisted so the
-    * band self-join runs once per session, not once per consumer
-    * (q_dedup_minhash_clusters builds it first in a bench pass,
-    * q_dedup_multi_signal reads the cache). */
+  /** Rep-level candidate pairs with shared-band count — the contracted
+    * form of the corpus-wide band self-join. Shingles (hence signatures
+    * and band keys) are pure functions of the RAW text bytes, so a band
+    * collision exists between two docs iff it exists between their
+    * byte-exact representatives, with the same shared-band count; pair
+    * volume is quadratic in DISTINCT contents, immune to the copy
+    * density an adversarially duplicated crawl corpus brings (the r10
+    * 100× row paid 268 s banding all 100 copies of every content).
+    * Memoized + persisted: the full-listing expansion and both
+    * clustering queries read it. */
+  private def repBandPairsAll(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "rep_band_pairs_all") {
+      bandPairs(repBands(s, d)).persist()
+    }
+
+  /** ≥2-band rep pairs — the AND-amplified lexical edge set both
+    * contracted clustering queries consume (a cheap filter over the
+    * persisted [[repBandPairsAll]]). */
   private def repBandPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "rep_band_pairs") {
-      bandPairs(repBands(s, d)).filter(col("n_bands") >= 2)
-        .select(col("doc_a"), col("doc_b")).persist()
+      repBandPairsAll(s, d).filter(col("n_bands") >= 2)
+        .select(col("doc_a"), col("doc_b"))
     }
 
-  /** doc_id → exact representative (min doc_id of its byte-identical
-    * normalized-body group), memoized + persisted — the contraction map
-    * shared by the multi-signal and minhash-cluster queries (remap
-    * joins, rep-restricted signal generation, and final assembly all
-    * read it; clearPairsCache releases). */
-  private def exactDoc2Rep(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "ms_doc2rep") {
+  /** doc_id → byte-exact representative (min doc_id of its RAW-byte-
+    * identical text group) + the normalized-content key `nk` riding
+    * along for the exact-dup signal. The contraction key is the raw
+    * bytes, NOT trim(lower(...)): shingles are computed on the raw text
+    * (shingles(), :38), so only byte-equality guarantees equal
+    * signatures. Contracting on the normalized key would force case/
+    * whitespace-variant docs — whose signatures genuinely differ —
+    * into one signature class, silently merging clusters the
+    * uncontracted semantics keeps apart (locked by ContractionSpec's
+    * case-variant corpus). Memoized + persisted — remap joins,
+    * rep-restricted signal generation, the pair-listing expansions and
+    * final assembly all read it; clearPairsCache releases. */
+  private def rawDoc2Rep(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "raw_doc2rep") {
       val keyed = table(s, d, "documents").select(col("doc_id"),
-        md5(trim(lower(col("text"))).cast("binary")).as("k"))
-      keyed.groupBy("k").agg(min(col("doc_id")).as("rep"))
-        .join(keyed, "k").select(col("doc_id"), col("rep")).persist()
+        md5(col("text").cast("binary")).as("rk"),
+        md5(trim(lower(col("text"))).cast("binary")).as("nk"))
+      keyed.groupBy("rk").agg(min(col("doc_id")).as("rep"))
+        .join(keyed, "rk")
+        .select(col("doc_id"), col("rep"), col("nk")).persist()
     }
 
-  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame =
-    bandPairs(minhashBands(s, d))
+  /** Full MinHash/LSH candidate listing by EXPANSION: rep-level band
+    * pairs pulled back through the copy map, plus the within-content
+    * pairs (byte-equal shingled docs share all 4 bands). Candidate
+    * generation is quadratic only in distinct contents; the expansion
+    * joins move ids and are linear in the OUTPUT — which is itself the
+    * uncontracted listing, so nothing asymptotically larger than the
+    * answer is ever materialized. Exactness: shared-band count is a
+    * function of the two raw contents, so every copy pair of a
+    * colliding content pair appears with the rep pair's n_bands;
+    * byte-equal copies share all 4 bands (same signature) iff shingled,
+    * and shingled-ness is content-determined. */
+  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val d2r = rawDoc2Rep(s, d).select("doc_id", "rep")
+    val cross = repBandPairsAll(s, d)
+      .join(d2r.select(col("rep").as("doc_a"), col("doc_id").as("ia")),
+            Seq("doc_a"))
+      .join(d2r.select(col("rep").as("doc_b"), col("doc_id").as("ib")),
+            Seq("doc_b"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+              greatest(col("ia"), col("ib")).as("doc_b"),
+              col("n_bands"))
+    val shingledCopies = d2r.join(
+      repBands(s, d).select(col("doc_id").as("rep")).distinct(),
+      Seq("rep"))
+    val within = shingledCopies.as("x")
+      .join(shingledCopies.as("y"),
+        col("x.rep") === col("y.rep") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              lit(4L).as("n_bands"))
+    cross.unionAll(within)
+  }
 
   /** Embedding near-dup pairs: sign-LSH banded candidates verified at
     * cos ≥ 0.45 — the full pipeline documented on q_dedup_embed (which
@@ -241,6 +286,58 @@ object DedupOps {
     * consumers per bench pass share one run of the candidate join. */
   private def embedPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "embed_pairs")(buildEmbedPairs(s, d).persist())
+
+  /** vec_id → canonical vector-content representative (min vec_id of
+    * its byte-identical embedding group) + the vector's norm. Band
+    * keys and cosines are pure functions of the vector values, so this
+    * is the embedding-side contraction map: candidate generation runs
+    * on one canonical vector per distinct content. Memoized +
+    * persisted (both pair expansions and the multi-signal star read
+    * it). */
+  private def vec2content(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ms_vec2content") {
+      val n = normedVecs(s, d)
+      n.join(n.groupBy(col("v")).agg(min(col("vec_id")).as("vrep")),
+             Seq("v"))
+        .select(col("vec_id"), col("vrep"), col("nrm")).persist()
+    }
+
+  /** Verified near-dup pairs between DISTINCT embedding contents —
+    * the sign-LSH candidate join + exact-cosine verifier run on one
+    * canonical vector per content, so pair volume is quadratic in
+    * distinct contents, not raw copies (the uncontracted form banded
+    * all 200 K vec copies of the 100× stress corpus and filled 78 GB
+    * of shuffle before dying). Memoized + persisted: the q_dedup_embed
+    * expansion and the multi-signal semantic edges share one run. */
+  private def canonEmbedPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "embed_canon_pairs") {
+      val canon = normedVecs(s, d).join(
+        vec2content(s, d).filter(col("vec_id") === col("vrep"))
+          .select("vec_id"),
+        Seq("vec_id"), "semi")
+      pairsFromNormedVecs(canon).persist()
+    }
+
+  /** Per-content SELF cosine (canonical vector against itself),
+    * filtered at the same ≥ 0.45 threshold — decides whether copies of
+    * one content pair up, with the exact expression the uncontracted
+    * verifier would have evaluated on the copy pair (same values, same
+    * float ops — bit-identical, including the degenerate zero-norm
+    * division). Tiny (≤ one row per content); memoized + persisted for
+    * its two consumers. */
+  private def selfCosContents(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "embed_self_cos") {
+      import graft.functions.VectorFunctions.dot_product
+      normedVecs(s, d).join(
+          vec2content(s, d).filter(col("vec_id") === col("vrep"))
+            .select("vec_id"),
+          Seq("vec_id"), "semi")
+        .select(col("vec_id").as("vrep"),
+          r6(dot_product(col("v"), col("v")) /
+             (col("nrm") * col("nrm"))).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .persist()
+    }
 
   /** Normed embedding vectors (vec_id, v, nrm), memoized + persisted:
     * band explode and both gather sides read them; memoization keeps
@@ -262,8 +359,33 @@ object DedupOps {
         .persist()
     }
 
-  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame =
-    pairsFromNormedVecs(normedVecs(s, d))
+  /** Full embedding pair listing by EXPANSION of [[canonEmbedPairs]]
+    * through the copy map, plus within-content copy pairs gated on the
+    * content's self-cosine ([[selfCosContents]]). The cosine of any
+    * copy pair equals its content pair's cosine (byte-identical
+    * vectors), so the expanded listing is row-identical to the
+    * uncontracted candidate join + verifier; only the cost shape
+    * changes — candidate generation quadratic in distinct contents,
+    * expansion linear in the (inherently copy-quadratic) output. */
+  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame = {
+    val v2c = vec2content(s, d).select("vec_id", "vrep")
+    val cross = canonEmbedPairs(s, d)
+      .join(v2c.select(col("vrep").as("vec_a"), col("vec_id").as("ia")),
+            Seq("vec_a"))
+      .join(v2c.select(col("vrep").as("vec_b"), col("vec_id").as("ib")),
+            Seq("vec_b"))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+              greatest(col("ia"), col("ib")).as("vec_b"),
+              col("cos"))
+    val nearCopies = v2c.join(selfCosContents(s, d), Seq("vrep"))
+    val within = nearCopies.as("x")
+      .join(nearCopies.as("y"),
+        col("x.vrep") === col("y.vrep") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+              col("x.cos").as("cos"))
+    cross.unionAll(within)
+  }
 
   private def pairsFromNormedVecs(n: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
@@ -687,25 +809,29 @@ object DedupOps {
     // full candidate set). The oracle applies the identical threshold.
     // Round 13: the whole pipeline — signatures, banding, pairing, and
     // the fixpoint — runs on DISTINCT CONTENTS (one representative per
-    // byte-identical normalized body among shingled docs), then expands
+    // RAW-byte-identical body among shingled docs), then expands
     // through the rep map. Exactness-preserving on ANY corpus:
-    // signatures and band keys are pure functions of content, so a
-    // cross-content edge exists between two docs iff it exists between
-    // their reps; same-content shingled docs share ALL 4 bands (≥ the 2
-    // threshold), so the full computation connects every copy group
-    // pairwise — the expansion "cluster(doc) = label(rep(doc))" spans
-    // the same components, and min-reachable-doc = min-reachable-rep
-    // because reps are their groups' minima. Shingled-ness is itself
-    // content-determined (same text ⇒ same tokens), so a group is
-    // uniformly in or out and unshingled docs stay singletons exactly as
-    // in the uncontracted form. The sf0.01/10× oracles (which compute
-    // the uncontracted recursive closure) still hash-match. Cost shape:
-    // signature agg + band self-join + fixpoint become quadratic/linear
-    // in DISTINCT contents — the r10 100× row paid 268 s / 6.8 GiB peak
-    // banding all 100 copies of every content.
+    // signatures and band keys are pure functions of the raw bytes, so
+    // a cross-content edge exists between two docs iff it exists
+    // between their reps; byte-equal shingled docs share ALL 4 bands
+    // (≥ the 2 threshold), so the full computation connects every copy
+    // group pairwise — the expansion "cluster(doc) = label(rep(doc))"
+    // spans the same components, and min-reachable-doc =
+    // min-reachable-rep because reps are their groups' minima.
+    // Shingled-ness is itself content-determined (same bytes ⇒ same
+    // tokens), so a group is uniformly in or out and unshingled docs
+    // stay singletons exactly as in the uncontracted form. (The key
+    // must be the raw bytes: a trim/lower-normalized key would merge
+    // case-variant docs whose signatures genuinely differ — see
+    // rawDoc2Rep and ContractionSpec's case-variant corpus.) The
+    // sf0.01/10× oracles (which compute the uncontracted recursive
+    // closure) still hash-match. Cost shape: signature agg + band
+    // self-join + fixpoint become quadratic/linear in DISTINCT
+    // contents — the r10 100× row paid 268 s / 6.8 GiB peak banding
+    // all 100 copies of every content.
     "q_dedup_minhash_clusters" -> ((s, d) => {
       val shingledD2r = memo(s, d, "mc_shingled_d2r") {
-        exactDoc2Rep(s, d)
+        rawDoc2Rep(s, d).select("doc_id", "rep")
           .join(hashedShingles(s, d).select("doc_id").distinct(),
                 Seq("doc_id"), "semi")
           .persist()
@@ -792,25 +918,28 @@ object DedupOps {
     // q_multimodal_join does). Every edge source is banded/keyed —
     // nothing all-pairs.
     //
-    // The exact signal is an equivalence relation already in star form
-    // (every copy points at its group's min doc), so it is CONTRACTED
-    // before the fixpoint instead of fed through it: docs map to their
-    // exact representative in one agg + one join, and the iterative
-    // min-label propagation runs only on the lex/sem graph REMAPPED onto
-    // representatives (self-loops dropped). Contraction is
-    // exactness-preserving — rep = min(doc_id) of its byte-identical
-    // group, so the min doc_id reachable in the full 3-signal graph
+    // The graph is CONTRACTED onto byte-exact text representatives
+    // before the fixpoint: byte-equal docs are normalized-equal too, so
+    // every raw group is a clique under the exact signal, and the
+    // quotient onto raw reps preserves components; rep = min(doc_id) of
+    // its group, so the min doc_id reachable in the full 3-signal graph
     // equals the min representative reachable in the contracted graph.
-    // The uncontracted spelling paid for this round 9: byte-copy stars
-    // chained under lex/sem edges stretched the fixpoint to 6 rounds
-    // over a vertex set inflated by every copy (round 1 alone relabeled
-    // 1,428 of ~3k vertices), and each extra round is a fixed ~1 s of
-    // job overhead at local[32]. Output: each doc, its cluster
-    // representative (min reachable doc_id), and keep = 1 on the
-    // representative — the survivor list a curation pipeline writes out.
+    // The contraction key is the RAW bytes, not the normalized body —
+    // signatures are functions of the raw bytes, so only byte-equal
+    // docs are guaranteed identical lexical edges (see rawDoc2Rep).
+    // What remains of the exact signal after contraction is the
+    // BETWEEN-raw-group part: a star over the raw reps of each
+    // normalized group (case/whitespace variants), fed to the fixpoint
+    // as ordinary edges. The uncontracted spelling paid for this round
+    // 9: byte-copy stars chained under lex/sem edges stretched the
+    // fixpoint to 6 rounds over a vertex set inflated by every copy,
+    // and each extra round is a fixed ~1 s of job overhead at
+    // local[32]. Output: each doc, its cluster representative (min
+    // reachable doc_id), and keep = 1 on the representative — the
+    // survivor list a curation pipeline writes out.
     "q_dedup_multi_signal" -> ((s, d) => {
-      // doc_id → exact representative (shared contraction map).
-      val doc2rep = exactDoc2Rep(s, d)
+      // doc_id → byte-exact representative + normalized key.
+      val doc2rep = rawDoc2Rep(s, d)
       // Both near-dup signals are generated on DISTINCT CONTENTS, not
       // raw docs (round 13): signatures, band keys and cosines are pure
       // functions of content, so an edge exists between two docs iff it
@@ -827,37 +956,40 @@ object DedupOps {
       // fix is free: exact-dup contraction is already part of the
       // operator.
       //
-      // Lexical edges (on text reps) carry the same ≥2-band
+      // Lexical edges (on byte-exact text reps) carry the same ≥2-band
       // AND-amplification as q_dedup_minhash_clusters — transitive
       // closure compounds candidate noise, and at 100× the single-band
-      // collision set is orders larger than the ≥2-band subset.
+      // collision set is orders larger than the ≥2-band subset. Already
+      // rep-level: no remap needed.
       val lexE = repBandPairs(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      // Semantic edges: canonical vec per distinct embedding content +
-      // a star over each content's copies. The star preserves exactness
-      // in general (not just on copy corpora): identical non-zero
-      // vectors share every sign band and have cos = 1 ≥ 0.45, so the
-      // full computation connects all copies of a content pairwise —
-      // the star spans the same component; zero-norm vectors have NULL
-      // cosine and no edges, so they get no star either. Cross-content
-      // edges are computed once per content pair on the canonical vecs.
-      val v2c = memo(s, d, "ms_vec2content") {
-        val n = normedVecs(s, d)
-        n.join(n.groupBy(col("v")).agg(min(col("vec_id")).as("vrep")),
-               Seq("v"))
-          .select(col("vec_id"), col("vrep"), col("nrm")).persist()
-      }
-      val star = v2c.filter(col("nrm") > 0 && col("vec_id") =!= col("vrep"))
+      // Semantic edges: verified canonical-content pairs (shared with
+      // q_dedup_embed's expansion) + a star over each near-self
+      // content's copies, gated on the content's own computed
+      // self-cosine — the exact expression the uncontracted verifier
+      // would have evaluated on every copy pair, so the star spans
+      // precisely the components the full computation would connect
+      // (zero-norm contents fail the gate and get no star).
+      val star = vec2content(s, d)
+        .join(selfCosContents(s, d).select("vrep"), Seq("vrep"), "semi")
+        .filter(col("vec_id") =!= col("vrep"))
         .select(col("vrep").as("src"), col("vec_id").as("dst"))
-      val canon = normedVecs(s, d).join(
-        v2c.filter(col("vec_id") === col("vrep")).select("vec_id"),
-        Seq("vec_id"), "semi")
-      val semE = pairsFromNormedVecs(canon)
+      val semE = canonEmbedPairs(s, d)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .unionAll(star)
-      // Remap both pair signals onto exact representatives; edges inside
-      // one exact group collapse to self-loops and drop out.
-      val edges = lexE.unionAll(semE)
+      // Exact-signal residue: connect raw reps sharing one normalized
+      // body (vacuous on verbatim-copy corpora, load-bearing for
+      // case/whitespace variants).
+      val reps = doc2rep.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("nk"))
+      val exE = reps.groupBy(col("nk")).agg(min(col("rep")).as("src"))
+        .join(reps, Seq("nk"))
+        .filter(col("rep") =!= col("src"))
+        .select(col("src"), col("rep").as("dst"))
+      // Remap the semantic pairs onto text representatives (vec_id ≡
+      // doc_id); edges inside one raw group collapse to self-loops and
+      // drop out.
+      val edges = semE
         .join(doc2rep.select(col("doc_id"), col("rep").as("src_rep")),
               col("src") === col("doc_id"))
         .drop("doc_id", "src")
@@ -865,6 +997,8 @@ object DedupOps {
               col("dst") === col("doc_id"))
         .filter(col("src_rep") =!= col("dst_rep"))
         .select(col("src_rep").as("src"), col("dst_rep").as("dst"))
+        .unionAll(lexE)
+        .unionAll(exE)
       val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       val (labels, _) = propagateMinLabels(sym)
