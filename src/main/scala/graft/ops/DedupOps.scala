@@ -33,7 +33,14 @@ object DedupOps {
     * single-threaded is what showed in the bench. At real scale the scan
     * is already multi-partition and this is one cheap extra exchange. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
+    shinglesOf(s, table(s, d, "documents"))
+
+  /** 3-shingle explode over any (doc_id, text) frame. The repartition
+    * spreads the (often single-file) document scan across cores before
+    * the explode — at real scale the scan arrives multi-partition and
+    * the exchange moves a few MB of text. */
+  private def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("tok", split(col("text"), " "))
       .filter(size(col("tok")) >= 3)
@@ -184,19 +191,39 @@ object DedupOps {
               col("b.bkey").as("bkey"))
   }
 
+  /** Hashed 3-shingles of the byte-exact content REPRESENTATIVES only —
+    * the contracted corpus is shingled directly (documents semi-joined
+    * to the rep ids BEFORE the explode), so shingle volume is linear in
+    * DISTINCT contents, not raw copies. The corpus-wide hashedShingles
+    * frame would compute the identical rows for these doc_ids (the
+    * explode+md5+distinct pipeline is per-doc), but materializing it
+    * costs the full copy-multiplied explode + distinct shuffle first —
+    * at the 100× stress corpus that is ~50 M shingle rows built to feed
+    * a 4.4 K-rep semi-join (measured ~50 s of the cluster query's
+    * ~60 s). Memoized + persisted: signature generation and the
+    * rep-shingled-ness probe read it. */
+  private def repHashedShingles(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "rep_sh") {
+      val reps = rawDoc2Rep(s, d)
+        .filter(col("doc_id") === col("rep")).select("doc_id")
+      shinglesOf(s,
+          table(s, d, "documents").join(reps, Seq("doc_id"), "semi"))
+        .select(col("doc_id"), md5hash60(col("shingle")).as("h"))
+        .distinct()
+        .persist()
+    }
+
   /** Banded signatures restricted to byte-exact content representatives
     * — the shared signal source of every MinHash consumer (the full
     * pair listing via expansion, both contracted clustering queries'
-    * lexical edges). Restricting to SHINGLED reps vs all reps selects
-    * identical rows (an unshingled rep contributes no shingle rows).
-    * Memoized + persisted — the sig aggregation + band explode run once
-    * per session, not once per consumer. */
+    * lexical edges). Built from the rep-only shingle frame: identical
+    * rows to banding the corpus-wide shingle set semi-joined to reps,
+    * without ever materializing the copy-multiplied explode. Memoized +
+    * persisted — the sig aggregation + band explode run once per
+    * session, not once per consumer. */
   private def repBands(s: SparkSession, d: String): DataFrame =
     memo(s, d, "rep_bands") {
-      val reps = rawDoc2Rep(s, d)
-        .filter(col("doc_id") === col("rep")).select("doc_id")
-      bandsFromHashedShingles(
-        hashedShingles(s, d).join(reps, Seq("doc_id"), "semi")).persist()
+      bandsFromHashedShingles(repHashedShingles(s, d)).persist()
     }
 
   /** Rep-level candidate pairs with shared-band count — the contracted
@@ -586,6 +613,27 @@ object DedupOps {
     (labels, iter)
   }
 
+  /** Stage-by-stage timing of the multi-signal edge pipeline (scale
+    * triage; invoked by tools.Profile with PROFILE_MS_STAGES=1). Each
+    * component is counted in dependency order, so a stage's printed time
+    * is its own marginal cost given its persisted inputs. */
+  private[graft] def profileMultiSignalStages(s: SparkSession, d: String)
+      : Unit = {
+    def t(tag: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      System.err.println(
+        f"[ms-stage] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+    }
+    t("rawDoc2Rep")(rawDoc2Rep(s, d))
+    t("repHashedShingles")(repHashedShingles(s, d))
+    t("repBandPairsAll")(repBandPairsAll(s, d))
+    t("normedVecs")(normedVecs(s, d))
+    t("vec2content")(vec2content(s, d))
+    t("canonEmbedPairs")(canonEmbedPairs(s, d))
+    t("selfCosContents")(selfCosContents(s, d))
+  }
+
   val queries: Map[String, QB] = Map(
     // Exact dedup on normalized text: one representative (min doc_id) per
     // distinct normalized body. The aggregation carries only fixed-width
@@ -831,9 +879,13 @@ object DedupOps {
     // all 100 copies of every content.
     "q_dedup_minhash_clusters" -> ((s, d) => {
       val shingledD2r = memo(s, d, "mc_shingled_d2r") {
+        // A doc is shingled iff its rep is (>=3 tokens is a property of
+        // the byte content), so the probe runs at rep level against the
+        // tiny rep-only shingle frame — never the corpus-wide explode.
         rawDoc2Rep(s, d).select("doc_id", "rep")
-          .join(hashedShingles(s, d).select("doc_id").distinct(),
-                Seq("doc_id"), "semi")
+          .join(repHashedShingles(s, d)
+                  .select(col("doc_id").as("rep")).distinct(),
+                Seq("rep"), "semi")
           .persist()
       }
       val pairs = repBandPairs(s, d)

@@ -22,11 +22,22 @@ object Profile {
       graft.ops.DedupOps.clearPairsCache()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
+      val tTotal = (System.nanoTime() - t0) / 1e9
+      // build = builder-body work (iterative queries run their fixpoint
+      // eagerly there); write = the final action's execution.
+      println(f"[profile] run $i: $tTotal%.3f s " +
+        f"(build $tBuild%.3f s, write ${tTotal - tBuild}%.3f s)")
     }
     if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
       fn(spark, sfDir).explain("formatted")
+    if (sys.env.get("PROFILE_MS_STAGES").contains("1")) {
+      graft.ops.DedupOps.clearPairsCache()
+      spark.catalog.clearCache()
+      graft.ops.DedupOps.profileMultiSignalStages(spark, sfDir)
+    }
     spark.stop()
   }
 }
