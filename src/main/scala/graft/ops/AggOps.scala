@@ -313,41 +313,62 @@ object AggOps {
     }),
 
     // Linear regression (the SQL regr_* family: covariance, OLS slope /
-    // intercept, R²) from exact-decimal moments: the five sums are
-    // order-independent DECIMAL(18,6) accumulations (one map-side-combined
-    // pass), cast to double, and only then combined in IEEE arithmetic —
-    // so the result is bit-identical to the oracle's identical formula.
-    // Never regr_slope/covar_samp(double) directly: their running-update
-    // order differs between engines.
+    // intercept, R²) from exact INTEGER moments: quantity is
+    // integer-valued and price 2-dp-valued, so the five sums are exact
+    // DECIMAL(38,0) accumulations in (qty, cents) units — one
+    // map-side-combined pass, order-independent, bit-identical in both
+    // engines at any corpus scale. cov_samp and slope are then pure
+    // integer formulas, rounded to 6 dp with an explicit half-up
+    // integer division — the 10× sweep caught group A's cov_samp
+    // landing 5e-7 from the .5 boundary, where the former
+    // double-pipeline round() flipped the last digit between engines.
+    // intercept and R² keep the double spelling over CASTs of the same
+    // exact sums (their exact integer forms need sy·denx / num²
+    // intermediates past DECIMAL(38) / INT128 at corpus scale); their
+    // inputs are identical in both engines, leaving only the same
+    // documented round()-boundary residual the other three no longer
+    // have. Never regr_slope/covar_samp(double) directly: their
+    // running-update order differs between engines.
     "q_agg_regression" -> ((s, d) =>
       table(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,0)").as("qi"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").as("pc"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          dsum(col("l_quantity")).as("sx"),
-          dsum(col("l_extendedprice")).as("sy"),
-          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
-          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
-          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
-        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
-                col("sxy"), col("sxx"), col("syy"))
-        .select(col("l_returnflag"), {
-            // shared sub-expressions of the OLS formulas (num/den squared
-            // via multiplication — pow()'s rounding is not cross-engine
-            // guaranteed for the IEEE-exactness contract)
-            val num = col("n") * col("sxy") - col("sx") * col("sy")
-            val denx = col("n") * col("sxx") - col("sx") * col("sx")
-            val deny = col("n") * col("syy") - col("sy") * col("sy")
-            struct(
-              r6((col("sxy") - col("sx") * col("sy") / col("n")) /
-                 (col("n") - 1)).as("cov_samp"),
-              r6(num / denx).as("slope"),
-              r6((col("sy") - num / denx * col("sx")) / col("n"))
-                .as("intercept"),
-              r6(num * num / (denx * deny)).as("r2"))
-          }.as("r"))
-        .select(col("l_returnflag"), col("r.cov_samp").as("cov_samp"),
-                col("r.slope").as("slope"), col("r.intercept").as("intercept"),
-                col("r.r2").as("r2"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("ni"),
+          sum(col("qi")).cast("decimal(38,0)").as("sxi"),
+          sum(col("pc")).cast("decimal(38,0)").as("syi"),
+          sum((col("qi") * col("pc")).cast("decimal(38,0)")).as("sxyi"),
+          sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("sxxi"),
+          sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("syyi"))
+        .select(col("l_returnflag"),
+          (col("ni") * col("sxyi") - col("sxi") * col("syi")).as("numi"),
+          (col("ni") * col("sxxi") - col("sxi") * col("sxi")).as("denxi"),
+          (col("ni") * (col("ni") - lit(1)) * 100).as("cdeni"),
+          col("ni").cast("double").as("n"),
+          col("sxi").cast("double").as("sx"),
+          (col("syi").cast("double") / 100).as("sy"),
+          (col("sxyi").cast("double") / 100).as("sxy"),
+          col("sxxi").cast("double").as("sxx"),
+          (col("syyi").cast("double") / 10000).as("syy"))
+        .selectExpr("l_returnflag",
+          // round(numi/cdeni, 6) half-up away from zero, all integer:
+          // floor((|numi|·10⁶·2 + den) / (2·den)), sign re-applied.
+          """CAST(CASE WHEN numi >= 0
+               THEN (numi * 2000000 + cdeni) DIV (2 * cdeni)
+               ELSE -((-numi * 2000000 + cdeni) DIV (2 * cdeni)) END
+             AS DOUBLE) / 1e6 AS cov_samp""",
+          // slope = numi / (100·denxi), same exact rounding.
+          """CAST(CASE WHEN numi >= 0
+               THEN (numi * 2000000 + 100 * denxi) DIV (200 * denxi)
+               ELSE -((-numi * 2000000 + 100 * denxi) DIV (200 * denxi)) END
+             AS DOUBLE) / 1e6 AS slope""",
+          """round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n, 6) AS intercept""",
+          """round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r2""")
         .orderBy("l_returnflag")),
   )
 
@@ -526,24 +547,50 @@ object AggOps {
       SELECT o_orderstatus, o_orderpriority AS mode_priority, n
       FROM r WHERE rn = 1 ORDER BY o_orderstatus""",
 
+    // Integer moments in (qty, cents) units as HUGEINT (DuckDB's exact
+    // INT128 — DECIMAL(38)×DECIMAL(38) does not bind there); the Spark
+    // side holds the same values in DECIMAL(38,0). cov_samp/slope use
+    // the identical half-up integer division; intercept/r2 the identical
+    // double formula over CASTs of the same exact sums.
     "q_agg_regression" -> """
-      WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
-             AS DOUBLE) AS sxy,
-        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
-             AS DOUBLE) AS sxx,
-        CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6)))
-             AS DOUBLE) AS syy
-        FROM lineitem GROUP BY l_returnflag)
+      WITH m AS (SELECT l_returnflag,
+        CAST(count(*) AS HUGEINT) AS ni,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS HUGEINT) AS sxi,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS DECIMAL(18,0))) AS HUGEINT) AS syi,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,0))
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS DECIMAL(18,0))) AS HUGEINT) AS sxyi,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,0))
+                 * CAST(l_quantity AS DECIMAL(18,0))) AS HUGEINT) AS sxxi,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS DECIMAL(18,0))
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS DECIMAL(18,0))) AS HUGEINT) AS syyi
+        FROM lineitem GROUP BY l_returnflag),
+      m2 AS (SELECT l_returnflag,
+        ni * sxyi - sxi * syi AS numi,
+        ni * sxxi - sxi * sxi AS denxi,
+        ni * (ni - 1) * 100 AS cdeni,
+        CAST(ni AS DOUBLE) AS n, CAST(sxi AS DOUBLE) AS sx,
+        CAST(syi AS DOUBLE) / 100 AS sy,
+        CAST(sxyi AS DOUBLE) / 100 AS sxy,
+        CAST(sxxi AS DOUBLE) AS sxx,
+        CAST(syyi AS DOUBLE) / 10000 AS syy
+        FROM m)
       SELECT l_returnflag,
-             round((sxy - sx * sy / n) / (n - 1), 6) AS cov_samp,
-             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             CAST(CASE WHEN numi >= 0
+               THEN (numi * 2000000 + cdeni) // (2 * cdeni)
+               ELSE -((-numi * 2000000 + cdeni) // (2 * cdeni)) END
+               AS DOUBLE) / 1e6 AS cov_samp,
+             CAST(CASE WHEN numi >= 0
+               THEN (numi * 2000000 + 100 * denxi) // (200 * denxi)
+               ELSE -((-numi * 2000000 + 100 * denxi) // (200 * denxi)) END
+               AS DOUBLE) / 1e6 AS slope,
              round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                    / n, 6) AS intercept,
              round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
                    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-      FROM m ORDER BY l_returnflag""",
+      FROM m2 ORDER BY l_returnflag""",
   )
 }
