@@ -762,15 +762,20 @@ object JoinOps {
     // from a one-row count so no driver action runs; a FIXED size would
     // saturate once the dim outgrew it, passing ~everything); (2) hash
     // the keys into that bloom (3 probes/key; m/n=16 → ~0.5% false-
-    // positive rate) folded into a map<word, bits> via bit_or — ~1 KB at
-    // the floor, ~2 MB at the 2^27 cap (~8M keys; beyond that the fpr
-    // degrades gracefully, never wrongly); (3) broadcast that ONE ROW
-    // (bloom + its size) and pre-filter the fact before its shuffle;
-    // (4) the exact join afterwards removes bloom false positives, so
-    // the result is identical to the plain join and the oracle never
-    // sees the bloom. At 100 TB this is the difference between shuffling
-    // the whole fact and shuffling the ~1/25th that matches the dim
-    // predicate — far cheaper than broadcasting a large dim itself.
+    // positive rate) folded into SPARSE (word, bits) ROWS via bit_or —
+    // ≤ 3·nk rows, ~2 MB at the 2^27 cap; (3) broadcast the word table
+    // and probe it with three BROADCAST HASH JOINS on the word index,
+    // pre-filtering the fact before its shuffle. The word table must
+    // stay ROWS, not a one-row map<word,bits>: Spark's GetMapValue is a
+    // LINEAR SCAN of the map, so a map-carried bloom probes in
+    // O(|fact|·words) — measured 130 s at the 100× sweep (60 M rows ×
+    // 32 K words) vs ~4 s for the hash-join spelling, and at the 2^27
+    // cap (2 M words) it would be the whole query. (4) The exact join
+    // afterwards removes bloom false positives, so the result is
+    // identical to the plain join and the oracle never sees the bloom.
+    // At 100 TB this is the difference between shuffling the whole fact
+    // and shuffling the ~1/25th that matches the dim predicate — far
+    // cheaper than broadcasting a large dim itself.
     "q_join_bloom" -> ((s, d) => {
       val dim = table(s, d, "part").filter(col("p_brand") === "Brand#13")
       val mRow = dim.agg(count(lit(1)).as("nk"))
@@ -779,21 +784,22 @@ object JoinOps {
         }.as("m"))
       def bpos(key: org.apache.spark.sql.Column, i: Int) =
         pmod(xxhash64(lit(i), key), col("m"))
-      val bloom = dim.crossJoin(broadcast(mRow))
+      val words = dim.crossJoin(broadcast(mRow))
         .select(col("m"), explode(array((0 until 3).map(i =>
           bpos(col("p_partkey"), i)): _*)).as("pos"))
-        .groupBy(col("m"), expr("CAST(pos DIV 64 AS BIGINT)").as("w"))
+        .groupBy(expr("CAST(pos DIV 64 AS BIGINT)").as("w"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
           .as("bits"))
-        .groupBy(col("m"))
-        .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
-          .as("bloom"))
-      var probed = table(s, d, "lineitem").crossJoin(broadcast(bloom))
-      for (i <- 0 until 3)
-        probed = probed.withColumn(s"bpos$i", bpos(col("l_partkey"), i))
+      var probed = table(s, d, "lineitem").crossJoin(broadcast(mRow))
+      for (i <- 0 until 3) {
+        probed = probed
+          .withColumn(s"bpos$i", bpos(col("l_partkey"), i))
+          .join(broadcast(words.select(
+              expr("w").as(s"w$i"), col("bits").as(s"bits$i"))),
+            expr(s"CAST(bpos$i DIV 64 AS BIGINT)") === col(s"w$i"), "left")
+      }
       val hit = (0 until 3).map(i => expr(
-        s"""(coalesce(element_at(bloom, CAST(bpos$i DIV 64 AS BIGINT)),
-                      CAST(0 AS BIGINT))
+        s"""(coalesce(bits$i, CAST(0 AS BIGINT))
              & shiftleft(CAST(1 AS BIGINT), CAST(bpos$i % 64 AS INT)))
             != 0""")).reduce(_ && _)
       probed.filter(hit)
