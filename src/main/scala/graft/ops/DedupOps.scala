@@ -774,23 +774,39 @@ object DedupOps {
     // reduced to its DISTINCT shingle-hash set BEFORE the join, so the
     // probe is strictly linear — test shingles ⋈ train-shingle set is a
     // semi-join-shaped hash join, never the quadratic posting-list
-    // self-join of the dedup pair queries. At 100 TB the train-shingle
-    // set is the big side (shuffle hash join on h); no per-shingle
-    // blowup is possible because each test shingle matches at most one
-    // set row. Docs under 3 tokens have no shingles and are absent on
-    // both engines.
+    // self-join of the dedup pair queries. Round 13: the shingle work
+    // runs at CONTENT level — a doc's shingle set is a function of its
+    // bytes, so the train set is the union of shingle sets of contents
+    // with ≥1 train-assigned copy, and a test doc's (n_shingles,
+    // n_contaminated) pair is its content's pair — computed once per
+    // rep against the rep-only shingle frame and joined back through
+    // the copy map. Split assignment itself stays per-doc (copies of
+    // one content land in different splits; only the shingle SETS are
+    // shared). The 100× sweep measured the full-explode spelling at
+    // 50.9 s — all in the copy-multiplied explode+distinct; rep-level
+    // it is the same rows from a 100× smaller explode. At 100 TB the
+    // train-rep shingle set is the big side (shuffle hash join on h);
+    // no per-shingle blowup is possible because each test shingle
+    // matches at most one set row. Docs under 3 tokens have no shingles
+    // and are absent on both engines.
     "q_contamination" -> ((s, d) => {
       val assign = table(s, d, "documents").select(col("doc_id"),
         pmod(md5hash32(col("doc_id").cast("string")), lit(100)).as("hb"))
-      val sh = hashedShingles(s, d)
+      val d2r = rawDoc2Rep(s, d).select("doc_id", "rep")
+      val sh = repHashedShingles(s, d).withColumnRenamed("doc_id", "rep")
       val trainH = sh
-        .join(assign.filter(col("hb") < 80).select("doc_id"), "doc_id")
+        .join(d2r.join(assign.filter(col("hb") < 80), "doc_id")
+                .select("rep").distinct(),
+              Seq("rep"), "semi")
         .select("h").distinct().withColumn("hit", lit(1L))
-      sh.join(assign.filter(col("hb") >= 90).select("doc_id"), "doc_id")
-        .join(trainH, Seq("h"), "left")
-        .groupBy("doc_id")
+      val repCounts = sh.join(trainH, Seq("h"), "left")
+        .groupBy("rep")
         .agg(count(lit(1)).as("n_shingles"),
              sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      assign.filter(col("hb") >= 90).select("doc_id")
+        .join(d2r, "doc_id")
+        .join(repCounts, "rep")
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
         .withColumn("contamination",
           r6(col("n_contaminated").cast("double") / col("n_shingles")))
         .orderBy("doc_id")
