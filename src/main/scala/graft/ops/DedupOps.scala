@@ -77,12 +77,61 @@ object DedupOps {
     pairsCache.values.foreach(df =>
       try df.unpersist() catch { case _: Exception => () })
     pairsCache.clear()
+    gateCache.clear()
     cpRegistry.synchronized {
       cpRegistry.foreach(r =>
         try r.unpersist(blocking = false) catch { case _: Exception => () })
       cpRegistry.clear()
     }
   }
+
+  /** Contraction gate threshold: the content-contracted spellings run
+    * only when at least this fraction of docs are byte-exact copies.
+    * Below it the corpus is near-all-distinct, contraction cannot
+    * shrink anything, and its plumbing (rep map + semi-joins +
+    * expansion joins) is pure tax — measured ~1.5–1.8× host-normalized
+    * on the all-distinct sf0.1 bench in r13. Above it (the copy-dense
+    * crawl-corpus case, e.g. the 100× stress fixture where every
+    * content has 100 copies) contraction is the difference between
+    * quadratic-in-copies and quadratic-in-contents. */
+  private[graft] val ContractionGate = 0.02
+
+  private val gateCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Boolean]
+
+  /** true ⇒ run the content-contracted dedup spellings. Decided from a
+    * measured one-row duplicate-content fraction off the persisted
+    * [[rawDoc2Rep]] map — driver-side adaptivity in the AQE spirit
+    * (plan choice from runtime stats; the scalar read is iteration
+    * control, not a data collect). Both spellings of every gated query
+    * are row-identical BY CONSTRUCTION on any corpus — shingle sets,
+    * MinHash signatures, band keys, cosines and Jaccard are pure
+    * functions of the raw content bytes — so the gate changes cost
+    * shape only, never answers. Locked by ContractionGateSpec (both
+    * paths forced via the `graft.dedup.contract` system property and
+    * compared row-for-row) and by ContractionSpec's copy-dense corpus,
+    * which sits far above the gate and exercises the contracted path
+    * against a shared-nothing union-find referee. One gate serves the
+    * text AND embedding families: it is measured on the documents
+    * table, and embeddings are derived 1:1 from docs in any corpus
+    * this engine stages (copy density transfers) — a mismatch would
+    * cost only the plumbing tax, never correctness. Memoized per
+    * (session, dir); released by [[clearPairsCache]]. */
+  private def contracted(s: SparkSession, d: String): Boolean =
+    sys.props.get("graft.dedup.contract") match {
+      case Some("always") => true
+      case Some("never")  => false
+      case _ => gateCache.getOrElseUpdate((s, d), {
+        val r = rawDoc2Rep(s, d)
+          .agg(count(lit(1)).as("n"), countDistinct(col("rep")).as("nr"))
+          .head
+        val frac = 1.0 - r.getLong(1).toDouble / math.max(r.getLong(0), 1L)
+        val on = frac >= ContractionGate
+        System.err.println(
+          f"[dedup-gate] dup_frac=$frac%.4f contracted=$on")
+        on
+      })
+    }
 
   /** Final-round fixpoint checkpoints, one per [[propagateMinLabels]]
     * call. The returned labels frame reads from its final localCheckpoint
@@ -135,9 +184,82 @@ object DedupOps {
         .persist()
     }
 
+  /** Verified exact-Jaccard pairs (J ≥ 0.3) between DISTINCT contents —
+    * [[pairsFromShingleSets]] run on the rep-only shingle frame. A
+    * doc pair's shingle sets (hence shared count and Jaccard) are pure
+    * functions of the two raw contents, so this is the complete
+    * cross-content information of the uncapped family at a cost
+    * quadratic in distinct contents, immune to copy density (the
+    * uncontracted self-join fed through 100 copies of every posting
+    * list filled the disk at the 100× sweep). Memoized + persisted:
+    * the pair-listing expansion, the contracted cluster/degree/eval
+    * spellings all read it. */
+  private def repJaccardPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "rep_jaccard") {
+      pairsFromShingleSets(repHashedShingles(s, d)).persist()
+    }
+
+  /** (doc_id, rep) restricted to SHINGLED contents (≥3 tokens — a
+    * property of the bytes, so a copy group is uniformly in or out),
+    * probed at rep level against the tiny rep-only shingle frame,
+    * never the corpus-wide explode. Shared by every contracted
+    * expansion/labeling step. */
+  private def shingledD2r(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "shingled_d2r") {
+      rawDoc2Rep(s, d).select("doc_id", "rep")
+        .join(repHashedShingles(s, d)
+                .select(col("doc_id").as("rep")).distinct(),
+              Seq("rep"), "semi")
+        .persist()
+    }
+
+  /** Copy count per shingled content: (rep, c). Cheap aggregate off the
+    * persisted [[shingledD2r]]; the contracted degree/eval spellings
+    * weight rep-level answers by it. */
+  private def shingledCopyCounts(s: SparkSession, d: String): DataFrame =
+    shingledD2r(s, d).groupBy("rep").agg(count(lit(1)).as("c"))
+
+  /** Full verified pair listing. Direct path (near-all-distinct corpus):
+    * the corpus-wide posting-list self-join — no contraction plumbing.
+    * Contracted path (copy-dense corpus): rep-level verification
+    * ([[repJaccardPairs]]) EXPANDED through the copy map, plus the
+    * within-content copy cliques (byte-equal shingled docs share all
+    * shingles ⇒ J = 1, shared = the content's set size). Exactness:
+    * a cross-content pair's (shared, jaccard) equals its rep pair's;
+    * the expansion joins move ids and are linear in the OUTPUT, which
+    * is itself the uncontracted listing — nothing asymptotically
+    * larger than the answer is materialized. */
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsFromShingleSets(hashedShingles(s, d))
-      .persist() // tiny (the verified pairs); shared by ngram + clusters
+    if (!contracted(s, d))
+      pairsFromShingleSets(hashedShingles(s, d))
+        .persist() // tiny verified pairs, shared by the direct-path
+                   // ngram/clusters/degree/eval consumers
+    else {
+       val d2r = rawDoc2Rep(s, d).select("doc_id", "rep")
+       val cross = repJaccardPairs(s, d)
+         .join(d2r.select(col("rep").as("doc_a"), col("doc_id").as("ia")),
+               Seq("doc_a"))
+         .join(d2r.select(col("rep").as("doc_b"), col("doc_id").as("ib")),
+               Seq("doc_b"))
+         .select(least(col("ia"), col("ib")).as("doc_a"),
+                 greatest(col("ia"), col("ib")).as("doc_b"),
+                 col("shared"), col("jaccard"))
+       val sized = shingledD2r(s, d).join(
+         repHashedShingles(s, d)
+           .groupBy(col("doc_id").as("rep")).agg(count(lit(1)).as("n_sh")),
+         Seq("rep"))
+       val within = sized.as("x")
+         .join(sized.as("y"), col("x.rep") === col("y.rep") &&
+                              col("x.doc_id") < col("y.doc_id"))
+         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+                 col("x.n_sh").as("shared"), lit(1.0).as("jaccard"))
+       // NOT persisted: on the contracted path only q_dedup_ngram reads
+       // the (inherently copy-quadratic) listing, and its expansion
+       // joins stream off the persisted repJaccardPairs — caching the
+       // output would re-inflate peak storage by exactly the blowup the
+       // contraction avoids.
+       cross.unionAll(within)
+     }
 
   /** MinHash/LSH candidate pairs (doc_a < doc_b, n_bands = shared-band
     * count) — feeds q_dedup_minhash, its cluster query, the
@@ -150,7 +272,16 @@ object DedupOps {
     * per pass; memoization keeps repeat invocations from stacking
     * duplicate persisted copies. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "minhash_pairs")(buildMinhashPairs(s, d).persist())
+    memo(s, d, "minhash_pairs") {
+      // Persist only on the direct path, where the (small, near-all-
+      // distinct) listing is read by both q_dedup_minhash and the eval
+      // audit. On the contracted path the listing is copy-quadratic,
+      // has one consumer (q_dedup_minhash), and streams off the
+      // persisted rep-level band pairs — caching it would re-inflate
+      // peak storage by exactly the blowup the contraction avoids.
+      val p = buildMinhashPairs(s, d)
+      if (!contracted(s, d)) p.persist() else p
+    }
 
   /** Band self-join: candidate pairs (doc_a < doc_b) with shared-band
     * count, from any (doc_id, band, bkey) frame. */
@@ -165,14 +296,16 @@ object DedupOps {
     * frame.
     *
     * The 32-bit MinHash input is the top 32 bits of the 60-bit shingle
-    * hash already persisted for the jaccard/capped/contamination
-    * family (first 8 vs first 15 hex chars of the same md5, so
+    * hash (first 8 vs first 15 hex chars of the same md5, so
     * h32 = h60 >> 28 — bit-exact with the oracle's substr(md5,1,8)).
-    * Deriving it from hashedShingles means ONE explode+md5 pass over
-    * the corpus serves every dedup consumer; at 100× that pass covers
-    * 120 M shingle rows and was previously run twice. min() over the
-    * h60-distinct set equals min() over the raw multiset (equal h60 ⇒
-    * equal h32), so the signatures are unchanged. */
+    * Two hashed-shingle frames exist: the corpus-wide [[hashedShingles]]
+    * (read by the direct-path band/pair joins, the stop-shingle cap and
+    * the chunk audit) and the rep-only [[repHashedShingles]] (read by
+    * the contracted MinHash/Jaccard family and the contamination
+    * probe); a session whose gate picks one path builds only that
+    * frame's explode pass. min() over an h60-distinct set equals min()
+    * over the raw multiset (equal h60 ⇒ equal h32), so signatures are
+    * identical from either frame. */
   private def bandsFromHashedShingles(hs: DataFrame): DataFrame = {
     val hashed = hs.select(col("doc_id"), shiftright(col("h"), 28).as("h"))
     val mins = A.indices.map(i =>
@@ -272,7 +405,17 @@ object DedupOps {
         .select(col("doc_id"), col("rep"), col("nk")).persist()
     }
 
-  /** Full MinHash/LSH candidate listing by EXPANSION: rep-level band
+  /** Corpus-wide banded signatures — the direct-path signal source when
+    * the gate measures a near-all-distinct corpus (contraction would
+    * shrink nothing and its rep map + expansion joins are pure tax).
+    * Memoized + persisted: both band self-join sides read it. */
+  private def corpusBands(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "corpus_bands") {
+      bandsFromHashedShingles(hashedShingles(s, d)).persist()
+    }
+
+  /** Full MinHash/LSH candidate listing. Direct path: the corpus-wide
+    * band self-join. Contracted path, by EXPANSION: rep-level band
     * pairs pulled back through the copy map, plus the within-content
     * pairs (byte-equal shingled docs share all 4 bands). Candidate
     * generation is quadratic only in distinct contents; the expansion
@@ -283,27 +426,29 @@ object DedupOps {
     * colliding content pair appears with the rep pair's n_bands;
     * byte-equal copies share all 4 bands (same signature) iff shingled,
     * and shingled-ness is content-determined. */
-  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val d2r = rawDoc2Rep(s, d).select("doc_id", "rep")
-    val cross = repBandPairsAll(s, d)
-      .join(d2r.select(col("rep").as("doc_a"), col("doc_id").as("ia")),
-            Seq("doc_a"))
-      .join(d2r.select(col("rep").as("doc_b"), col("doc_id").as("ib")),
-            Seq("doc_b"))
-      .select(least(col("ia"), col("ib")).as("doc_a"),
-              greatest(col("ia"), col("ib")).as("doc_b"),
-              col("n_bands"))
-    val shingledCopies = d2r.join(
-      repBands(s, d).select(col("doc_id").as("rep")).distinct(),
-      Seq("rep"))
-    val within = shingledCopies.as("x")
-      .join(shingledCopies.as("y"),
-        col("x.rep") === col("y.rep") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              lit(4L).as("n_bands"))
-    cross.unionAll(within)
-  }
+  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame =
+    if (!contracted(s, d)) bandPairs(corpusBands(s, d))
+    else {
+      val d2r = rawDoc2Rep(s, d).select("doc_id", "rep")
+      val cross = repBandPairsAll(s, d)
+        .join(d2r.select(col("rep").as("doc_a"), col("doc_id").as("ia")),
+              Seq("doc_a"))
+        .join(d2r.select(col("rep").as("doc_b"), col("doc_id").as("ib")),
+              Seq("doc_b"))
+        .select(least(col("ia"), col("ib")).as("doc_a"),
+                greatest(col("ia"), col("ib")).as("doc_b"),
+                col("n_bands"))
+      val shingledCopies = d2r.join(
+        repBands(s, d).select(col("doc_id").as("rep")).distinct(),
+        Seq("rep"))
+      val within = shingledCopies.as("x")
+        .join(shingledCopies.as("y"),
+          col("x.rep") === col("y.rep") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+                lit(4L).as("n_bands"))
+      cross.unionAll(within)
+    }
 
   /** Embedding near-dup pairs: sign-LSH banded candidates verified at
     * cos ≥ 0.45 — the full pipeline documented on q_dedup_embed (which
@@ -312,7 +457,15 @@ object DedupOps {
     * memoized + persisted (tiny — the verified pairs) so the two
     * consumers per bench pass share one run of the candidate join. */
   private def embedPairs(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "embed_pairs")(buildEmbedPairs(s, d).persist())
+    memo(s, d, "embed_pairs") {
+      // Persist only on the direct path (tiny verified pairs, read by
+      // q_dedup_embed AND the multi-signal semantic edges). On the
+      // contracted path the expanded listing is copy-quadratic with one
+      // consumer (q_dedup_embed); multi-signal reads the persisted
+      // canonical pairs instead.
+      val p = buildEmbedPairs(s, d)
+      if (!contracted(s, d)) p.persist() else p
+    }
 
   /** vec_id → canonical vector-content representative (min vec_id of
     * its byte-identical embedding group) + the vector's norm. Band
@@ -386,7 +539,9 @@ object DedupOps {
         .persist()
     }
 
-  /** Full embedding pair listing by EXPANSION of [[canonEmbedPairs]]
+  /** Full embedding pair listing. Direct path (near-all-distinct
+    * vectors): band + verify the whole corpus, no contraction plumbing.
+    * Contracted path: EXPANSION of [[canonEmbedPairs]]
     * through the copy map, plus within-content copy pairs gated on the
     * content's self-cosine ([[selfCosContents]]). The cosine of any
     * copy pair equals its content pair's cosine (byte-identical
@@ -394,7 +549,11 @@ object DedupOps {
     * uncontracted candidate join + verifier; only the cost shape
     * changes — candidate generation quadratic in distinct contents,
     * expansion linear in the (inherently copy-quadratic) output. */
-  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame = {
+  private def buildEmbedPairs(s: SparkSession, d: String): DataFrame =
+    if (!contracted(s, d)) pairsFromNormedVecs(normedVecs(s, d))
+    else expandedEmbedPairs(s, d)
+
+  private def expandedEmbedPairs(s: SparkSession, d: String): DataFrame = {
     val v2c = vec2content(s, d).select("vec_id", "vrep")
     val cross = canonEmbedPairs(s, d)
       .join(v2c.select(col("vrep").as("vec_a"), col("vec_id").as("ia")),
@@ -694,20 +853,51 @@ object DedupOps {
     // iteration control only; every step is a distributed join+aggregate
     // (the Pregel shape), converging in O(cluster diameter) rounds. The
     // oracle computes the same fixpoint with a recursive CTE.
+    //
+    // Round 14, contracted path (copy-dense corpora): the fixpoint runs
+    // over REP-LEVEL verified pairs and labels expand through the copy
+    // map — Jaccard is a pure function of the two raw contents, so the
+    // raw graph's components are exactly "all copies of all contents in
+    // a rep component" (byte-equal shingled docs have J = 1 edges and
+    // collapse onto their rep; unshingled docs have no shingles, hence
+    // no edges, on either path). min-reachable-doc = min-reachable-rep
+    // because a rep IS its group's minimum. The r13 form fed the
+    // fixpoint from the uncapped corpus-wide posting-list self-join,
+    // which filled the disk at the copy-dense 100× sweep.
     "q_dedup_clusters" -> ((s, d) => {
-      val edges = jaccardPairs(s, d)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val sym = edges.unionAll(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
-      // propagateMinLabels checkpoints sym once and releases the blocks
-      // itself — no per-call persist to leak across invocations.
-      val (labels, _) = propagateMinLabels(sym)
-      // Singletons (no edges) never entered the loop: cluster = own id.
-      table(s, d, "documents").select(col("doc_id"))
-        .join(labels.withColumnRenamed("cluster", "c"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-                coalesce(col("c"), col("doc_id")).as("cluster"))
-        .orderBy("doc_id")
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      if (!contracted(s, d)) {
+        val edges = jaccardPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val sym = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        // propagateMinLabels checkpoints sym once and releases the blocks
+        // itself — no per-call persist to leak across invocations.
+        val (labels, _) = propagateMinLabels(sym)
+        // Singletons (no edges) never entered the loop: cluster = own id.
+        docs
+          .join(labels.withColumnRenamed("cluster", "c"),
+                Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("c"), col("doc_id")).as("cluster"))
+          .orderBy("doc_id")
+      } else {
+        val edges = repJaccardPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val sym = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val (labels, _) = propagateMinLabels(sym)
+        // coalesce chain: component label if the rep clustered, else the
+        // rep (a shingled copy group is a J=1 clique whose min IS the
+        // rep), else the doc's own id (unshingled ⇒ edgeless singleton).
+        docs
+          .join(shingledD2r(s, d), Seq("doc_id"), "left")
+          .join(labels.withColumnRenamed("doc_id", "rep")
+                      .withColumnRenamed("cluster", "c"), Seq("rep"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("c"), col("rep"), col("doc_id")).as("cluster"))
+          .orderBy("doc_id")
+      }
     }),
 
     // Stop-shingle-capped near-dup: identical to q_dedup_ngram but hot
@@ -757,16 +947,41 @@ object DedupOps {
     // Degree distribution of the near-dup similarity graph: how many docs
     // have k verified neighbors — the health check run before clustering
     // (a heavy-tailed distribution signals a boilerplate/template shingle
-    // that will glue unrelated docs into one giant cluster). Two keyed
-    // aggregations over the (tiny) verified-pairs frame.
-    "q_graph_degree" -> ((s, d) => {
-      val jp = jaccardPairs(s, d)
-      jp.select(col("doc_a").as("doc_id"))
-        .unionAll(jp.select(col("doc_b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
-        .orderBy("degree")
-    }),
+    // that will glue unrelated docs into one giant cluster). Direct path:
+    // two keyed aggregations over the (tiny) verified-pairs frame.
+    //
+    // Contracted path (round 14): every copy of a content has the SAME
+    // degree — (c_X − 1) within-content J=1 neighbors plus Σ c_Y over
+    // verified rep neighbors Y — so the histogram is computed at rep
+    // level and weighted by copy counts, never materializing the
+    // copy-quadratic pair listing (whose direct form filled the disk at
+    // the 100× sweep). Degree-0 reps (shingled single-copy contents with
+    // no verified neighbor) are filtered exactly as the direct spelling
+    // drops docs absent from the pair frame.
+    "q_graph_degree" -> ((s, d) =>
+      if (!contracted(s, d)) {
+        val jp = jaccardPairs(s, d)
+        jp.select(col("doc_a").as("doc_id"))
+          .unionAll(jp.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      } else {
+        val copies = shingledCopyCounts(s, d)
+        val rp = repJaccardPairs(s, d)
+        val nbr = rp.select(col("doc_a").as("rep"), col("doc_b").as("other"))
+          .unionAll(
+            rp.select(col("doc_b").as("rep"), col("doc_a").as("other")))
+          .join(copies.select(col("rep").as("other"), col("c").as("oc")),
+                Seq("other"))
+          .groupBy("rep").agg(sum(col("oc")).as("nx"))
+        copies.join(nbr, Seq("rep"), "left")
+          .select(col("c"),
+            (col("c") - 1 + coalesce(col("nx"), lit(0L))).as("degree"))
+          .filter(col("degree") >= 1)
+          .groupBy("degree").agg(sum(col("c")).as("n_docs"))
+          .orderBy("degree")
+      }),
 
     // Train/test decontamination (round 5): which held-out docs share
     // 3-shingles with the training split? Split assignment is the same
@@ -871,7 +1086,8 @@ object DedupOps {
     // (q_dedup_minhash still reports every candidate with its band
     // count; the recall audit q_dedup_minhash_eval still scores the
     // full candidate set). The oracle applies the identical threshold.
-    // Round 13: the whole pipeline — signatures, banding, pairing, and
+    // Round 13 (contracted path; round 14 gates it on measured copy
+    // density): the whole pipeline — signatures, banding, pairing, and
     // the fixpoint — runs on DISTINCT CONTENTS (one representative per
     // RAW-byte-identical body among shingled docs), then expands
     // through the rep map. Exactness-preserving on ANY corpus:
@@ -894,28 +1110,38 @@ object DedupOps {
     // contents — the r10 100× row paid 268 s / 6.8 GiB peak banding
     // all 100 copies of every content.
     "q_dedup_minhash_clusters" -> ((s, d) => {
-      val shingledD2r = memo(s, d, "mc_shingled_d2r") {
-        // A doc is shingled iff its rep is (>=3 tokens is a property of
-        // the byte content), so the probe runs at rep level against the
-        // tiny rep-only shingle frame — never the corpus-wide explode.
-        rawDoc2Rep(s, d).select("doc_id", "rep")
-          .join(repHashedShingles(s, d)
-                  .select(col("doc_id").as("rep")).distinct(),
-                Seq("rep"), "semi")
-          .persist()
-      }
-      val pairs = repBandPairs(s, d)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val sym = pairs.unionAll(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
-      val (labels, _) = propagateMinLabels(sym)
-      table(s, d, "documents").select(col("doc_id"))
-        .join(shingledD2r, Seq("doc_id"), "left")
-        .join(labels.withColumnRenamed("doc_id", "rep")
-                    .withColumnRenamed("cluster", "c"), Seq("rep"), "left")
-        .select(col("doc_id"),
-                coalesce(col("c"), col("rep"), col("doc_id")).as("cluster"))
-        .groupBy(col("cluster"))
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      val labeled =
+        if (!contracted(s, d)) {
+          // direct mode: minhashPairs IS the memoized+persisted corpus
+          // band self-join — reuse it rather than re-running the join
+          val pairs = minhashPairs(s, d)
+            .filter(col("n_bands") >= 2)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val sym = pairs.unionAll(
+            pairs.select(col("dst").as("src"), col("src").as("dst")))
+          val (labels, _) = propagateMinLabels(sym)
+          docs
+            .join(labels.withColumnRenamed("cluster", "c"),
+                  Seq("doc_id"), "left")
+            .select(col("doc_id"),
+                    coalesce(col("c"), col("doc_id")).as("cluster"))
+        } else {
+          val pairs = repBandPairs(s, d)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val sym = pairs.unionAll(
+            pairs.select(col("dst").as("src"), col("src").as("dst")))
+          val (labels, _) = propagateMinLabels(sym)
+          docs
+            .join(shingledD2r(s, d), Seq("doc_id"), "left")
+            .join(labels.withColumnRenamed("doc_id", "rep")
+                        .withColumnRenamed("cluster", "c"),
+                  Seq("rep"), "left")
+            .select(col("doc_id"),
+                    coalesce(col("c"), col("rep"), col("doc_id"))
+                      .as("cluster"))
+        }
+      labeled.groupBy(col("cluster"))
         .agg(count(lit(1)).as("csize"))
         .orderBy("cluster")
     }),
@@ -923,22 +1149,63 @@ object DedupOps {
     // Candidate-quality audit for the approximate path: MinHash/LSH pairs
     // scored against the exact Jaccard >= 0.3 ground truth — the
     // recall/precision dashboard a pipeline watches before trusting the
-    // sub-quadratic dedup at corpus scale. One full-outer join of two
-    // small pair sets, then a single-row audit aggregate.
+    // sub-quadratic dedup at corpus scale. Direct path: one full-outer
+    // join of two small pair sets, then a single-row audit aggregate.
+    //
+    // Contracted path (round 14): both listings decompose into rep-pair
+    // cross terms (weight c_a·c_b — every copy pair of a colliding /
+    // verified content pair is a candidate / true pair) plus an
+    // IDENTICAL within-content term (byte-equal shingled copies share
+    // all 4 bands AND have J = 1, so each shingled content contributes
+    // C(c,2) to candidates, truth, and hits alike). The audit therefore
+    // reduces to a rep-level full-outer join weighted by copy counts —
+    // exact counts over the copy-quadratic listings without ever
+    // materializing them.
     "q_dedup_minhash_eval" -> ((s, d) => {
-      val cand = minhashPairs(s, d)
-        .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1L))
-      val truth = jaccardPairs(s, d)
-        .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
-      cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
-        .agg(sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
-             sum(coalesce(col("t"), lit(0L))).as("n_true"),
-             sum(when(col("c") === 1 && col("t") === 1, 1L).otherwise(0L))
-               .as("n_hit"))
-        .select(col("n_candidates"), col("n_true"), col("n_hit"),
-          r6(col("n_hit").cast("double") / col("n_true")).as("recall"),
-          r6(col("n_hit").cast("double") / col("n_candidates"))
-            .as("precision"))
+      val counted =
+        if (!contracted(s, d)) {
+          val cand = minhashPairs(s, d)
+            .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1L))
+          val truth = jaccardPairs(s, d)
+            .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
+          cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+            .agg(sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
+                 sum(coalesce(col("t"), lit(0L))).as("n_true"),
+                 sum(when(col("c") === 1 && col("t") === 1, 1L)
+                       .otherwise(0L)).as("n_hit"))
+        } else {
+          val cp = shingledCopyCounts(s, d)
+          val cand = repBandPairsAll(s, d)
+            .select(col("doc_a"), col("doc_b")).withColumn("cf", lit(1L))
+          val truth = repJaccardPairs(s, d)
+            .select(col("doc_a"), col("doc_b")).withColumn("tf", lit(1L))
+          val cross = cand
+            .join(truth, Seq("doc_a", "doc_b"), "full_outer")
+            .join(cp.select(col("rep").as("doc_a"), col("c").as("ca")),
+                  Seq("doc_a"))
+            .join(cp.select(col("rep").as("doc_b"), col("c").as("cb")),
+                  Seq("doc_b"))
+            .select(
+              when(col("cf") === 1L, col("ca") * col("cb")).otherwise(0L)
+                .as("w_c"),
+              when(col("tf") === 1L, col("ca") * col("cb")).otherwise(0L)
+                .as("w_t"),
+              when(col("cf") === 1L && col("tf") === 1L,
+                   col("ca") * col("cb")).otherwise(0L).as("w_h"))
+          // c·(c−1) is always even, so the integer DIV is exact
+          val within = cp
+            .select(expr("c * (c - 1) DIV 2").as("w"))
+            .select(col("w").as("w_c"), col("w").as("w_t"),
+                    col("w").as("w_h"))
+          cross.unionAll(within)
+            .agg(sum(col("w_c")).as("n_candidates"),
+                 sum(col("w_t")).as("n_true"),
+                 sum(col("w_h")).as("n_hit"))
+        }
+      counted.select(col("n_candidates"), col("n_true"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_true")).as("recall"),
+        r6(col("n_hit").cast("double") / col("n_candidates"))
+          .as("precision"))
     }),
 
     // 16-bit SimHash over the distinct-token set (per-bit majority vote of
@@ -1008,43 +1275,24 @@ object DedupOps {
     "q_dedup_multi_signal" -> ((s, d) => {
       // doc_id → byte-exact representative + normalized key.
       val doc2rep = rawDoc2Rep(s, d)
-      // Both near-dup signals are generated on DISTINCT CONTENTS, not
-      // raw docs (round 13): signatures, band keys and cosines are pure
-      // functions of content, so an edge exists between two docs iff it
-      // exists between their content representatives — the remapped edge
-      // set is IDENTICAL (the sf0.01 oracle, which computes the uncon-
-      // tracted form, still hash-matches). What changes is the cost
-      // shape: pair volume becomes quadratic in DISTINCT contents and
-      // immune to copy-duplication density. The uncontracted spelling
-      // banded all 200 K vec copies on the 100× stress corpus — 2 K
-      // distinct contents × 100 copies ⇒ every bucket's posting list
-      // ×100, pair volume ×10⁴ (~13 G candidate pairs) — and filled
-      // 78 GB of shuffle before dying. This is the same adversarial-
-      // duplication boundary as the uncapped n-gram join, but here the
-      // fix is free: exact-dup contraction is already part of the
-      // operator.
+      // On the contracted path both near-dup signals are generated on
+      // DISTINCT CONTENTS, not raw docs (round 13): signatures, band
+      // keys and cosines are pure functions of content, so an edge
+      // exists between two docs iff it exists between their content
+      // representatives — the remapped edge set is IDENTICAL (the
+      // sf0.01 oracle, which computes the uncontracted form, still
+      // hash-matches). What changes is the cost shape: pair volume
+      // becomes quadratic in DISTINCT contents and immune to
+      // copy-duplication density. The uncontracted spelling banded all
+      // 200 K vec copies on the 100× stress corpus — 2 K distinct
+      // contents × 100 copies ⇒ every bucket's posting list ×100, pair
+      // volume ×10⁴ (~13 G candidate pairs) — and filled 78 GB of
+      // shuffle before dying. On a near-all-distinct corpus (gate off,
+      // round 14) the same signal sets come from the corpus-level
+      // frames shared with q_dedup_minhash / q_dedup_embed — the
+      // contraction plumbing bought nothing there and taxed the sf0.1
+      // bench ~1.7× host-normalized in r13.
       //
-      // Lexical edges (on byte-exact text reps) carry the same ≥2-band
-      // AND-amplification as q_dedup_minhash_clusters — transitive
-      // closure compounds candidate noise, and at 100× the single-band
-      // collision set is orders larger than the ≥2-band subset. Already
-      // rep-level: no remap needed.
-      val lexE = repBandPairs(s, d)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      // Semantic edges: verified canonical-content pairs (shared with
-      // q_dedup_embed's expansion) + a star over each near-self
-      // content's copies, gated on the content's own computed
-      // self-cosine — the exact expression the uncontracted verifier
-      // would have evaluated on every copy pair, so the star spans
-      // precisely the components the full computation would connect
-      // (zero-norm contents fail the gate and get no star).
-      val star = vec2content(s, d)
-        .join(selfCosContents(s, d).select("vrep"), Seq("vrep"), "semi")
-        .filter(col("vec_id") =!= col("vrep"))
-        .select(col("vrep").as("src"), col("vec_id").as("dst"))
-      val semE = canonEmbedPairs(s, d)
-        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-        .unionAll(star)
       // Exact-signal residue: connect raw reps sharing one normalized
       // body (vacuous on verbatim-copy corpora, load-bearing for
       // case/whitespace variants).
@@ -1054,10 +1302,10 @@ object DedupOps {
         .join(reps, Seq("nk"))
         .filter(col("rep") =!= col("src"))
         .select(col("src"), col("rep").as("dst"))
-      // Remap the semantic pairs onto text representatives (vec_id ≡
+      // Remap doc/vec-level pairs onto text representatives (vec_id ≡
       // doc_id); edges inside one raw group collapse to self-loops and
       // drop out.
-      val edges = semE
+      def ontoReps(e: DataFrame): DataFrame = e
         .join(doc2rep.select(col("doc_id"), col("rep").as("src_rep")),
               col("src") === col("doc_id"))
         .drop("doc_id", "src")
@@ -1065,8 +1313,41 @@ object DedupOps {
               col("dst") === col("doc_id"))
         .filter(col("src_rep") =!= col("dst_rep"))
         .select(col("src_rep").as("src"), col("dst_rep").as("dst"))
-        .unionAll(lexE)
-        .unionAll(exE)
+      val edges =
+        if (!contracted(s, d)) {
+          // Direct path: corpus-level lexical (≥2-band) and semantic
+          // (verified cosine) pairs — both memoized frames shared with
+          // q_dedup_minhash / q_dedup_embed — remapped onto reps.
+          val lexE = minhashPairs(s, d).filter(col("n_bands") >= 2)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val semE = embedPairs(s, d)
+            .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          ontoReps(semE.unionAll(lexE)).unionAll(exE)
+        } else {
+          // Lexical edges (on byte-exact text reps) carry the same
+          // ≥2-band AND-amplification as q_dedup_minhash_clusters —
+          // transitive closure compounds candidate noise, and at 100×
+          // the single-band collision set is orders larger than the
+          // ≥2-band subset. Already rep-level: no remap needed.
+          val lexE = repBandPairs(s, d)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          // Semantic edges: verified canonical-content pairs (shared
+          // with q_dedup_embed's expansion) + a star over each
+          // near-self content's copies, gated on the content's own
+          // computed self-cosine — the exact expression the
+          // uncontracted verifier would have evaluated on every copy
+          // pair, so the star spans precisely the components the full
+          // computation would connect (zero-norm contents fail the
+          // gate and get no star).
+          val star = vec2content(s, d)
+            .join(selfCosContents(s, d).select("vrep"), Seq("vrep"), "semi")
+            .filter(col("vec_id") =!= col("vrep"))
+            .select(col("vrep").as("src"), col("vec_id").as("dst"))
+          val semE = canonEmbedPairs(s, d)
+            .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+            .unionAll(star)
+          ontoReps(semE).unionAll(lexE).unionAll(exE)
+        }
       val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       val (labels, _) = propagateMinLabels(sym)
