@@ -317,11 +317,23 @@ object AggOps {
     // integer-valued and price 2-dp-valued, so the five sums are exact
     // DECIMAL(38,0) accumulations in (qty, cents) units — one
     // map-side-combined pass, order-independent, bit-identical in both
-    // engines at any corpus scale. cov_samp and slope are then pure
-    // integer formulas, rounded to 6 dp with an explicit half-up
+    // engines while |numi| stays under DECIMAL(38)'s ceiling: the
+    // binding bound is the rounding step's numi·2e6 < 10^38, i.e.
+    // |numi| ≲ 5·10^31 (a 100 TB corpus sits near 10^28); past it
+    // Spark's non-ANSI decimal arithmetic returns NULL silently while
+    // DuckDB HUGEINT fails loudly — the engines would disagree
+    // loudly-vs-silently, never value-vs-value. cov_samp and slope are
+    // pure integer formulas, rounded to 6 dp with an explicit half-up
     // integer division — the 10× sweep caught group A's cov_samp
     // landing 5e-7 from the .5 boundary, where the former
     // double-pipeline round() flipped the last digit between engines.
+    // Degenerate groups are guarded explicitly: ni = 1 makes cdeni = 0
+    // and a constant-quantity group makes denxi = 0 — zero divisors,
+    // where the engines diverge (ANSI-default Spark 4 raises
+    // DIVIDE_BY_ZERO; DuckDB yields NULL for both / and //). Both
+    // engines now emit NULL via the same CASE (cov_samp of a 1-row
+    // group and the slope over zero x-variance are undefined); locked
+    // by RegressionGuardSpec.
     // intercept and R² keep the double spelling over CASTs of the same
     // exact sums (their exact integer forms need sy·denx / num²
     // intermediates past DECIMAL(38) / INT128 at corpus scale); their
@@ -355,20 +367,30 @@ object AggOps {
         .selectExpr("l_returnflag",
           // round(numi/cdeni, 6) half-up away from zero, all integer:
           // floor((|numi|·10⁶·2 + den) / (2·den)), sign re-applied.
-          """CAST(CASE WHEN numi >= 0
+          """CAST(CASE WHEN cdeni = 0 THEN NULL
+               WHEN numi >= 0
                THEN (numi * 2000000 + cdeni) DIV (2 * cdeni)
                ELSE -((-numi * 2000000 + cdeni) DIV (2 * cdeni)) END
              AS DOUBLE) / 1e6 AS cov_samp""",
           // slope = numi / (100·denxi), same exact rounding.
-          """CAST(CASE WHEN numi >= 0
+          """CAST(CASE WHEN denxi = 0 THEN NULL
+               WHEN numi >= 0
                THEN (numi * 2000000 + 100 * denxi) DIV (200 * denxi)
                ELSE -((-numi * 2000000 + 100 * denxi) DIV (200 * denxi)) END
              AS DOUBLE) / 1e6 AS slope""",
-          """round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                   / n, 6) AS intercept""",
-          """round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-             AS r2""")
+          // intercept/r2 guards: ANSI Spark raises on ANY numeric
+          // division by zero where DuckDB yields NULL — the same CASE
+          // pins both engines to NULL on zero x-variance (and, for r2,
+          // zero y-variance; the double compare is engine-identical
+          // because both compute it from the same exact integer sums).
+          """CASE WHEN denxi = 0 THEN CAST(NULL AS DOUBLE) ELSE
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) END AS intercept""",
+          """CASE WHEN denxi = 0 OR n * syy - sy * sy = 0.0
+               THEN CAST(NULL AS DOUBLE) ELSE
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                     ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             END AS r2""")
         .orderBy("l_returnflag")),
   )
 
@@ -579,18 +601,23 @@ object AggOps {
         CAST(syyi AS DOUBLE) / 10000 AS syy
         FROM m)
       SELECT l_returnflag,
-             CAST(CASE WHEN numi >= 0
+             CAST(CASE WHEN cdeni = 0 THEN NULL
+               WHEN numi >= 0
                THEN (numi * 2000000 + cdeni) // (2 * cdeni)
                ELSE -((-numi * 2000000 + cdeni) // (2 * cdeni)) END
                AS DOUBLE) / 1e6 AS cov_samp,
-             CAST(CASE WHEN numi >= 0
+             CAST(CASE WHEN denxi = 0 THEN NULL
+               WHEN numi >= 0
                THEN (numi * 2000000 + 100 * denxi) // (200 * denxi)
                ELSE -((-numi * 2000000 + 100 * denxi) // (200 * denxi)) END
                AS DOUBLE) / 1e6 AS slope,
-             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                   / n, 6) AS intercept,
-             round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+             CASE WHEN denxi = 0 THEN NULL ELSE
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) END AS intercept,
+             CASE WHEN denxi = 0 OR n * syy - sy * sy = 0.0 THEN NULL ELSE
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                     ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             END AS r2
       FROM m2 ORDER BY l_returnflag""",
   )
 }
