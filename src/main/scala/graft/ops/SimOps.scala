@@ -55,6 +55,11 @@ object SimOps {
       val n = vectors(s, d)
       val q = n.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nrm").as("qn"))
+        // vec_id is unique so this is value-neutral; it gives the plan
+        // a PROVABLE one-row bound (maxRows) for the broadcast attach —
+        // the structural fact PlanShapeSpec certifies instead of
+        // trusting a query-name allowlist.
+        .limit(1)
       n.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
