@@ -38,6 +38,7 @@ class GraftHttpFileSystem extends FileSystem {
 
   private var fsUri: URI = _
   private var auth: Option[(String, String)] = None
+  private var readahead: Long = 1L << 20
 
   override def initialize(uri: URI, conf: org.apache.hadoop.conf.Configuration)
       : Unit = {
@@ -53,6 +54,7 @@ class GraftHttpFileSystem extends FileSystem {
       id <- Option(conf.get("fs.ghttp.auth.id"))
       secret <- Option(conf.get("fs.ghttp.auth.secret"))
     } yield (id, secret)
+    readahead = conf.getLong("fs.ghttp.readahead.bytes", 1L << 20)
   }
 
   private def scheme: String = "ghttp"
@@ -112,7 +114,8 @@ class GraftHttpFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = getFileStatus(f).getLen
-    new FSDataInputStream(new HttpObjectInputStream(toHttp(f), len, auth))
+    new FSDataInputStream(
+      new HttpObjectInputStream(toHttp(f), len, auth, readahead))
   }
 
   override def setWorkingDirectory(d: Path): Unit = ()
@@ -163,9 +166,19 @@ object GraftHttpFileSystem {
     }
 
   /** Seekable HTTP object stream: one `Range: bytes=pos-…` GET per
-    * repositioned read region. */
+    * repositioned read region, BOUNDED by a readahead window
+    * (fs.ghttp.readahead.bytes, default 1 MiB). An unbounded to-EOF
+    * range would have the server transmit the whole object remainder
+    * for every repositioned region the scan only samples — measured
+    * 2.1x the object size pushed per flagship query against 0.7x
+    * consumed (RunnerSpec's wire-reconciliation test) — while a
+    * window caps over-push at one window per GET; a sequential
+    * consumer that crosses the window end transparently reopens at
+    * the boundary (one further counted op per window, the S3 client
+    * random-fadvise pattern). */
   private final class HttpObjectInputStream(url: URL, len: Long,
-                                            auth: Option[(String, String)])
+                                            auth: Option[(String, String)],
+                                            readahead: Long)
       extends InputStream with Seekable with PositionedReadable {
 
     private def openSigned(): HttpURLConnection = {
@@ -182,7 +195,9 @@ object GraftHttpFileSystem {
     private def ensureOpen(): InputStream = {
       if (in == null) {
         conn = openSigned()
-        conn.setRequestProperty("Range", s"bytes=$pos-${len - 1}")
+        val hi =
+          if (readahead > 0) math.min(pos + readahead, len) - 1 else len - 1
+        conn.setRequestProperty("Range", s"bytes=$pos-$hi")
         val rc = conn.getResponseCode
         if (rc != 206 && rc != 200)
           throw new java.io.IOException(s"$url: HTTP $rc for range $pos-")
@@ -212,14 +227,22 @@ object GraftHttpFileSystem {
 
     override def read(): Int = {
       if (pos >= len) return -1
-      val b = ensureOpen().read()
+      var b = ensureOpen().read()
+      if (b < 0) { // readahead window exhausted mid-object: next window
+        closeCurrent()
+        b = ensureOpen().read()
+      }
       if (b >= 0) { pos += 1; bytesRead.incrementAndGet() }
       b
     }
 
     override def read(b: Array[Byte], off: Int, l: Int): Int = {
       if (pos >= len) return -1
-      val n = ensureOpen().read(b, off, l)
+      var n = ensureOpen().read(b, off, l)
+      if (n < 0) { // readahead window exhausted mid-object: next window
+        closeCurrent()
+        n = ensureOpen().read(b, off, l)
+      }
       if (n > 0) { pos += n; bytesRead.addAndGet(n) }
       n
     }

@@ -14,7 +14,9 @@ import graft.io.GraftHttpFileSystem
   * the server side of the credential surface the runner's -i/-k flags
   * configure. */
 object TestHttpObjectServer {
-  def serve(dir: String, auth: Option[(String, String)] = None): HttpServer = {
+  def serve(dir: String, auth: Option[(String, String)] = None,
+            bytesServed: Option[java.util.concurrent.atomic.AtomicLong] =
+              None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
       def handle(ex: HttpExchange): Unit = try {
@@ -43,9 +45,11 @@ object TestHttpObjectServer {
                   "Content-Range", s"bytes $lo-$hi/${bytes.length}")
                 ex.sendResponseHeaders(206, chunk.length)
                 ex.getResponseBody.write(chunk)
+                bytesServed.foreach(_.addAndGet(chunk.length.toLong))
               case None =>
                 ex.sendResponseHeaders(200, bytes.length)
                 ex.getResponseBody.write(bytes)
+                bytesServed.foreach(_.addAndGet(bytes.length.toLong))
             }
         }
       } finally ex.close() // every path, or keep-alive clients stall

@@ -11,7 +11,8 @@ class RunnerSpec extends SparkTestBase {
     * returning (exitCode, stdout, stderr). One shared recipe for every
     * end-to-end test (the spawn details — add-opens forwarding, memory,
     * master — must not drift between them). */
-  private def spawnRunner(flags: Seq[String], stdinText: String)
+  private def spawnRunner(flags: Seq[String], stdinText: String,
+                          jvmProps: Seq[String] = Nil)
       : (Int, String, String) = {
     import scala.sys.process._
     // Forward this JVM's --add-opens set (sbt injects the JDK-17 module
@@ -29,7 +30,7 @@ class RunnerSpec extends SparkTestBase {
       else Nil
     }
     val cmd = Seq("java") ++ jvmArgs ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Xmx2g", "-Dspark.ui.enabled=false") ++ jvmProps ++ Seq(
       "-cp", sys.props("java.class.path"),
       "graft.runner.Main") ++ flags
     val stdin = new java.io.ByteArrayInputStream(stdinText.getBytes)
@@ -140,6 +141,52 @@ class RunnerSpec extends SparkTestBase {
       assert(opsLine.get.stripPrefix("Total read ops: ").trim.toLong > 0)
       assert(out1.linesIterator.exists(_.startsWith("Chunk - [5 Columns]")))
     } finally server.stop(0)
+  }
+
+  test("credentialed fan-out (j>1): stat-block bytes reconcile with wire truth") {
+    // The last untested corner of the A2 credential surface: -i/-k under
+    // PARALLEL per-file fan-out, with the stat block's byte count checked
+    // against what the server actually wrote to the wire. Wire truth has
+    // a documented slack: every sequential GET is bounded by the
+    // readahead window (fs.ghttp.readahead.bytes — pinned small here),
+    // so the server may push at most one window per counted op beyond
+    // what the client consumed; positioned reads are exact. The stat
+    // must sit inside [wire − ops·window, wire], and the triple run must
+    // count exactly 3× the single run — no lost updates or resets when
+    // three signed scans interleave on the fixed pool.
+    val creds = ("TESTKEY", "TESTSECRET")
+    val window = 4096L
+    val props = Seq(s"-Dspark.hadoop.fs.ghttp.readahead.bytes=$window")
+    def run(n: Int): (Long, Long, Long) = {
+      val wire = new java.util.concurrent.atomic.AtomicLong(0L)
+      val server = TestHttpObjectServer.serve(sf0001, auth = Some(creds),
+        bytesServed = Some(wire))
+      try {
+        val base = s"ghttp://127.0.0.1:${server.getAddress.getPort}"
+        val src = (s"$base/lineitem.parquet\n") * n
+        val (code, out, err) = spawnRunner(
+          Seq("-i", creds._1, "-k", creds._2, "-j", n.toString), src, props)
+        assert(code == 0, s"exit=$code stderr:\n${err.takeRight(2000)}")
+        assert(err.contains(s"Number data sources (parquet files): $n"))
+        assert(!err.contains("error processing"), s"unexpected error:\n$err")
+        assert(out.linesIterator
+          .count(_.startsWith("Chunk - [5 Columns]")) >= n)
+        def stat(prefix: String): Long = err.linesIterator
+          .find(_.startsWith(prefix)) match {
+            case Some(l) => l.stripPrefix(prefix).trim.toLong
+            case None => fail(s"no '$prefix' line in:\n$err")
+          }
+        (stat("Total read bytes: "), stat("Total read ops: "), wire.get)
+      } finally server.stop(0)
+    }
+    val (bytes1, _, _) = run(1)
+    val (bytes3, ops3, wire3) = run(3)
+    assert(bytes3 == 3 * bytes1,
+      s"fan-out accounting drifted: 3x$bytes1 expected, got $bytes3")
+    assert(bytes3 > 0 && bytes3 <= wire3,
+      s"stat $bytes3 B exceeds wire $wire3 B")
+    assert(wire3 - bytes3 <= ops3 * window,
+      s"wire $wire3 B vs stat $bytes3 B — slack beyond $ops3 ops x $window")
   }
 
   test("flagship on laghos schema: boundary rows excluded, sorted by E") {
