@@ -11,8 +11,34 @@ import org.apache.spark.sql.functions._
   * than asserted. Reports the PEAK cached-storage footprint across each
   * query (sampled concurrently), so the iterative family's
   * checkpoint-release discipline is measured, not assumed.
-  * Usage: runMain graft.tools.ScaleStress [copies] [srcSf] [q1,q2,...] */
+  *
+  * Emits a machine-diffable artifact (arg 4, e.g. SCALE_r14.json):
+  * per-query wall/rows/peak-cached/stream-state plus the caps applied,
+  * so rounds compare sweeps instead of re-narrating prose. Queries that
+  * fail are recorded with their error, not dropped — a sweep that dies
+  * is a data point.
+  *
+  * Usage: runMain graft.tools.ScaleStress [copies] [srcSf]
+  *   [q1,q2,...|all] [outJson] */
 object ScaleStress {
+
+  /** Fixture caps: queries whose SWEEP cost is dominated by a
+    * contract-boundary state size rather than a plan defect get a
+    * smaller staged fixture, with the cap recorded in the artifact.
+    * q_stream_dedup keys exact-forever state on event_id BY CONTRACT
+    * (the bounded-replay form; the watermark-evicted production form is
+    * q_stream_dedup_wm, which still runs at full scale) — replaying
+    * 100 M events through it proves nothing new past the point where
+    * state has reached millions of keys, and costs ~190 s per sweep. */
+  private val fixtureCaps: Map[String, (Int, String)] = Map(
+    "q_stream_dedup" -> ((10,
+      "exact-forever keyed state is unbounded BY CONTRACT; the capped " +
+      "replay still drives state to the staged key count (see " +
+      "stream_state) while the watermark-evicted twin q_stream_dedup_wm " +
+      "runs at full scale")))
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
@@ -26,33 +52,49 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def shifted(name: String, keyCols: Map[String, Long]): DataFrame = {
+    def shifted(name: String, keyCols: Map[String, Long],
+                nCopies: Int): DataFrame = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until copies).map { i =>
+      (0 until nCopies).map { i =>
         keyCols.foldLeft(base) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(i * stride))
         }
       }.reduce(_ unionAll _)
     }
 
+    val strideL = 10000000L
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
-      val strideL = 10000000L
       Seq(
-        "lineitem" -> shifted("lineitem", Map("l_orderkey" -> strideL)),
-        "orders" -> shifted("orders", Map("o_orderkey" -> strideL)),
-        "customer" -> shifted("customer", Map("c_custkey" -> strideL)),
-        "supplier" -> shifted("supplier", Map("s_suppkey" -> strideL)),
-        "part" -> shifted("part", Map("p_partkey" -> strideL)),
+        "lineitem" -> shifted("lineitem", Map("l_orderkey" -> strideL), copies),
+        "orders" -> shifted("orders", Map("o_orderkey" -> strideL), copies),
+        "customer" -> shifted("customer", Map("c_custkey" -> strideL), copies),
+        "supplier" -> shifted("supplier", Map("s_suppkey" -> strideL), copies),
+        "part" -> shifted("part", Map("p_partkey" -> strideL), copies),
         "events" -> shifted("events", Map("event_id" -> strideL,
-                                          "user_id" -> 1000L)),
-        "documents" -> shifted("documents", Map("doc_id" -> strideL)),
-        "embeddings" -> shifted("embeddings", Map("vec_id" -> strideL)),
+                                          "user_id" -> 1000L), copies),
+        "documents" -> shifted("documents", Map("doc_id" -> strideL), copies),
+        "embeddings" -> shifted("embeddings", Map("vec_id" -> strideL), copies),
         "region" -> spark.read.parquet(s"$src/region.parquet"),
         "nation" -> spark.read.parquet(s"$src/nation.parquet"),
       ).foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$out/$name.parquet")
         println(s"[stress] wrote $name")
       }
+    }
+
+    // Capped fixtures share the main fixture's directory layout so a
+    // capped query's (SparkSession, dir) contract is unchanged — only
+    // the dir differs. Built lazily: a sweep that doesn't run a capped
+    // query never writes one.
+    def cappedDir(capCopies: Int): String = {
+      val d = s"$out/_cap$capCopies"
+      if (!new java.io.File(s"$d/events.parquet").exists()) {
+        shifted("events", Map("event_id" -> strideL, "user_id" -> 1000L),
+                capCopies)
+          .write.mode("overwrite").parquet(s"$d/events.parquet")
+        println(s"[stress] wrote capped events x$capCopies")
+      }
+      d
     }
 
     val defaultHeavy = Seq("q_scan_flagship", "q_agg_groupby", "q_join_inner",
@@ -68,8 +110,12 @@ object ScaleStress {
       // round-13: the content-contracted clustering pair — the two
       // queries whose 100× posture the contraction rewrote
       "q_dedup_minhash_clusters", "q_dedup_multi_signal")
-    val heavy =
-      if (args.length > 2) args(2).split(",").toSeq else defaultHeavy
+    val heavy = args.lift(2) match {
+      case Some("all") => graft.SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").toSeq
+      case None        => defaultHeavy
+    }
+    val jsonOut = args.lift(3)
     // Peak cached-storage sampler: the iterative queries persist /
     // localCheckpoint per round and RELEASE finished rounds — the peak
     // (not the after-query residual) is what bounds executor memory.
@@ -86,21 +132,67 @@ object ScaleStress {
     })
     sampler.setDaemon(true)
     sampler.start()
-    heavy.foreach { name =>
+
+    val sweepT0 = System.nanoTime()
+    val rows = heavy.map { name =>
+      val cap = fixtureCaps.get(name).filter(_._1 < copies)
+      val dir = cap.map(c => cappedDir(c._1)).getOrElse(out)
       val t0 = System.nanoTime()
       peakStorage = 0L
-      try {
-        val c = graft.SparkEntry.queries(name)(spark, out).count()
-        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-          f"($c rows, peak cached ${peakStorage / 1048576.0}%.0f MiB)")
-      } catch { case e: Throwable =>
-        println(s"[stress] $name FAILED: ${e.getMessage.take(120)}")
+      val (nRows, err) =
+        try (Some(graft.SparkEntry.queries(name)(spark, dir).count()), None)
+        catch { case e: Throwable =>
+          // Drain any state metrics a failed stream run populated so
+          // they aren't attributed to the next query.
+          graft.streaming.StreamOps.takeStateMetrics()
+          (None, Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                        .take(160)))
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val peak = peakStorage
+      val state = graft.streaming.StreamOps.takeStateMetrics()
+      err match {
+        case None =>
+          println(f"[stress] $name: $wall%.2f s (${nRows.get} rows, " +
+            f"peak cached ${peak / 1048576.0}%.0f MiB)")
+        case Some(m) => println(s"[stress] $name FAILED: $m")
       }
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
       spark.catalog.clearCache()
+      val fields = Seq(
+        Some(f""""wall_s":$wall%.3f"""),
+        nRows.map(r => s""""rows":$r"""),
+        Some(s""""peak_cached_bytes":$peak"""),
+        state.map { case (r, b) =>
+          s""""stream_state":{"rows":$r,"bytes":$b}""" },
+        cap.map { case (c, why) =>
+          s""""cap":{"copies":$c,"reason":${jstr(why)}}""" },
+        err.map(m => s""""error":${jstr(m)}""")
+      ).flatten.mkString(",")
+      (name, s"{$fields}")
     }
+    val totalS = (System.nanoTime() - sweepT0) / 1e9
     sampling = false
+
+    jsonOut.foreach { path =>
+      val qJs = rows.map { case (n, js) => s"${jstr(n)}:$js" }
+        .mkString("{", ",", "}")
+      val failed = rows.collect {
+        case (n, js) if js.contains("\"error\":") => jstr(n) }
+      val json =
+        s"""{"copies":$copies,"src":${jstr(src)},"fixture":${jstr(out)},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""shuffle_partitions":64,""" +
+        s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +
+        f""""total_s":$totalS%.1f,"n_queries":${rows.size},""" +
+        s""""n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},""" +
+        s""""queries":$qJs}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+      println(s"[stress] wrote $path (${rows.size} queries, " +
+        f"$totalS%.0f s, ${failed.size} failed)")
+    }
     spark.stop()
   }
 }
