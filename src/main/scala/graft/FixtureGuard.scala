@@ -63,29 +63,45 @@ object FixtureGuard {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schemaDrift = expected.toSeq.sortBy(_._1).flatMap {
       case (name, cols) =>
-        val observed = spark.read.parquet(s"$dir/$name.parquet")
-          .schema.fields.map(f => f.name -> f.dataType.typeName)
-        if (observed.map(_._1).toSeq != cols.map(_._1))
-          Seq(s"$name: column set drifted — observed " +
-            observed.map { case (n, t) => s"$n:$t" }.mkString("(", ", ", ")"))
-        else cols.zip(observed).collect {
-          case ((cname, ok), (_, got)) if !ok.contains(got) =>
-            s"$name.$cname: $got (accepted: ${ok.mkString("/")})"
+        // A table that cannot be read at all is NOT drift (drift = an
+        // existing fixture whose physical types changed): skip it here
+        // and let the per-query try/catch log one failure per query —
+        // the documented Verify-on-missing-dir contract (exit 0,
+        // oracle_sql.json still written). An uncaught AnalysisException
+        // here used to abort the whole dump with exit 1.
+        scala.util.Try(spark.read.parquet(s"$dir/$name.parquet")
+            .schema.fields.map(f => f.name -> f.dataType.typeName))
+          .toOption match {
+          case None => Nil // unreadable ≠ drifted; per-query logs follow
+          case Some(observed) =>
+            if (observed.map(_._1).toSeq != cols.map(_._1))
+              Seq(s"$name: column set drifted — observed " +
+                observed.map { case (n, t) => s"$n:$t" }
+                  .mkString("(", ", ", ")"))
+            else cols.zip(observed).collect {
+              case ((cname, ok), (_, got)) if !ok.contains(got) =>
+                s"$name.$cname: $got (accepted: ${ok.mkString("/")})"
+            }
         }
     }
     // Only epoch-check tables whose schema resolved — a drifted schema
-    // already failed above and may not normalize at all.
+    // already failed above and may not normalize at all; an unreadable
+    // one (missing dir) throws on scan, which is the per-query path's
+    // failure to report, not this preamble's.
     val badTables = schemaDrift.map(_.takeWhile(c => c != '.' && c != ':'))
     val epochDrift = epochPins.filterNot(p => badTables.contains(p._1))
       .flatMap { case (tbl, c) =>
-        val mm = graft.ops.table(spark, dir, tbl)
-          .agg(year(min(col(c))).as("lo"), year(max(col(c))).as("hi"))
-          .head()
-        val (lo, hi) = (mm.getInt(0), mm.getInt(1))
-        if (lo >= 1990 && hi <= 2035) None
-        else Some(s"$tbl.$c normalized to years [$lo, $hi] — unit " +
-          "mismatch between the fixture's physical type and the reader's " +
-          "conversion")
+        scala.util.Try {
+          val mm = graft.ops.table(spark, dir, tbl)
+            .agg(year(min(col(c))).as("lo"), year(max(col(c))).as("hi"))
+            .head()
+          (mm.getInt(0), mm.getInt(1))
+        }.toOption.flatMap { case (lo, hi) =>
+          if (lo >= 1990 && hi <= 2035) None
+          else Some(s"$tbl.$c normalized to years [$lo, $hi] — unit " +
+            "mismatch between the fixture's physical type and the " +
+            "reader's conversion")
+        }
       }
     schemaDrift ++ epochDrift
   }

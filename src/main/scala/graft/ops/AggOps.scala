@@ -121,53 +121,222 @@ object AggOps {
                _.cast("string")), ",").as("linenos"))
         .orderBy("l_returnflag")),
 
-    // Interpolated percentiles (median + p90) with BOUNDED aggregation
-    // state. Spark's exact `percentile` buffers a value→count map per
-    // group (ObjectHashAggregate) — an executor-memory cliff on a
-    // continuous column at scale. Same answer, scale-safe shape:
-    // pre-aggregate (group, value) counts (codegen HashAggregate,
-    // map-side combined — the shuffle moves counts, not rows), then a
-    // sort-based cumulative-rank window locates the two values
-    // bracketing each target rank, and the interpolation reproduces the
-    // exact `(hi-pos)*vlo + (pos-lo)*vhi` arithmetic both engines'
-    // continuous-quantile implementations use. Task state is O(1)
-    // streaming over the sorted run, and the sort spills instead of
-    // OOMing when one group holds billions of distinct values.
+    // Exact interpolated quantiles (quantile_cont semantics) by
+    // ITERATIVE HISTOGRAM REFINEMENT — the distributed quickselect. Two
+    // earlier spellings both hid a scale cliff: Spark's `percentile`
+    // buffers a value→count map per group (executor-memory cliff on a
+    // continuous column), and the (group, value)-counts + cumulative
+    // window spelling sorts every DISTINCT value of a group in one task
+    // (the key-shifted stress fixtures can't see it — copies repeat
+    // values — but a real corpus's distinct count grows with the data).
+    // Here no task ever holds more than one BUCKET:
+    //   1. one narrow scan per target column builds a log-bucket
+    //      histogram (bucket = floor(ln v · 64), monotone, needs no
+    //      prior min/max pass; bucket-space ≤ ~91 K ids regardless of
+    //      corpus size) with per-bucket count/min/max;
+    //   2. each needed k-th order statistic is located in its bucket by
+    //      a tiny-frame cumulative window; a single-valued bucket
+    //      (mn == mx) resolves immediately;
+    //   3. buckets still holding > 64 K rows are REFINED: one more scan
+    //      filtered to those value ranges, equal-width 8192-way
+    //      histogram inside each, relocate — each round divides the
+    //      candidate set ~8192×, so two rounds cover ~10¹² rows/group
+    //      (8 rounds hard cap, then a windowed in-range rank);
+    //   4. one final scan extracts every survivor bracket's k-th value
+    //      via conditional collect_list + array_sort (≤ 64 K doubles per
+    //      bracket by construction).
+    // The driver-side bracket loop holds O(groups × percentiles) rows
+    // (≤ 18 here) — control decisions off tiny aggregates, the same
+    // AQE-spirit adaptivity as the dedup contraction gate, valid because
+    // this query's group key (l_returnflag) is low-cardinality. At
+    // sf0.1 the loop takes zero refinement rounds: 2 histogram scans +
+    // 1 extract scan, all codegen, no wide shuffle anywhere.
     "q_agg_percentile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      def qcont(c: String, ps: Seq[(String, Double)]) = {
-        val counts = table(s, d, "lineitem")
-          .filter(col(c).isNotNull)
-          .groupBy(col("l_returnflag"), col(c).as("v"))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = counts
-          .withColumn("cum_end",
-            sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("v")))
-          .withColumn("n",
-            sum("cnt").over(Window.partitionBy("l_returnflag")))
+      import org.apache.spark.sql.Column
+      val targets = Seq(("l_quantity", "p50", 0.5),
+                        ("l_quantity", "p90", 0.9),
+                        ("l_extendedprice", "p50_price", 0.5))
+      val tcols = targets.map(_._1).distinct
+      val li = table(s, d, "lineitem")
+      val g = col("l_returnflag")
+      val RefineB = 8192      // fan-out per refinement round
+      val ExtractT = 65536L   // max rows one extract bracket may hold
+      val MaxRounds = 8
+
+      // Level-1 log bucketizer: monotone over all doubles, no stats
+      // pass needed. Offsets keep the three sign classes disjoint.
+      def logBucket(v: Column): Column =
+        when(v > 0, floor(log(v) * 64) + 100000L)
+          .when(v === 0, lit(0L))
+          .otherwise(-floor(log(-v) * 64) - 100000L)
+
+      // One bracket = one pending k-th order statistic (k is 0-based
+      // WITHIN the bracket's value range [lo, hi]).
+      case class Br(gv: String, cid: String, pname: String, role: String,
+                    k: Long, lo: Double, hi: Double, cnt: Long)
+
+      // Histogram a column over a row predicate / partition key /
+      // bucket expr, then locate each (partKey, k) in its bucket:
+      // returns (partKey, k, bucketRank=k-cum_start, cnt, mn, mx) rows,
+      // ≤ |ks| of them. ONE corpus scan regardless of bracket count.
+      def locate(cid: String, pred: Column, partOf: Column,
+                 bucketOf: Column, ks: Seq[(String, Long)])
+          : Seq[(String, Long, Long, Long, Double, Double)] = {
+        val hist = li.filter(col(cid).isNotNull && pred)
+          .groupBy(partOf.as("pk"), bucketOf.as("b"))
+          .agg(count(lit(1)).as("cnt"), min(col(cid)).as("mn"),
+               max(col(cid)).as("mx"))
+          .withColumn("cum_end", sum("cnt").over(
+            Window.partitionBy("pk").orderBy("b")))
           .withColumn("cum_start", col("cum_end") - col("cnt"))
-        def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
-        val brackets = ps.flatMap { case (name, p) =>
-          val klo = floor(pos(p)).cast("long")
-          val khi = ceil(pos(p)).cast("long")
-          Seq(min(when(col("cum_start") <= klo && klo < col("cum_end"),
-                       col("v"))).as(s"${name}_lo"),
-              min(when(col("cum_start") <= khi && khi < col("cum_end"),
-                       col("v"))).as(s"${name}_hi"))
-        }
-        val agg = cum.groupBy(col("l_returnflag"))
-          .agg(min(col("n")).as("n"), brackets: _*)
-        ps.foldLeft(agg) { case (df, (name, p)) =>
-          df.withColumn(name, round(
-            when(floor(pos(p)) === ceil(pos(p)), col(s"${name}_lo"))
-              .otherwise((ceil(pos(p)) - pos(p)) * col(s"${name}_lo") +
-                         (pos(p) - floor(pos(p))) * col(s"${name}_hi")), 6))
-        }.select(col("l_returnflag") +: ps.map(x => col(x._1)): _*)
+        val kdf = s.createDataFrame(ks).toDF("pk", "k")
+        hist.join(broadcast(kdf), Seq("pk"))
+          .filter(col("cum_start") <= col("k") && col("k") < col("cum_end"))
+          .select(col("pk"), col("k"),
+                  (col("k") - col("cum_start")).as("kin"),
+                  col("cnt"), col("mn"), col("mx"))
+          .collect() // driver control: ≤ groups×percentiles×2 rows
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                     r.getLong(3), r.getDouble(4), r.getDouble(5)))
+          .toSeq
       }
-      qcont("l_quantity", Seq("p50" -> 0.5, "p90" -> 0.9))
-        .join(qcont("l_extendedprice", Seq("p50_price" -> 0.5)),
-              Seq("l_returnflag"))
-        .select("l_returnflag", "p50", "p90", "p50_price")
+
+      // Per-group non-null counts per column — one row per group, off
+      // the same scans Spark would do anyway (tiny driver control).
+      val nAggs = tcols.map(c => count(col(c)).as(c))
+      val nRows = li.groupBy(g).agg(nAggs.head, nAggs.tail: _*).collect()
+      val nOf: Map[(String, String), Long] = nRows.flatMap { r =>
+        tcols.zipWithIndex.map { case (c, i) =>
+          (r.getString(0), c) -> r.getLong(i + 1) }
+      }.toMap
+      val groups = nRows.map(_.getString(0)).toSeq.sorted
+
+      // Needed 0-based global ranks klo/khi per (group, target).
+      val wanted: Seq[(String, String, String, String, Long)] =
+        for {
+          gv <- groups
+          (cid, pname, p) <- targets
+          n = nOf((gv, cid)) if n > 0
+          pos = p * (n - 1)
+          (role, k) <- Seq(("lo", math.floor(pos).toLong),
+                           ("hi", math.ceil(pos).toLong))
+        } yield (gv, cid, pname, role, k)
+
+      // Level 1: locate every wanted k in the log-bucket histogram.
+      var pending: Seq[Br] = tcols.flatMap { cid =>
+        val ks = wanted.collect { case (gv, `cid`, _, _, k) => (gv, k) }
+          .distinct
+        if (ks.isEmpty) Nil
+        else locate(cid, lit(true), g, logBucket(col(cid)), ks).flatMap {
+          case (gv, k, kin, cnt, mn, mx) =>
+            wanted.collect { case (wgv, `cid`, pname, role, wk)
+                if wgv == gv && wk == k =>
+              Br(gv, cid, pname, role, kin, mn, mx, cnt) }
+        }
+      }
+
+      val resolved = scala.collection.mutable
+        .ArrayBuffer[(String, String, String, Double)]() // gv,pname,role,v
+      var roundNo = 0
+      while (pending.nonEmpty && roundNo < MaxRounds) {
+        roundNo += 1
+        val (single, multi) = pending.partition(b => b.lo == b.hi)
+        resolved ++= single.map(b => (b.gv, b.pname, b.role, b.lo))
+        val (heavy, light0) = multi.partition(_.cnt > ExtractT)
+        // Extract all light brackets in ONE scan: a conditional
+        // collect_list + array_sort per bracket (bounded ≤ ExtractT).
+        val light = light0.distinct
+        if (light.nonEmpty) {
+          val exprs = light.zipWithIndex.map { case (b, i) =>
+            element_at(array_sort(collect_list(
+              when(g === b.gv && col(b.cid).between(b.lo, b.hi),
+                   col(b.cid)))), (b.k + 1).toInt).as(s"v$i") }
+          val row = li.agg(exprs.head, exprs.tail: _*).collect()(0)
+          light0.foreach { b =>
+            val i = light.indexOf(b)
+            resolved += ((b.gv, b.pname, b.role, row.getDouble(i)))
+          }
+        }
+        // Refine heavy brackets: equal-width RefineB-way histogram
+        // inside each value range, relocate k within it. All of a
+        // column's ranges are batched into ONE scan via a CASE-derived
+        // range id (ranges are disjoint by construction: each round's
+        // brackets come from disjoint buckets of disjoint parents).
+        if (heavy.nonEmpty)
+          Console.err.println(
+            s"[pct] refinement round $roundNo: ${heavy.size} brackets")
+        pending = heavy.groupBy(_.cid).toSeq.flatMap { case (cid, brs) =>
+          val ranges = brs.map(b => (b.gv, b.lo, b.hi)).distinct.zipWithIndex
+          def cond(r: (String, Double, Double)) =
+            g === r._1 && col(cid).between(r._2, r._3)
+          val pred = ranges.map(x => cond(x._1)).reduce(_ || _)
+          val partOf = ranges.foldRight(lit(null).cast("string")) {
+            case ((r, i), acc) => when(cond(r), lit(i.toString)).otherwise(acc)
+          }
+          val bucketOf = ranges.foldRight(lit(null).cast("long")) {
+            case ((r @ (_, lo, hi), _), acc) =>
+              when(cond(r), least(floor((col(cid) - lo) / (hi - lo)
+                * RefineB).cast("long"), lit(RefineB - 1L))).otherwise(acc)
+          }
+          val byRange = brs.groupBy(b => ranges.collectFirst {
+            case (r, i) if r == ((b.gv, b.lo, b.hi)) => i }.get)
+          val ks = byRange.toSeq.flatMap { case (i, bs) =>
+            bs.map(b => (i.toString, b.k)) }.distinct
+          locate(cid, pred, partOf, bucketOf, ks).flatMap {
+            case (pk, k, kin, cnt, mn, mx) =>
+              byRange(pk.toInt).collect { case b if b.k == k =>
+                Br(b.gv, cid, b.pname, b.role, kin, mn, mx, cnt) }
+          }
+        }
+      }
+      // MaxRounds exhausted (adversarial value distribution): windowed
+      // in-range rank — correct, single fat task per bracket, loud in
+      // the plan rather than wrong.
+      pending.foreach { b =>
+        val v = li.filter(g === b.gv && col(b.cid).between(b.lo, b.hi))
+          .select(col(b.cid).as("v"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(lit(1)).orderBy("v")))
+          .filter(col("rn") === b.k + 1).collect()(0).getDouble(0)
+        resolved += ((b.gv, b.pname, b.role, v))
+      }
+
+      // Assemble: the same interpolation arithmetic as before, run as a
+      // Spark plan so rounding matches the engine (round = HALF_UP).
+      val rmap = resolved.map(r => (r._1, r._2, r._3) -> r._4).toMap
+      val outRows = for (gv <- groups) yield {
+        val cells = targets.map { case (cid, pname, p) =>
+          val n = nOf((gv, cid))
+          if (n == 0) (pname, 0.0, 0.0, 0.0, false)
+          else {
+            val pos = p * (n - 1)
+            val vlo = rmap((gv, pname, "lo"))
+            val vhi = rmap.getOrElse((gv, pname, "hi"), vlo)
+            (pname, pos, vlo, vhi, true)
+          }
+        }
+        (gv, cells)
+      }
+      val flat = outRows.flatMap { case (gv, cells) =>
+        cells.map { case (pname, pos, vlo, vhi, ok) =>
+          (gv, pname, pos, vlo, vhi, ok) }
+      }
+      val vals = s.createDataFrame(flat)
+        .toDF("l_returnflag", "pname", "pos", "vlo", "vhi", "ok")
+        .withColumn("q", when(!col("ok"), lit(null).cast("double"))
+          .otherwise(round(
+            when(floor(col("pos")) === ceil(col("pos")), col("vlo"))
+              .otherwise((ceil(col("pos")) - col("pos")) * col("vlo") +
+                         (col("pos") - floor(col("pos"))) * col("vhi")),
+            6)))
+      val out = targets.map(_._2).foldLeft(
+          vals.select(g).distinct()) { (df, pname) =>
+        df.join(vals.filter(col("pname") === pname)
+                  .select(g, col("q").as(pname)),
+                Seq("l_returnflag"), "left")
+      }
+      out.select(g +: targets.map(t => col(t._2)): _*)
         .orderBy("l_returnflag")
     }),
 

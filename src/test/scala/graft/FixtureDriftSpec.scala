@@ -25,4 +25,12 @@ class FixtureDriftSpec extends SparkTestBase {
       .schema("ts").dataType
     assert(sniffed == raw, s"stream sniff $sniffed != batch raw $raw")
   }
+
+  test("a missing fixture dir is not drift — the preamble must let " +
+       "Verify reach its per-query failure logging (exit-0 contract)") {
+    // Regressed silently in r11: drift()'s schema read threw an
+    // uncaught AnalysisException on a missing dir, aborting Verify
+    // before any per-query diagnostics or oracle_sql.json.
+    assert(FixtureGuard.drift(spark, "/nonexistent-graft-fixture") == Nil)
+  }
 }
