@@ -1068,6 +1068,34 @@ object DedupOps {
     "q_dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d).orderBy("doc_a", "doc_b")),
 
+    // Split-leakage audit: near-duplicate pairs straddling the
+    // train/val/test boundary — the eval-integrity check a training
+    // pipeline runs AFTER splitting (a test doc whose near-twin sits in
+    // train inflates every benchmark number). Edges are the ≥2-band
+    // MinHash pairs (the same precision bar the clustering applies:
+    // transitive and eval consequences both compound candidate noise),
+    // splits are the md5-bucket assignment of q_split_assign — both
+    // deterministic, so the audit is oracle-exact. Output: pair counts
+    // per unordered split combination; every off-diagonal row is
+    // leakage. Scale shape: the pair frame is the banded sub-quadratic
+    // path (contraction-gated like every MinHash consumer), the split
+    // tag is a per-row hash, and the rollup is a ≤6-row aggregate.
+    "q_split_leakage" -> ((s, d) => {
+      def splitOf(id: org.apache.spark.sql.Column) = {
+        val h = pmod(md5hash32(id.cast("string")), lit(100))
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+      }
+      minhashPairs(s, d).filter(col("n_bands") >= 2)
+        .withColumn("sa", splitOf(col("doc_a")))
+        .withColumn("sb", splitOf(col("doc_b")))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+                greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", (col("split_lo") =!= col("split_hi")))
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // Near-dup clusters at the sub-quadratic scale path: connected
     // components over the MinHash/LSH candidate pairs (the corpus-scale
     // twin of q_dedup_clusters, whose edges are exact-Jaccard pairs).
@@ -1480,6 +1508,30 @@ object DedupOps {
       FROM ch LEFT JOIN dup ON ch.h = dup.h
       GROUP BY ch.doc_id
       ORDER BY doc_id""",
+
+    "q_split_leakage" -> s"""
+      WITH $shinglesSql,
+      $minhashCtesSql,
+      p2 AS (SELECT doc_a, doc_b FROM mp WHERE n_bands >= 2),
+      sp AS (SELECT doc_id,
+                    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS
+                           VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                           THEN 'train'
+                         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS
+                           VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                           THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents),
+      j AS (SELECT least(sa.split, sb.split) AS split_lo,
+                   greatest(sa.split, sb.split) AS split_hi
+            FROM p2
+            JOIN sp sa ON p2.doc_a = sa.doc_id
+            JOIN sp sb ON p2.doc_b = sb.doc_id)
+      SELECT split_lo, split_hi, count(*) AS n_pairs,
+             split_lo <> split_hi AS is_leak
+      FROM j
+      GROUP BY split_lo, split_hi
+      ORDER BY split_lo, split_hi""",
 
     "q_dedup_minhash" -> s"""
       WITH $shinglesSql,

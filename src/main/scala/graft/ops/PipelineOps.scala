@@ -123,6 +123,37 @@ object PipelineOps {
              r6(max(col("rate")).cast("double") / 1000).as("target_rate"))
         .orderBy("source")),
 
+    // Temperature-based mixture reweighting — the multilingual-corpus
+    // mixing step (alpha-sampling): a source's sampling weight is
+    // proportional to n^(1/T) rather than n, boosting low-resource
+    // sources. T=2 here, i.e. sqrt scaling. Cross-engine exactness:
+    // sqrt is IEEE-correctly-rounded in both JVMs and libm, the inputs
+    // are exact integers well inside double's 2^52 window, and the
+    // weights are micro-unit INTEGER divisions of floor(sqrt(n)) sums —
+    // no float summation order anywhere. The per-source frame is one
+    // map-side-combined aggregate; the weight denominators attach as a
+    // structurally certified 1-row broadcast (DECIMAL(38,0) products, so
+    // the arithmetic survives corpus sizes where 10^6·n overflows
+    // int64).
+    "q_mix_temperature" -> ((s, d) => {
+      val bySrc = table(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars_total"))
+        .withColumn("s_temp",
+          floor(sqrt(col("n_chars_total").cast("double"))).cast("long"))
+      val totals = bySrc.agg(
+        sum(col("n_chars_total")).as("chars_tot"),
+        sum(col("s_temp")).as("s_tot"))
+      bySrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_chars_total"),
+          expr("CAST(1000000 * CAST(n_chars_total AS DECIMAL(38,0)) AS " +
+               "DECIMAL(38,0)) DIV chars_tot").as("w_prop_micro"),
+          expr("CAST(1000000 * CAST(s_temp AS DECIMAL(38,0)) AS " +
+               "DECIMAL(38,0)) DIV s_tot").as("w_temp_micro"))
+        .orderBy("source")
+    }),
+
     // Symmetric int8 quantization of embeddings: scale = 127/max|x|,
     // q_i = floor(x_i·scale + 0.5). Emits the audit scalars (scale,
     // quantized checksum, saturation count) rather than the int8 array
@@ -281,6 +312,24 @@ object PipelineOps {
              round(CAST(max(rate) AS DOUBLE) / 1000, 6) AS target_rate
       FROM t
       GROUP BY source
+      ORDER BY source""",
+
+    "q_mix_temperature" -> """
+      WITH s AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+                 FROM documents GROUP BY source),
+      t AS (SELECT source, n_docs, n_chars_total,
+                   CAST(floor(sqrt(CAST(n_chars_total AS DOUBLE)))
+                        AS BIGINT) AS s_temp
+            FROM s),
+      tot AS (SELECT sum(n_chars_total) AS chars_tot,
+                     sum(s_temp) AS s_tot FROM t)
+      SELECT source, n_docs, n_chars_total,
+             CAST((1000000 * CAST(n_chars_total AS HUGEINT)) // chars_tot
+                  AS DECIMAL(38,0)) AS w_prop_micro,
+             CAST((1000000 * CAST(s_temp AS HUGEINT)) // s_tot
+                  AS DECIMAL(38,0)) AS w_temp_micro
+      FROM t, tot
       ORDER BY source""",
 
     "q_embed_quantize" -> """

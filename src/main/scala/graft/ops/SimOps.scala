@@ -151,6 +151,52 @@ object SimOps {
         .orderBy("vec_id")
     }),
 
+    // ANN quality eval: recall@10 of BOTH approximate search paths
+    // (sign-bucket LSH, IVF cell probe) against the exact brute-force
+    // top-10 — the measurement that justifies shipping an approximate
+    // index at 100 TB, next to its subjects like q_dedup_minhash_eval
+    // sits next to the MinHash family. One row: candidate-set sizes,
+    // hits, recall. Every branch reuses the deterministic spellings of
+    // q_sim_search / q_sim_search_lsh / q_sim_search_ivf (r6-rounded
+    // cosine, (cos DESC, vec_id) total order), so the top-10 selections
+    // are bit-reproducible in both engines. The scored frame is linear
+    // (one broadcast probe over the vectors) and the eval joins are on
+    // ≤10-row frames; one-row aggregates attach via the structurally
+    // certified 1-row broadcast cross join.
+    "q_ann_eval" -> ((s, d) => {
+      val n = vectors(s, d)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"),
+                col("label").as("qcell"))
+        .limit(1)
+      def signBucket(v: org.apache.spark.sql.Column) =
+        concat((1 to 8).map(i =>
+          when(element_at(v, i) > 0, "1").otherwise("0")): _*)
+      val scored = n.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("qcell"),
+          signBucket(col("v")).as("bucket"),
+          signBucket(col("qv")).as("qbucket"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+      def top10(df: DataFrame) =
+        df.orderBy(desc("cos"), asc("vec_id")).limit(10).select(col("vec_id"))
+      val exact10 = top10(scored)
+      val lshCand = scored.filter(col("bucket") === col("qbucket"))
+      val ivfCand = scored.filter(col("label") === col("qcell"))
+      exact10.agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(lshCand.agg(count(lit(1)).as("lsh_candidates"))))
+        .crossJoin(broadcast(exact10.join(top10(lshCand), "vec_id")
+          .agg(count(lit(1)).as("lsh_hits"))))
+        .crossJoin(broadcast(ivfCand.agg(count(lit(1)).as("ivf_candidates"))))
+        .crossJoin(broadcast(exact10.join(top10(ivfCand), "vec_id")
+          .agg(count(lit(1)).as("ivf_hits"))))
+        .select(col("k"), col("lsh_candidates"), col("lsh_hits"),
+          r6(col("lsh_hits").cast("double") / col("k")).as("lsh_recall"),
+          col("ivf_candidates"), col("ivf_hits"),
+          r6(col("ivf_hits").cast("double") / col("k")).as("ivf_recall"))
+        .orderBy("k")
+    }),
+
     // Multimodal frame: text + embedding + scalars side by side, nested
     // array column preserved through the join (SURVEY.md §2.3).
     "q_multimodal_join" -> ((s, d) =>
@@ -194,6 +240,43 @@ object SimOps {
       WHERE c.vec_id <> 0
       ORDER BY cos DESC, vec_id ASC
       LIMIT 10""",
+
+    "q_ann_eval" -> s"""
+      WITH $vectorsSql,
+      b AS (SELECT vec_id, label, v, nrm,
+                   concat(
+                     CASE WHEN v[1] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[2] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[3] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[4] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[5] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[6] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[7] > 0 THEN '1' ELSE '0' END,
+                     CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS bucket
+            FROM n),
+      q AS (SELECT v, nrm, bucket AS qbucket, label AS qcell
+            FROM b WHERE vec_id = 0),
+      scored AS (SELECT c.vec_id, c.label, c.bucket, q.qbucket, q.qcell,
+                        round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
+                 FROM b c, q WHERE c.vec_id <> 0),
+      ex AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10),
+      lshc AS (SELECT * FROM scored WHERE bucket = qbucket),
+      ivfc AS (SELECT * FROM scored WHERE label = qcell),
+      lsh10 AS (SELECT vec_id FROM lshc ORDER BY cos DESC, vec_id LIMIT 10),
+      ivf10 AS (SELECT vec_id FROM ivfc ORDER BY cos DESC, vec_id LIMIT 10)
+      SELECT (SELECT count(*) FROM ex) AS k,
+             (SELECT count(*) FROM lshc) AS lsh_candidates,
+             (SELECT count(*) FROM ex JOIN lsh10 USING (vec_id))
+               AS lsh_hits,
+             round(CAST((SELECT count(*) FROM ex JOIN lsh10 USING (vec_id))
+                        AS DOUBLE) / (SELECT count(*) FROM ex), 6)
+               AS lsh_recall,
+             (SELECT count(*) FROM ivfc) AS ivf_candidates,
+             (SELECT count(*) FROM ex JOIN ivf10 USING (vec_id))
+               AS ivf_hits,
+             round(CAST((SELECT count(*) FROM ex JOIN ivf10 USING (vec_id))
+                        AS DOUBLE) / (SELECT count(*) FROM ex), 6)
+               AS ivf_recall""",
 
     "q_sim_search_ivf" -> s"""
       WITH $vectorsSql

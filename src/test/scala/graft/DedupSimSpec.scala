@@ -265,4 +265,27 @@ class DedupSimSpec extends SparkTestBase {
           s"${cluster(a)} / ${cluster(b)}")
     }
   }
+
+  test("split leakage rows partition the >=2-band candidate pair set") {
+    val leak = graft.SparkEntry.queries("q_split_leakage")(spark, sf0001)
+      .select($"n_pairs".as[Long]).collect().sum
+    val pairs = graft.SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
+      .filter($"n_bands" >= 2).count()
+    assert(leak == pairs,
+      s"leakage rollup covers $leak pairs, candidate set has $pairs")
+  }
+
+  test("ann eval: recalls in [0,1], hits bounded by k and candidates, " +
+       "IVF cell probe can't beat exact") {
+    val (k, lshC, lshH, lshR, ivfC, ivfH, ivfR) =
+      graft.SparkEntry.queries("q_ann_eval")(spark, sf0001)
+        .select($"k", $"lsh_candidates", $"lsh_hits", $"lsh_recall",
+                $"ivf_candidates", $"ivf_hits", $"ivf_recall")
+        .as[(Long, Long, Long, Double, Long, Long, Double)].collect()(0)
+    assert(k == 10)
+    for ((c, h, rec) <- Seq((lshC, lshH, lshR), (ivfC, ivfH, ivfR))) {
+      assert(h >= 0 && h <= k && h <= c, s"hits $h vs k=$k cands=$c")
+      assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - h.toDouble / k) < 1e-6)
+    }
+  }
 }
