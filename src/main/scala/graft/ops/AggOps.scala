@@ -252,7 +252,14 @@ object AggOps {
             element_at(array_sort(collect_list(
               when(g === b.gv && col(b.cid).between(b.lo, b.hi),
                    col(b.cid)))), (b.k + 1).toInt).as(s"v$i") }
-          val row = li.agg(exprs.head, exprs.tail: _*).collect()(0)
+          // Pre-filter to the union of target ranges so the per-bracket
+          // conditional aggregates evaluate on the ~n/B surviving rows,
+          // not the whole corpus (measured: the 18-aggregate pass was
+          // the extract scan's cost at 100×).
+          val keep = light.map(b =>
+            g === b.gv && col(b.cid).between(b.lo, b.hi)).reduce(_ || _)
+          val row = li.filter(keep).agg(exprs.head, exprs.tail: _*)
+            .collect()(0)
           light0.foreach { b =>
             val i = light.indexOf(b)
             resolved += ((b.gv, b.pname, b.role, row.getDouble(i)))
@@ -368,19 +375,37 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
-    // Statistical moments from exact decimal sums: var/stddev/corr computed
-    // as (Σx², Σx, Σxy) decimal moments and combined in closed form —
-    // native var_samp/corr accumulate doubles order-dependently and would
-    // not cross-engine match; this form is exact and shuffle-order-free.
+    // Statistical moments from exact INTEGER sums: var/stddev/corr from
+    // (Σx², Σx, Σxy) moments combined in closed form — native
+    // var_samp/corr accumulate doubles order-dependently and would not
+    // cross-engine match. Like q_agg_regression, the moments accumulate
+    // in exact (quantity, cents) integer units — quantity is
+    // integer-valued and price 2-dp-valued, so every sum is an exact
+    // DECIMAL(38,0) count that both engines reproduce bit-identically —
+    // and only the final closed-form combination runs in double, spelled
+    // identically in both engines (same ops in the same order ⇒ same
+    // IEEE results). ~1.5× cheaper per row than the former
+    // DECIMAL(38,6) accumulation (narrow decimal inputs), same
+    // one-pass map-side-combined shuffle shape.
     "q_agg_stats" -> ((s, d) => {
-      val x = col("l_quantity")
-      val y = col("l_extendedprice")
-      def m(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(38,6)")).cast("double")
       table(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,0)").as("qi"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").as("pc"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), m(x).as("sx"), m(x * x).as("sxx"),
-             m(y).as("sy"), m(y * y).as("syy"), m(x * y).as("sxy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qi")).cast("decimal(38,0)").as("sxi"),
+          sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("sxxi"),
+          sum(col("pc")).cast("decimal(38,0)").as("syi"),
+          sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("syyi"),
+          sum((col("qi") * col("pc")).cast("decimal(38,0)")).as("sxyi"))
+        .select(col("l_returnflag"), col("n"),
+          col("sxi").cast("double").as("sx"),
+          col("sxxi").cast("double").as("sxx"),
+          (col("syi").cast("double") / 100).as("sy"),
+          (col("syyi").cast("double") / 10000).as("syy"),
+          (col("sxyi").cast("double") / 100).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           r6((col("sxx") - col("sx") * col("sx") / col("n")) /
              (col("n") - 1)).as("var_qty"),
@@ -606,18 +631,19 @@ object AggOps {
       ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
 
     "q_agg_stats" -> """
-      WITH m AS (
+      WITH i AS (
+        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,0)) AS qi,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(18,0)) AS pc
+        FROM lineitem),
+      m AS (
         SELECT l_returnflag, count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-                 AS sy,
-               CAST(sum(CAST(l_extendedprice * l_extendedprice
-                    AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxy
-        FROM lineitem GROUP BY l_returnflag)
+               CAST(sum(qi) AS DOUBLE) AS sx,
+               CAST(sum(qi * qi) AS DOUBLE) AS sxx,
+               CAST(sum(pc) AS DOUBLE) / 100 AS sy,
+               CAST(sum(pc * pc) AS DOUBLE) / 10000 AS syy,
+               CAST(sum(qi * pc) AS DOUBLE) / 100 AS sxy
+        FROM i GROUP BY l_returnflag)
       SELECT l_returnflag, n,
              round((sxx - sx * sx / n) / nullif(n - 1, 0), 6) AS var_qty,
              round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)), 6) AS std_qty,

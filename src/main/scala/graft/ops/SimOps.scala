@@ -160,9 +160,12 @@ object SimOps {
     // q_sim_search / q_sim_search_lsh / q_sim_search_ivf (r6-rounded
     // cosine, (cos DESC, vec_id) total order), so the top-10 selections
     // are bit-reproducible in both engines. The scored frame is linear
-    // (one broadcast probe over the vectors) and the eval joins are on
-    // ≤10-row frames; one-row aggregates attach via the structurally
-    // certified 1-row broadcast cross join.
+    // (a broadcast probe over the vectors); each of the five eval
+    // branches re-derives it (Catalyst has no cross-branch reuse), so
+    // the audit costs five narrow scans — fine for a run-rarely audit;
+    // a session auditing many queries would persist the scored frame.
+    // The eval joins are on ≤10-row frames; one-row aggregates attach
+    // via the structurally certified 1-row broadcast cross join.
     "q_ann_eval" -> ((s, d) => {
       val n = vectors(s, d)
       val q = n.filter(col("vec_id") === 0)
