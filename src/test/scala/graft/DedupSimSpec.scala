@@ -288,4 +288,39 @@ class DedupSimSpec extends SparkTestBase {
       assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - h.toDouble / k) < 1e-6)
     }
   }
+
+  test("split leakage detects an engineered train/test near-dup pair") {
+    import org.apache.spark.sql.functions._
+    // Pick two doc ids whose md5 buckets land in train (<80) and test
+    // (>=90) with the ENGINE's own hash, then stage a corpus where those
+    // two docs share a long identical text (J = 1 >> 0.3, all 4 MinHash
+    // bands agree) amid distinct filler docs.
+    val ids = spark.range(1, 400)
+      .select($"id", pmod(graft.ops.md5hash32($"id".cast("string")),
+                          lit(100)).as("hb"))
+      .as[(Long, Long)].collect()
+    val trainId = ids.find(_._2 < 80).get._1
+    val testId = ids.find(_._2 >= 90).get._1
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (trainId, dup),
+      (testId, dup)) ++ (1000L to 1020L).map(i =>
+        (i, s"unique filler document number $i with words w$i x$i y$i z$i"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_leak_").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.ops.DedupOps.clearPairsCache()
+    try {
+      val out = SparkEntry.queries("q_split_leakage")(spark, tmp)
+        .select($"split_lo".as[String], $"split_hi".as[String],
+                $"n_pairs".as[Long], $"is_leak".as[Boolean]).collect()
+      val leak = out.filter(_._4)
+      assert(leak.exists(r => Set(r._1, r._2) == Set("test", "train") &&
+                              r._3 >= 1),
+        s"engineered train/test near-dup not reported: ${out.toSeq}")
+    } finally graft.ops.DedupOps.clearPairsCache()
+  }
 }
