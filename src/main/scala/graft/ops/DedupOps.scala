@@ -1085,15 +1085,56 @@ object DedupOps {
         val h = pmod(md5hash32(id.cast("string")), lit(100))
         when(h < 80, "train").when(h < 90, "val").otherwise("test")
       }
-      minhashPairs(s, d).filter(col("n_bands") >= 2)
-        .withColumn("sa", splitOf(col("doc_a")))
-        .withColumn("sb", splitOf(col("doc_b")))
-        .select(least(col("sa"), col("sb")).as("split_lo"),
-                greatest(col("sa"), col("sb")).as("split_hi"))
-        .groupBy(col("split_lo"), col("split_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .withColumn("is_leak", (col("split_lo") =!= col("split_hi")))
-        .orderBy("split_lo", "split_hi")
+      if (!contracted(s, d))
+        // Direct path: tag both sides of the (small) candidate listing.
+        minhashPairs(s, d).filter(col("n_bands") >= 2)
+          .withColumn("sa", splitOf(col("doc_a")))
+          .withColumn("sb", splitOf(col("doc_b")))
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+                  greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy(col("split_lo"), col("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_leak", (col("split_lo") =!= col("split_hi")))
+          .orderBy("split_lo", "split_hi")
+      else {
+        // Contracted path: the rollup needs COUNTS, not pairs, so it
+        // never expands the copy-quadratic listing (the r14 sweep
+        // measured the expanded form at 5.5× its pair-listing sibling).
+        // Per shingled content, count docs per split; a ≥2-band rep
+        // pair (A, B) contributes the outer product of the two
+        // count-vectors, and a copy group's within-content J=1 clique
+        // (all 4 bands shared, always ≥ the bar) contributes C(c_s, 2)
+        // same-split plus c_s·c_t cross-split pairs — exactly the
+        // multiset the expanded listing would have tagged, row-identical
+        // by construction (locked by ContractionGateSpec both-paths
+        // compare).
+        val gsc = shingledD2r(s, d)
+          .withColumn("split", splitOf(col("doc_id")))
+          .groupBy(col("rep"), col("split")).agg(count(lit(1)).as("c"))
+        val cross = repBandPairs(s, d)
+          .join(gsc.select(col("rep").as("doc_a"), col("split").as("sa"),
+                           col("c").as("ca")), Seq("doc_a"))
+          .join(gsc.select(col("rep").as("doc_b"), col("split").as("sb"),
+                           col("c").as("cb")), Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+                  greatest(col("sa"), col("sb")).as("split_hi"),
+                  (col("ca") * col("cb")).as("np"))
+        val withinSame = gsc
+          .select(col("split").as("split_lo"), col("split").as("split_hi"),
+                  expr("(c * (c - 1)) DIV 2").as("np"))
+        val withinCross = gsc.as("x")
+          .join(gsc.as("y"), col("x.rep") === col("y.rep") &&
+                             col("x.split") < col("y.split"))
+          .select(col("x.split").as("split_lo"),
+                  col("y.split").as("split_hi"),
+                  (col("x.c") * col("y.c")).as("np"))
+        cross.unionAll(withinSame).unionAll(withinCross)
+          .groupBy(col("split_lo"), col("split_hi"))
+          .agg(sum(col("np")).as("n_pairs"))
+          .filter(col("n_pairs") > 0)
+          .withColumn("is_leak", (col("split_lo") =!= col("split_hi")))
+          .orderBy("split_lo", "split_hi")
+      }
     }),
 
     // Near-dup clusters at the sub-quadratic scale path: connected
