@@ -133,6 +133,18 @@ object ScaleStress {
     sampler.setDaemon(true)
     sampler.start()
 
+    // Host-speed yardstick bracketing the sweep (the Bench calibration
+    // workload): identical-code sweeps measured ~2× wall swings with
+    // page-cache/host state — compare rounds on wall/calib, not wall.
+    def calibrate(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val calibStart = calibrate()
     val sweepT0 = System.nanoTime()
     val rows = heavy.map { name =>
       val cap = fixtureCaps.get(name).filter(_._1 < copies)
@@ -173,6 +185,7 @@ object ScaleStress {
       (name, s"{$fields}")
     }
     val totalS = (System.nanoTime() - sweepT0) / 1e9
+    val calibEnd = calibrate()
     sampling = false
 
     jsonOut.foreach { path =>
@@ -185,7 +198,9 @@ object ScaleStress {
         s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
         s""""shuffle_partitions":64,""" +
         s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +
-        f""""total_s":$totalS%.1f,"n_queries":${rows.size},""" +
+        f""""total_s":$totalS%.1f,""" +
+        f""""calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,""" +
+        s""""n_queries":${rows.size},""" +
         s""""n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},""" +
         s""""queries":$qJs}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
