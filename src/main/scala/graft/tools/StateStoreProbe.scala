@@ -1,0 +1,27 @@
+package graft.tools
+
+/** Scratch probe: times a stateful stream query under the default
+  * (HDFS-backed COW map) vs RocksDB state store providers on a given
+  * fixture. Usage: runMain graft.tools.StateStoreProbe [dir] [query] */
+object StateStoreProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/tmp/graft_scale_x100")
+    val q = args.lift(1).getOrElse("q_stream_dedup_wm")
+    val spark = graft.SessionDefaults.builder("32")
+      .config("spark.sql.shuffle.partitions", "64")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (provider <- Seq("default", "rocksdb", "rocksdb")) {
+      if (provider == "rocksdb")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, d).count()
+      println(f"[ssp] $q/$provider: ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+        f" ($n rows, state=${graft.streaming.StreamOps.takeStateMetrics()})")
+    }
+    spark.stop()
+  }
+}
