@@ -61,19 +61,27 @@ object FixtureGuard {
   /** All drift diagnostics for the fixture set under `dir`; empty = ok. */
   def drift(spark: SparkSession, dir: String): Seq[String] = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Only a MISSING fixture is "not drift" (the documented
+    // Verify-on-missing-dir contract: exit 0, oracle_sql.json still
+    // written, per-query try/catch logs one failure per query). A
+    // fixture that EXISTS but cannot be read — corrupt footer, broken
+    // permissions — is exactly the silent breakage this tripwire is
+    // for, so it surfaces as a diagnostic instead of being swallowed
+    // by a blanket Try (the r14-advice hole).
+    val readable = scala.collection.mutable.Set[String]()
     val schemaDrift = expected.toSeq.sortBy(_._1).flatMap {
       case (name, cols) =>
-        // A table that cannot be read at all is NOT drift (drift = an
-        // existing fixture whose physical types changed): skip it here
-        // and let the per-query try/catch log one failure per query —
-        // the documented Verify-on-missing-dir contract (exit 0,
-        // oracle_sql.json still written). An uncaught AnalysisException
-        // here used to abort the whole dump with exit 1.
-        scala.util.Try(spark.read.parquet(s"$dir/$name.parquet")
-            .schema.fields.map(f => f.name -> f.dataType.typeName))
-          .toOption match {
-          case None => Nil // unreadable ≠ drifted; per-query logs follow
-          case Some(observed) =>
+        val path = s"$dir/$name.parquet"
+        if (!new java.io.File(path).exists()) Nil // missing ≠ drifted
+        else scala.util.Try(spark.read.parquet(path)
+            .schema.fields.map(f => f.name -> f.dataType.typeName)) match {
+          case scala.util.Failure(e) =>
+            Seq(s"$name: fixture present but unreadable — " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).linesIterator
+                .take(1).mkString.take(160))
+          case scala.util.Success(observed) =>
+            readable += name
             if (observed.map(_._1).toSeq != cols.map(_._1))
               Seq(s"$name: column set drifted — observed " +
                 observed.map { case (n, t) => s"$n:$t" }
@@ -84,23 +92,31 @@ object FixtureGuard {
             }
         }
     }
-    // Only epoch-check tables whose schema resolved — a drifted schema
-    // already failed above and may not normalize at all; an unreadable
-    // one (missing dir) throws on scan, which is the per-query path's
-    // failure to report, not this preamble's.
+    // Only epoch-check tables that are readable AND whose schema passed —
+    // a drifted schema may not normalize at all; a missing one is the
+    // per-query path's failure to report. An epoch check that THROWS on
+    // a readable, schema-clean table is itself a diagnostic (this is the
+    // very unit-mismatch path the pin guards), not a silent skip.
     val badTables = schemaDrift.map(_.takeWhile(c => c != '.' && c != ':'))
-    val epochDrift = epochPins.filterNot(p => badTables.contains(p._1))
+    val epochDrift = epochPins
+      .filter(p => readable.contains(p._1) && !badTables.contains(p._1))
       .flatMap { case (tbl, c) =>
         scala.util.Try {
           val mm = graft.ops.table(spark, dir, tbl)
             .agg(year(min(col(c))).as("lo"), year(max(col(c))).as("hi"))
             .head()
           (mm.getInt(0), mm.getInt(1))
-        }.toOption.flatMap { case (lo, hi) =>
-          if (lo >= 1990 && hi <= 2035) None
-          else Some(s"$tbl.$c normalized to years [$lo, $hi] — unit " +
-            "mismatch between the fixture's physical type and the " +
-            "reader's conversion")
+        } match {
+          case scala.util.Failure(e) =>
+            Some(s"$tbl.$c: epoch-pin check failed to evaluate — " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).linesIterator
+                .take(1).mkString.take(160))
+          case scala.util.Success((lo, hi)) =>
+            if (lo >= 1990 && hi <= 2035) None
+            else Some(s"$tbl.$c normalized to years [$lo, $hi] — unit " +
+              "mismatch between the fixture's physical type and the " +
+              "reader's conversion")
         }
       }
     schemaDrift ++ epochDrift

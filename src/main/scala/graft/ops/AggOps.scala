@@ -164,12 +164,17 @@ object AggOps {
       val ExtractT = 65536L   // max rows one extract bracket may hold
       val MaxRounds = 8
 
-      // Level-1 log bucketizer: monotone over all doubles, no stats
-      // pass needed. Offsets keep the three sign classes disjoint.
+      // Level-1 log bucketizer: monotone over all REAL doubles, no stats
+      // pass needed. Offsets keep the three sign classes disjoint. NaN
+      // falls through every branch to a NaN-derived bucket that would
+      // corrupt the cumulative ordering, so NaNs are excluded from the
+      // population everywhere (counts, histogram, extract) — the query
+      // computes percentiles over non-null, non-NaN values.
       def logBucket(v: Column): Column =
         when(v > 0, floor(log(v) * 64) + 100000L)
           .when(v === 0, lit(0L))
           .otherwise(-floor(log(-v) * 64) - 100000L)
+      def real(c: Column): Column = c.isNotNull && !isnan(c)
 
       // One bracket = one pending k-th order statistic (k is 0-based
       // WITHIN the bracket's value range [lo, hi]).
@@ -183,7 +188,7 @@ object AggOps {
       def locate(cid: String, pred: Column, partOf: Column,
                  bucketOf: Column, ks: Seq[(String, Long)])
           : Seq[(String, Long, Long, Long, Double, Double)] = {
-        val hist = li.filter(col(cid).isNotNull && pred)
+        val hist = li.filter(real(col(cid)) && pred)
           .groupBy(partOf.as("pk"), bucketOf.as("b"))
           .agg(count(lit(1)).as("cnt"), min(col(cid)).as("mn"),
                max(col(cid)).as("mx"))
@@ -202,9 +207,11 @@ object AggOps {
           .toSeq
       }
 
-      // Per-group non-null counts per column — one row per group, off
-      // the same scans Spark would do anyway (tiny driver control).
-      val nAggs = tcols.map(c => count(col(c)).as(c))
+      // Per-group non-null non-NaN counts per column — one row per
+      // group, off the same scans Spark would do anyway (tiny driver
+      // control). Must match the histogram's population or the k-ranks
+      // drift.
+      val nAggs = tcols.map(c => count(when(real(col(c)), 1)).as(c))
       val nRows = li.groupBy(g).agg(nAggs.head, nAggs.tail: _*).collect()
       val nOf: Map[(String, String), Long] = nRows.flatMap { r =>
         tcols.zipWithIndex.map { case (c, i) =>

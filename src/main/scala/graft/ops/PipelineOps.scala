@@ -326,9 +326,9 @@ object PipelineOps {
                      sum(s_temp) AS s_tot FROM t)
       SELECT source, n_docs, n_chars_total,
              CAST((1000000 * CAST(n_chars_total AS HUGEINT)) // chars_tot
-                  AS DECIMAL(38,0)) AS w_prop_micro,
+                  AS BIGINT) AS w_prop_micro,
              CAST((1000000 * CAST(s_temp AS HUGEINT)) // s_tot
-                  AS DECIMAL(38,0)) AS w_temp_micro
+                  AS BIGINT) AS w_temp_micro
       FROM t, tot
       ORDER BY source""",
 

@@ -37,8 +37,21 @@ object ScaleStress {
       "stream_state) while the watermark-evicted twin q_stream_dedup_wm " +
       "runs at full scale")))
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string literal; control chars (Spark errors carry newlines and
+    * tabs) must be escaped or a recorded failure corrupts the artifact. */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.append("\"").toString
+  }
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -12,6 +12,11 @@ object StateStoreProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (provider <- Seq("default", "rocksdb", "rocksdb")) {
+      // The bigState gate inside runStreamN would re-engage RocksDB on a
+      // big staging regardless of providerClass — hold its kill switch
+      // so each leg measures the provider it names.
+      spark.conf.set("spark.graft.stream.rocksdb",
+        (provider == "rocksdb").toString)
       if (provider == "rocksdb")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 class ContractionGateSpec extends SparkTestBase {
 
   private val gated = Seq(
-    "q_dedup_ngram", "q_dedup_clusters", "q_graph_degree",
+    "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_clusters",
+    "q_graph_degree",
     "q_dedup_minhash", "q_dedup_minhash_clusters", "q_dedup_minhash_eval",
     "q_dedup_embed", "q_dedup_multi_signal", "q_split_leakage")
 

@@ -5,30 +5,41 @@ parquet dumped by graft.Verify (columns sorted by name, row order kept,
 values compared exactly; doubles bit-compared with an optional report of
 near-misses). Usage: check.py <sfDir> <verifyOutDir>"""
 import sys, os, json, math
+import decimal
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
+def typeclass(v):
+    """Driver-gate-faithful type class: the driver's hash canonicalization
+    distinguishes Decimal from int from float (r14's q_mix_temperature red
+    row was exactly a Decimal-vs-int mismatch with identical values that
+    the old float(a)==float(b) compare equated). Int widths collapse (both
+    pyarrow and duckdb surface them as Python int); bool is its own class
+    (it is an int subclass in Python, so check it first)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, int):
+        return "int"
     if isinstance(v, float):
-        return v
-    return v
+        return "float"
+    return type(v).__name__
 
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
+    if a is None or b is None:
+        return False
+    if typeclass(a) != typeclass(b):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
-    # ints of different widths, decimals vs ints etc.
-    try:
-        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-            return float(a) == float(b)
-    except Exception:
-        pass
     return a == b
 
 def main():
