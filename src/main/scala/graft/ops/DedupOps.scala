@@ -1482,6 +1482,56 @@ object DedupOps {
           when(col("cluster") === col("doc_id"), 1L).otherwise(0L))
         .orderBy("doc_id")
     }),
+
+    // Incremental ingest dedup — the production shape: classify an
+    // arriving BATCH (the md5-bucket >= 90 slice, 10%) against the
+    // standing CORPUS (the other 90%) as exact_dup (byte-identical
+    // content already in the corpus), near_dup (shingle containment
+    // >= 0.5 against the corpus shingle union), or unique. Everything
+    // content-level, unconditionally (the q_contamination posture): a
+    // doc's shingle set and content key are functions of its bytes, so
+    // exactness is a rep-membership semi-join and containment is
+    // computed ONCE per distinct batch content against the rep-only
+    // shingle frame — immune to copy density, and the probe join
+    // (batch-content shingles ⋈ corpus shingle set) is linear, never a
+    // posting-list self-join. Containment is integer-exact micro
+    // (hits*10^6 DIV n_shingles), so the 0.5 threshold compare has no
+    // float in it. At 100 TB the corpus shingle set is the big side of
+    // one hash join keyed on the 60-bit shingle hash; the batch side is
+    // the arriving increment — exactly the asymmetry this query shape
+    // exploits.
+    "q_dedup_incremental" -> ((s, d) => {
+      val assign = table(s, d, "documents").select(col("doc_id"),
+        pmod(md5hash32(col("doc_id").cast("string")), lit(100)).as("hb"))
+      val withSide = rawDoc2Rep(s, d).select("doc_id", "rep")
+        .join(assign, "doc_id")
+      val corpusReps = withSide.filter(col("hb") < 90)
+        .select("rep").distinct()
+      val batch = withSide.filter(col("hb") >= 90).select("doc_id", "rep")
+      val sh = repHashedShingles(s, d).withColumnRenamed("doc_id", "rep")
+      val corpusSh = sh.join(corpusReps, Seq("rep"), "semi")
+        .select("h").distinct().withColumn("hit", lit(1L))
+      val batchOnlyReps = batch.select("rep").distinct()
+        .join(corpusReps, Seq("rep"), "left_anti")
+      val cont = sh.join(batchOnlyReps, Seq("rep"), "semi")
+        .join(corpusSh, Seq("h"), "left")
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n_sh"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("cmicro", expr("(n_hit * 1000000) DIV n_sh"))
+      val exact = batch.join(corpusReps, Seq("rep"), "semi")
+        .withColumn("status", lit("exact_dup"))
+      val rest = batch.join(corpusReps, Seq("rep"), "left_anti")
+        .join(cont.select("rep", "cmicro"), Seq("rep"), "left")
+        .withColumn("status",
+          when(col("cmicro") >= 500000L, "near_dup").otherwise("unique"))
+      exact.select("doc_id", "rep", "status")
+        .unionAll(rest.select("doc_id", "rep", "status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("rep")).as("n_contents"))
+        .orderBy("status")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1754,5 +1804,41 @@ object DedupOps {
              CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT)
                AS keep
       FROM reach GROUP BY src ORDER BY doc_id""",
+
+    "q_dedup_incremental" -> s"""
+      WITH $shinglesSql,
+      shh AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                       AS h
+              FROM sh),
+      a AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS hb,
+                   md5(text) AS ck
+            FROM documents),
+      ck_corpus AS (SELECT DISTINCT ck FROM a WHERE hb < 90),
+      batch AS (SELECT doc_id, ck FROM a WHERE hb >= 90),
+      exact AS (SELECT b.doc_id, b.ck FROM batch b
+                JOIN ck_corpus c USING (ck)),
+      csh AS (SELECT DISTINCT h FROM shh JOIN a USING (doc_id)
+              WHERE hb < 90),
+      rem AS (SELECT doc_id, ck FROM batch
+              WHERE ck NOT IN (SELECT ck FROM ck_corpus)),
+      cont AS (SELECT r.doc_id, count(*) AS n_sh,
+                      sum(CASE WHEN csh.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS n_hit
+               FROM rem r JOIN shh ON r.doc_id = shh.doc_id
+                    LEFT JOIN csh ON shh.h = csh.h
+               GROUP BY 1),
+      cls AS (
+        SELECT doc_id, ck, 'exact_dup' AS status FROM exact
+        UNION ALL
+        SELECT r.doc_id, r.ck,
+               CASE WHEN (c.n_hit * 1000000) // c.n_sh >= 500000
+                    THEN 'near_dup' ELSE 'unique' END AS status
+        FROM rem r LEFT JOIN cont c ON r.doc_id = c.doc_id)
+      SELECT status, count(*) AS n_docs,
+             CAST(count(DISTINCT ck) AS BIGINT) AS n_contents
+      FROM cls GROUP BY 1 ORDER BY 1""",
   )
 }

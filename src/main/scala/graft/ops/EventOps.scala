@@ -142,6 +142,56 @@ object EventOps {
                 col("n_days"))
         .orderBy("user_id", "streak_start")
     }),
+
+    // Robust outlier detection: median + MAD (median absolute deviation)
+    // per event type, the estimator that survives the heavy tails that
+    // wreck q_events_outliers' mean/stddev. Exact medians WITHOUT
+    // buffering per-group values: `value` is a bounded-domain 2-decimal
+    // measure, so a (type, value) count histogram is ≤ |types|×|domain|
+    // rows AT ANY CORPUS SIZE — the cumulative-rank walk over that
+    // histogram is exact and 100 TB-safe where a collect_list median is
+    // an OOM. Both median passes (value, then |value−med|) use the same
+    // histogram locate; med/mad frames are |types| rows, broadcast back.
+    // The oracle mirrors the identical cumulative arithmetic (never
+    // quantile_cont — its interpolation spelling is engine-internal).
+    "q_events_mad" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), col("value"))
+      // Exact median of `vc` per event_type via count-histogram rank walk:
+      // klo/khi are the 0-based middle ranks; med = (vlo + vhi) / 2.
+      def histMedian(df: org.apache.spark.sql.DataFrame, vc: String,
+                     out: String): org.apache.spark.sql.DataFrame = {
+        val cw = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        val hist = df.groupBy(col("event_type"), col(vc).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum_end", sum(col("cnt")).over(cw))
+          .withColumn("cum_start", col("cum_end") - col("cnt"))
+        val n = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .withColumn("klo", expr("(n - 1) DIV 2"))
+          .withColumn("khi", expr("n DIV 2"))
+        hist.join(broadcast(n), "event_type")
+          .groupBy(col("event_type"))
+          .agg(((max(when(col("cum_start") <= col("klo") &&
+                          col("klo") < col("cum_end"), col("v"))) +
+                 max(when(col("cum_start") <= col("khi") &&
+                          col("khi") < col("cum_end"), col("v")))) / 2)
+            .as(out))
+      }
+      val med = histMedian(ev, "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = histMedian(dev.select(col("event_type"), col("dev")),
+                           "dev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             r6(max(col("med"))).as("med"),
+             r6(max(col("mad"))).as("mad"),
+             sum(when(col("dev") > lit(3.0) * col("mad"), 1L)
+               .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +278,44 @@ object EventOps {
       FROM r
       GROUP BY user_id, day - CAST(rn AS INTEGER)
       ORDER BY user_id, streak_start""",
+
+    "q_events_mad" -> """
+      WITH ev AS (SELECT event_type, value FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+      h1 AS (SELECT event_type, value AS v, count(*) AS cnt
+             FROM ev GROUP BY 1, 2),
+      c1 AS (SELECT event_type, v, cnt,
+                    sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
+                      AS cum_end
+             FROM h1),
+      n1 AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+      m1 AS (SELECT c1.event_type,
+                    (max(CASE WHEN cum_end - cnt <= (n - 1) // 2
+                               AND (n - 1) // 2 < cum_end THEN v END) +
+                     max(CASE WHEN cum_end - cnt <= n // 2
+                               AND n // 2 < cum_end THEN v END)) / 2 AS med
+             FROM c1 JOIN n1 USING (event_type) GROUP BY 1),
+      dv AS (SELECT ev.event_type, abs(ev.value - m1.med) AS dev, m1.med
+             FROM ev JOIN m1 USING (event_type)),
+      h2 AS (SELECT event_type, dev AS v, count(*) AS cnt
+             FROM dv GROUP BY 1, 2),
+      c2 AS (SELECT event_type, v, cnt,
+                    sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
+                      AS cum_end
+             FROM h2),
+      m2 AS (SELECT c2.event_type,
+                    (max(CASE WHEN cum_end - cnt <= (n - 1) // 2
+                               AND (n - 1) // 2 < cum_end THEN v END) +
+                     max(CASE WHEN cum_end - cnt <= n // 2
+                               AND n // 2 < cum_end THEN v END)) / 2 AS mad
+             FROM c2 JOIN n1 USING (event_type) GROUP BY 1)
+      SELECT dv.event_type, count(*) AS n,
+             round(max(dv.med), 6) AS med,
+             round(max(m2.mad), 6) AS mad,
+             CAST(sum(CASE WHEN dv.dev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+      FROM dv JOIN m2 USING (event_type)
+      GROUP BY dv.event_type
+      ORDER BY dv.event_type""",
   )
 }

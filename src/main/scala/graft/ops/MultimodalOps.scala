@@ -15,9 +15,13 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
-  /** Output schema of the fake decoder. */
+  /** Output schema of the fake decoder. Metadata columns that arrive WITH
+    * the payload (here `lang`) ride through the decode pass instead of
+    * being re-attached by a post-decode join: at 100x that join is a
+    * 2x50M-row shuffle for information the scan already had in hand. */
   val decodeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = true),
     StructField("payload_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -26,13 +30,14 @@ object MultimodalOps {
   /** STUB decode: a real implementation would hand `payload` to an image
     * codec here. The fake derives deterministic "pixels" from the bytes so
     * the plumbing (schema, batching, partition parallelism) is testable. */
-  private def fakeDecode(docId: Long, payload: Array[Byte]): Row = {
+  private def fakeDecode(docId: Long, lang: String,
+                         payload: Array[Byte]): Row = {
     val w = 16 + (payload.length % 64)
     val h = 16 + ((payload.length / 64) % 64)
     val luma =
       if (payload.isEmpty) 0.0
       else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-    Row(docId, payload.length.toLong, w, h, luma)
+    Row(docId, lang, payload.length.toLong, w, h, luma)
   }
 
   /** Binary-payload frame: text bytes stand in for media bytes. */
@@ -46,9 +51,10 @@ object MultimodalOps {
   def decode(s: SparkSession, d: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodeSchema)
     payloads(s, d)
-      .select(col("doc_id"), col("payload"))
+      .select(col("doc_id"), col("lang"), col("payload"))
       .mapPartitions { rows =>
-        rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        rows.map(r => fakeDecode(r.getLong(0), r.getString(1),
+          r.getAs[Array[Byte]](2)))
       }(enc)
   }
 
@@ -64,17 +70,14 @@ object MultimodalOps {
 
     // Decode + per-language feature aggregation — Spark-only (the decoder
     // stub is not expressible in SQL); driver records a rows-only check.
-    "q_mm_decode" -> ((s, d) => {
-      val feats = decode(s, d)
-      table(s, d, "documents").select(col("doc_id"), col("lang"))
-        .join(feats, "doc_id")
+    "q_mm_decode" -> ((s, d) =>
+      decode(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
              r6(davg(col("mean_luma"))).as("avg_luma"),
              max(col("width")).as("max_w"),
              max(col("height")).as("max_h"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
   )
 
   val oracles: Map[String, String] = Map(

@@ -205,6 +205,47 @@ object PipelineOps {
                .as("total_tokens"))
         .orderBy("split", "lang")
     }),
+
+    // Decile stratification by document length — the curation primitive
+    // behind "drop the bottom decile / oversample the top". Global
+    // ntile(10) is a single-partition-sort anti-pattern at scale, so the
+    // rank is decomposed: (a) a count histogram over DISTINCT n_tokens
+    // values (bounded by the token-count domain, not the corpus) gives
+    // each value its exclusive cumulative prior via a window over that
+    // tiny frame; (b) the intra-value tiebreak rank is a row_number
+    // windowed BY VALUE — partitioned, skew-bounded by the most common
+    // length, never a global sort; (c) global rank = prior + intra rank,
+    // and the ANSI-ntile bucket is closed-form integer arithmetic from
+    // (rank, n). The oracle uses DuckDB's native ntile over the same
+    // (n_tokens, doc_id) total order — closed form vs built-in agreeing
+    // IS the test.
+    "q_quality_bins" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val hist = docs.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_end",
+          sum(col("cnt")).over(Window.orderBy("n_tokens")))
+        .withColumn("cum_prior", col("cum_end") - col("cnt"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy("n_tokens").orderBy("doc_id")
+      docs.withColumn("rn", row_number().over(rw).cast("long"))
+        .join(hist.select("n_tokens", "cum_prior"), "n_tokens")
+        .withColumn("rank", col("cum_prior") + col("rn"))
+        .crossJoin(broadcast(n))
+        .withColumn("q", expr("n DIV 10"))
+        .withColumn("r", col("n") % 10)
+        .withColumn("decile",
+          when(col("rank") <= col("r") * (col("q") + 1),
+               expr("(rank - 1) DIV (q + 1) + 1"))
+            .otherwise(expr("r + (rank - r * (q + 1) - 1) DIV q + 1")))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("n_tokens")).as("min_tokens"),
+             max(col("n_tokens")).as("max_tokens"),
+             sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("decile")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +272,19 @@ object PipelineOps {
       FROM s
       GROUP BY 1, 2
       ORDER BY split, lang""",
+
+    "q_quality_bins" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+                 FROM documents),
+      b AS (SELECT n_tokens,
+                   ntile(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+            FROM d)
+      SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+             min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY 1 ORDER BY 1""",
 
     "q_text_chunk" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,

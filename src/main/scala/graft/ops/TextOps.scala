@@ -214,6 +214,48 @@ object TextOps {
                     ascii(element_at(col("tok"), i)).cast("long"))),
             lit(0L), (acc, x) => acc + x).as("fp"))
         .orderBy("doc_id")),
+
+    // Collocation mining: PMI-ranked adjacent-token bigrams. PMI's log is
+    // monotone, so ranking by the LIFT ratio c_xy·N_uni²/(c_x·c_y·N_bi)
+    // needs no transcendental at all — emitted as an integer-exact
+    // micro-lift via DECIMAL(38,0) products and integer division (the
+    // same determinism idiom as q_text_surprisal: both engines do the
+    // identical exact-integer arithmetic, no libm in the compare path).
+    // Scale: two token-keyed hash-shuffles (unigram + bigram counts), a
+    // bigram⋈unigram join per word (shuffle on word — at 100 TB the
+    // vocab side of each join is Zipf-bounded and AQE-broadcastable),
+    // corpus totals ride a certified 1-row broadcast cross join, top-50
+    // via TakeOrderedAndProject. min-count 5 keeps noise bigrams out.
+    "q_pmi_bigram" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+      val uni = toks.select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val biAll = toks.filter(size(col("tok")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tok) - 1),
+               i -> struct(element_at(tok, i) AS w1,
+                           element_at(tok, i + 1) AS w2))""")).as("g"))
+        .select(col("g.w1"), col("g.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      val bi = biAll.filter(col("cxy") >= 5)
+      // Corpus totals are computed BEFORE the min-count filter (the
+      // probability denominators are corpus-wide, not survivors-only).
+      val totals = uni.agg(sum(col("cw")).as("n_uni"))
+        .crossJoin(broadcast(biAll.agg(sum(col("cxy")).as("n_bi"))))
+      bi.join(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("cw", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+                 .withColumnRenamed("cw", "c2"), "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("cxy"),
+          expr("""CAST((CAST(cxy AS DECIMAL(38,0)) * n_uni * n_uni
+                        * 1000000)
+                       DIV (CAST(c1 AS DECIMAL(38,0)) * c2 * n_bi)
+                       AS BIGINT)""").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +384,28 @@ object TextOps {
                AS BIGINT) AS fp
       FROM t
       ORDER BY doc_id""",
+
+    "q_pmi_bigram" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS tok FROM documents),
+      uni AS (SELECT w, count(*) AS cw
+              FROM (SELECT unnest(tok) AS w FROM t) GROUP BY 1),
+      bi_all AS (SELECT g, count(*) AS cxy
+                 FROM (SELECT unnest(list_transform(range(1, len(tok)),
+                                i -> tok[i] || ' ' || tok[i + 1])) AS g
+                       FROM t WHERE len(tok) >= 2)
+                 GROUP BY 1),
+      tot AS (SELECT (SELECT sum(cw) FROM uni) AS n_uni,
+                     (SELECT sum(cxy) FROM bi_all) AS n_bi),
+      b AS (SELECT split_part(g, ' ', 1) AS w1,
+                   split_part(g, ' ', 2) AS w2, cxy
+            FROM bi_all WHERE cxy >= 5)
+      SELECT b.w1, b.w2, b.cxy,
+             CAST((CAST(b.cxy AS HUGEINT) * n_uni * n_uni * 1000000)
+                  // (CAST(u1.cw AS HUGEINT) * u2.cw * n_bi)
+                  AS BIGINT) AS lift_micro
+      FROM b JOIN uni u1 ON b.w1 = u1.w
+             JOIN uni u2 ON b.w2 = u2.w, tot
+      ORDER BY lift_micro DESC, w1, w2
+      LIMIT 50""",
   )
 }
