@@ -211,9 +211,98 @@ object SimOps {
           element_at(col("embedding"), 1).cast("double").as("e1"),
           length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id")),
+
+    // Deterministic k-means (k=8, 3 unrolled Lloyd iterations) over the
+    // embedding column — the clustering primitive behind SemDeDup-style
+    // semantic curation (cluster first so near-dup / diversity work is
+    // per-cell, not corpus-quadratic). Everything is engine-exact:
+    //   - init = the 8 smallest vec_ids (no RNG to ship to executors);
+    //   - assignment = argmin over squared L2 computed with the SAME
+    //     element-order double accumulation as the oracle's list_sum,
+    //     ties broken by centroid id via a (dist, cid) struct-min;
+    //   - update = per-dimension exact-decimal mean (the davg spelling),
+    //     so both engines iterate from bit-identical centroids.
+    // Scale: each iteration is one broadcast of ≤ 8 centroid rows (a
+    // .limit(8) gives the plan the PROVABLE maxRows bound PlanShapeSpec
+    // certifies) against a linear scan — O(n·k·dim) compute, the means
+    // are a (cid, dim)-keyed shuffle of bounded width (k·dim rows out).
+    // Fixed iteration count keeps the oracle expressible; convergence
+    // monitoring at 100 TB would watch the inertia column across runs.
+    "q_cluster_kmeans" -> ((s, d) => {
+      val vecs = table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val c0 = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("c")).limit(8)
+      def assign(cents: DataFrame): DataFrame = {
+        // argmin via per-vector row_number (k rows per partition — the
+        // sort is bounded by k, and it is the oracle's exact spelling;
+        // a struct-min would fall out of hash aggregation here because
+        // the carried vector makes the buffer non-mutable).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        vecs.crossJoin(broadcast(cents))
+          .withColumn("dist", aggregate(
+            zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+      }
+      def means(a: DataFrame): DataFrame = a
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .limit(8)
+      val a3 = assign(means(assign(means(assign(c0)))))
+      a3.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), dsum(col("dist")).as("inertia"))
+        .orderBy("cid")
+    }),
   )
 
+  /** Unrolled k-means CTE chain for the oracle (k=8, `iters` Lloyd
+    * iterations), mirroring q_cluster_kmeans' exact arithmetic:
+    * list_sum squared-L2, (dist, cid) tiebreak, exact-decimal means. */
+  private def kmeansSql(iters: Int): String = {
+    val init =
+      "c0 AS (SELECT vec_id AS cid, v AS c FROM n WHERE vec_id < 8)"
+    val steps = (1 to iters).map { k =>
+      val upd = if (k == iters) "" else s""",
+      m$k AS (SELECT cid, pos,
+                     CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS m
+              FROM (SELECT cid, unnest(v) AS val,
+                           unnest(range(1, len(v) + 1)) AS pos FROM a$k)
+              GROUP BY cid, pos),
+      c$k AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$k GROUP BY cid)"""
+      s"""
+      d$k AS (SELECT n.vec_id, n.v, c.cid,
+                     list_sum(list_transform(range(1, len(n.v) + 1),
+                       i -> (n.v[i] - c.c[i]) * (n.v[i] - c.c[i]))) AS dist
+              FROM n, c${k - 1} c),
+      a$k AS (SELECT vec_id, v, cid, dist FROM (
+                SELECT vec_id, v, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d$k) WHERE rn = 1)$upd"""
+    }
+    init + steps.mkString(",", ",", "")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_cluster_kmeans" -> s"""
+      WITH $vectorsSql,
+      ${kmeansSql(3)}
+      SELECT cid, count(*) AS n_vecs,
+             CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+      FROM a3 GROUP BY cid ORDER BY cid""",
+
     "q_sim_search" -> s"""
       WITH $vectorsSql
       SELECT c.vec_id AS vec_id, c.label AS label,

@@ -83,6 +83,58 @@ class R15OpsSpec extends SparkTestBase {
     assert(lift == expect, s"lift $lift != $expect")
   }
 
+  test("cluster_kmeans matches a brute-force Lloyd run on sf0.001") {
+    val got = ops.SimOps.queries("q_cluster_kmeans")(spark, sf0001)
+      .select($"cid".as[Long], $"n_vecs".as[Long], $"inertia".as[Double])
+      .collect()
+    val vecs = ops.table(spark, sf0001, "embeddings")
+      .select($"vec_id".as[Long],
+        $"embedding".as[Array[Float]]).collect()
+      .map { case (id, e) => (id, e.map(_.toDouble)) }.sortBy(_._1)
+    val vmap = vecs.toMap
+    // valueOf (shortest-decimal-repr) mirrors Spark's Decimal(double)
+    def d6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < 8).map { case (id, v) => (id, v) }.toSeq
+    var asg: Array[(Long, Long, Double)] = null // vec, cid, dist
+    for (_ <- 1 to 3) {
+      asg = vecs.map { case (id, v) =>
+        val (cid, dist) = cents.map { case (c, cv) => (c, sqDist(v, cv)) }
+          .minBy { case (c, dd) => (dd, c) }
+        (id, cid, dist)
+      }
+      val byC = asg.groupBy(_._2)
+      cents = byC.toSeq.sortBy(_._1).map { case (c, members) =>
+        val vs = members.map(m => vmap(m._1))
+        val dim = vs.head.length
+        val mean = (0 until dim).map { i =>
+          // the exact-decimal davg spelling: per-value DECIMAL(18,6)
+          // rounding, exact sum, double division by count
+          val s = vs.map(v => d6(v(i))).reduce(_ add _)
+          s.doubleValue / vs.length
+        }.toArray
+        (c, mean)
+      }
+    }
+    val want = asg.groupBy(_._2).map { case (c, ms) =>
+      val inertia = ms.map(m => d6(m._3)).reduce(_ add _).doubleValue
+      (c, (ms.length.toLong, inertia))
+    }
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (cid, n, inertia) =>
+      assert(n == want(cid)._1, s"cluster $cid size")
+      assert(math.abs(inertia - want(cid)._2) < 1e-9, s"cluster $cid inertia")
+    }
+    assert(got.map(_._2).sum == vecs.length, "clusters partition the corpus")
+  }
+
   test("dedup_incremental classifies an engineered batch correctly") {
     // Build a fixture where each classification branch provably fires.
     // Bucket assignment is md5(doc_id)%100: >= 90 is the arriving batch.
