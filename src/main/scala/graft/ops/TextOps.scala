@@ -240,9 +240,17 @@ object TextOps {
         .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
       val bi = biAll.filter(col("cxy") >= 5)
       // Corpus totals are computed BEFORE the min-count filter (the
-      // probability denominators are corpus-wide, not survivors-only).
-      val totals = uni.agg(sum(col("cw")).as("n_uni"))
-        .crossJoin(broadcast(biAll.agg(sum(col("cxy")).as("n_bi"))))
+      // probability denominators are corpus-wide, not survivors-only) —
+      // and WITHOUT touching the exploded frames: Σcw = Σlen(tok) and
+      // Σcxy = Σ(len(tok)−1), so one un-exploded scan yields both. (The
+      // Σcxy-from-biAll spelling re-ran the bigram explode+shuffle: the
+      // transform() lambda defeats exchange canonicalization, so the
+      // totals branch could never ReusedExchange the pair count's
+      // shuffle — a second full-corpus explode for a 1-row total.)
+      val totals = toks.agg(
+        sum(size(col("tok"))).cast("long").as("n_uni"),
+        sum(when(size(col("tok")) >= 2, size(col("tok")) - 1)
+          .otherwise(0)).cast("long").as("n_bi"))
       bi.join(uni.withColumnRenamed("w", "w1")
                  .withColumnRenamed("cw", "c1"), "w1")
         .join(uni.withColumnRenamed("w", "w2")
@@ -394,8 +402,10 @@ object TextOps {
                                 i -> tok[i] || ' ' || tok[i + 1])) AS g
                        FROM t WHERE len(tok) >= 2)
                  GROUP BY 1),
-      tot AS (SELECT (SELECT sum(cw) FROM uni) AS n_uni,
-                     (SELECT sum(cxy) FROM bi_all) AS n_bi),
+      tot AS (SELECT CAST(sum(len(tok)) AS BIGINT) AS n_uni,
+                     CAST(sum(CASE WHEN len(tok) >= 2 THEN len(tok) - 1
+                              ELSE 0 END) AS BIGINT) AS n_bi
+              FROM t),
       b AS (SELECT split_part(g, ' ', 1) AS w1,
                    split_part(g, ' ', 2) AS w2, cxy
             FROM bi_all WHERE cxy >= 5)
