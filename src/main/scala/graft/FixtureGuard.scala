@@ -72,9 +72,21 @@ object FixtureGuard {
     val schemaDrift = expected.toSeq.sortBy(_._1).flatMap {
       case (name, cols) =>
         val path = s"$dir/$name.parquet"
-        if (!new java.io.File(path).exists()) Nil // missing ≠ drifted
+        // File.exists() only answers for plain local paths; a scheme'd
+        // dir (file:/, hdfs://, s3a://…) that Spark can read must fall
+        // through to the read attempt or the tripwire silently disarms
+        // for exactly those dirs. A read failure that is just
+        // path-not-found stays "missing ≠ drifted".
+        val plainLocalMissing =
+          !path.contains(":/") && !new java.io.File(path).exists()
+        def isPathNotFound(e: Throwable): Boolean = {
+          val m = String.valueOf(e.getMessage)
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+        }
+        if (plainLocalMissing) Nil // missing ≠ drifted
         else scala.util.Try(spark.read.parquet(path)
             .schema.fields.map(f => f.name -> f.dataType.typeName)) match {
+          case scala.util.Failure(e) if isPathNotFound(e) => Nil
           case scala.util.Failure(e) =>
             Seq(s"$name: fixture present but unreadable — " +
               s"${e.getClass.getSimpleName}: " +

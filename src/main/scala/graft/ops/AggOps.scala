@@ -739,11 +739,20 @@ object AggOps {
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
 
+    // The per-aggregate NaN FILTERs mirror the Spark side's real()
+    // population (non-null, non-NaN per COLUMN): without them a single
+    // NaN would enter DuckDB's sort (NaN orders last) while Spark's
+    // histogram walk excludes it — a latent population divergence even
+    // though the shipped fixtures carry no NaNs.
     "q_agg_percentile" -> """
       SELECT l_returnflag,
-             round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-             round(quantile_cont(l_quantity, 0.9), 6) AS p90,
-             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+             round(quantile_cont(l_quantity, 0.5)
+                   FILTER (WHERE NOT isnan(l_quantity)), 6) AS p50,
+             round(quantile_cont(l_quantity, 0.9)
+                   FILTER (WHERE NOT isnan(l_quantity)), 6) AS p90,
+             round(quantile_cont(l_extendedprice, 0.5)
+                   FILTER (WHERE NOT isnan(l_extendedprice)), 6)
+               AS p50_price
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

@@ -1822,8 +1822,9 @@ object DedupOps {
                 JOIN ck_corpus c USING (ck)),
       csh AS (SELECT DISTINCT h FROM shh JOIN a USING (doc_id)
               WHERE hb < 90),
-      rem AS (SELECT doc_id, ck FROM batch
-              WHERE ck NOT IN (SELECT ck FROM ck_corpus)),
+      rem AS (SELECT doc_id, ck FROM batch b
+              WHERE NOT EXISTS (SELECT 1 FROM ck_corpus c
+                                WHERE c.ck = b.ck)),
       cont AS (SELECT r.doc_id, count(*) AS n_sh,
                       sum(CASE WHEN csh.h IS NOT NULL THEN 1 ELSE 0 END)
                         AS n_hit

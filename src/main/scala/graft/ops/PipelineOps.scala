@@ -227,7 +227,8 @@ object PipelineOps {
         .withColumn("cum_end",
           sum(col("cnt")).over(Window.orderBy("n_tokens")))
         .withColumn("cum_prior", col("cum_end") - col("cnt"))
-      val n = docs.agg(count(lit(1)).as("n"))
+      // corpus total off the tiny hist frame — not a third corpus scan
+      val n = hist.agg(sum(col("cnt")).as("n"))
       val rw = Window.partitionBy("n_tokens").orderBy("doc_id")
       docs.withColumn("rn", row_number().over(rw).cast("long"))
         .join(hist.select("n_tokens", "cum_prior"), "n_tokens")

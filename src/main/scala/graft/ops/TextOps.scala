@@ -251,16 +251,23 @@ object TextOps {
         sum(size(col("tok"))).cast("long").as("n_uni"),
         sum(when(size(col("tok")) >= 2, size(col("tok")) - 1)
           .otherwise(0)).cast("long").as("n_bi"))
+      // Two-step integer division keeps every intermediate inside
+      // DECIMAL(38,0)/HUGEINT at 100 TB magnitudes (n_uni ~ 2.5e13):
+      // the one-step numerator cxy·n_uni²·10⁶ crosses 10³⁸ for hot
+      // bigrams, where non-ANSI Spark NULLs silently and HUGEINT
+      // errors. Step 1 ≤ 10⁶·n_uni (since cxy ≤ min(c1,c2)); step 2
+      // ≤ 10⁶·n_uni² ≈ 6e32. Both engines run the identical two-step
+      // floor spelling, so the (slightly coarser) rounding is shared.
       bi.join(uni.withColumnRenamed("w", "w1")
                  .withColumnRenamed("cw", "c1"), "w1")
         .join(uni.withColumnRenamed("w", "w2")
                  .withColumnRenamed("cw", "c2"), "w2")
         .crossJoin(broadcast(totals))
         .select(col("w1"), col("w2"), col("cxy"),
-          expr("""CAST((CAST(cxy AS DECIMAL(38,0)) * n_uni * n_uni
-                        * 1000000)
-                       DIV (CAST(c1 AS DECIMAL(38,0)) * c2 * n_bi)
-                       AS BIGINT)""").as("lift_micro"))
+          expr("""CAST(CAST((CAST(cxy AS DECIMAL(38,0)) * 1000000 * n_uni)
+                            DIV (CAST(c1 AS DECIMAL(38,0)) * c2)
+                            AS DECIMAL(38,0))
+                       * n_uni DIV n_bi AS BIGINT)""").as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
         .limit(50)
     }),
@@ -410,8 +417,9 @@ object TextOps {
                    split_part(g, ' ', 2) AS w2, cxy
             FROM bi_all WHERE cxy >= 5)
       SELECT b.w1, b.w2, b.cxy,
-             CAST((CAST(b.cxy AS HUGEINT) * n_uni * n_uni * 1000000)
-                  // (CAST(u1.cw AS HUGEINT) * u2.cw * n_bi)
+             CAST(((CAST(b.cxy AS HUGEINT) * 1000000 * n_uni)
+                   // (CAST(u1.cw AS HUGEINT) * u2.cw))
+                  * n_uni // n_bi
                   AS BIGINT) AS lift_micro
       FROM b JOIN uni u1 ON b.w1 = u1.w
              JOIN uni u2 ON b.w2 = u2.w, tot

@@ -310,10 +310,17 @@ object StreamOps {
     // setup amortizes over millions of rows and 4 partitions serialize
     // the hashing/compaction work on one-eighth of the cores — widen
     // to 16 there (still conf-overridable).
+    // The width cutover has its OWN threshold conf (same 64 MiB default
+    // as the RocksDB gate, but independent): tuning rocksdbMinBytes for
+    // a provider A/B must not silently also change shuffle width, and
+    // the rocksdb=false kill switch must not pin the replay to 4
+    // partitions at 100×.
+    val wideMin = s.conf.getOption("spark.graft.stream.wideShuffleMinBytes")
+      .map(_.toLong).getOrElse(64L << 20)
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.getOption("spark.graft.stream.shuffleWidth")
-        .getOrElse(if (stagedBytes >= rocksMin) "16" else "4"))
+        .getOrElse(if (stagedBytes >= wideMin) "16" else "4"))
     // No-data micro-batches exist to advance wall-clock-ish triggers and
     // flush watermark-gated state without new input. This harness never
     // needs them: every watermark advance is DRIVEN by a data batch (the

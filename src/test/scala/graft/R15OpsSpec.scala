@@ -78,8 +78,9 @@ class R15OpsSpec extends SparkTestBase {
     val cxy0 = toks.map(_.sliding(2).count(p =>
       p.length == 2 && p(0) == w1 && p(1) == w2).toLong).sum
     assert(cxy == cxy0, "bigram count")
-    val expect = (BigInt(cxy0) * nUni * nUni * 1000000 /
-      (BigInt(c1) * c2 * nBi)).toLong
+    // the two-step floor spelling both engines use (overflow-safe form)
+    val expect = ((BigInt(cxy0) * 1000000 * nUni / (BigInt(c1) * c2))
+      * nUni / nBi).toLong
     assert(lift == expect, s"lift $lift != $expect")
   }
 
