@@ -78,9 +78,66 @@ object MultimodalOps {
              max(col("width")).as("max_w"),
              max(col("height")).as("max_h"))
         .orderBy("lang")),
+
+    // Frame sampling over the binary payload — the video-shaped plumbing
+    // step: treat the payload as fixed 256-byte "frames", keep every 4th
+    // (the deterministic stand-in for keyframe selection), fingerprint
+    // each kept frame, roll up per document. The byte slicing, frame
+    // index explode and per-frame hashing are the REAL Spark shapes a
+    // codec-backed sampler needs (per-row Generate + binary substring —
+    // no shuffle before the output sort); only "what is a frame" is the
+    // stand-in. Exactly expressible in both engines (substring/md5 on
+    // binary; q_mm_meta already pins byte-level parity via sha256).
+    "q_mm_frames" -> ((s, d) => {
+      val frameB = 256
+      payloads(s, d)
+        .select(col("doc_id"),
+          col("payload"), octet_length(col("payload")).as("len"))
+        .filter(col("len") > 0)
+        .withColumn("n_frames", expr(s"(len + ${frameB - 1}) DIV $frameB"))
+        .select(col("doc_id"), col("payload"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("fidx"))
+        .filter(col("fidx") % 4 === 0)
+        .select(col("doc_id"), col("n_frames"), col("fidx"),
+          md5hash32(
+            expr(s"substring(payload, CAST(fidx * $frameB + 1 AS INT), " +
+                 s"$frameB)")).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+             count(lit(1)).as("n_sampled"),
+             sum(col("fp")).as("frames_fp"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB cannot slice BLOBs, so the oracle slices the VARCHAR: for
+    // this ASCII fixture byte offsets == char offsets and md5(VARCHAR)
+    // hashes the same UTF-8 bytes (the equivalence q_mm_meta's sha256
+    // oracle already pins). The Spark side is genuinely byte-level.
+    "q_mm_frames" -> """
+      WITH p AS (SELECT doc_id, text,
+                        octet_length(CAST(text AS BLOB)) AS len
+                 FROM documents
+                 WHERE octet_length(CAST(text AS BLOB)) > 0),
+      f AS (SELECT doc_id, text,
+                   (len + 255) // 256 AS n_frames
+            FROM p),
+      e AS (SELECT doc_id, text, n_frames,
+                   unnest(range(0, n_frames)) AS fidx
+            FROM f),
+      k AS (SELECT doc_id, n_frames, fidx,
+                   CAST(('0x' || substr(md5(
+                     substring(text, CAST(fidx * 256 + 1 AS INT), 256)),
+                     1, 8)) AS BIGINT) AS fp
+            FROM e WHERE fidx % 4 = 0)
+      SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+             count(*) AS n_sampled,
+             CAST(sum(fp) AS BIGINT) AS frames_fp
+      FROM k
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
     "q_mm_meta" -> """
       SELECT doc_id, lang,
              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,

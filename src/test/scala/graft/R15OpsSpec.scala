@@ -136,6 +136,20 @@ class R15OpsSpec extends SparkTestBase {
     assert(got.map(_._2).sum == vecs.length, "clusters partition the corpus")
   }
 
+  test("mm_frames sampling keeps exactly every 4th frame of the payload") {
+    val got = ops.MultimodalOps.queries("q_mm_frames")(spark, sf0001)
+      .select($"doc_id".as[Long], $"n_frames".as[Long],
+              $"n_sampled".as[Long]).collect()
+    val lens = ops.table(spark, sf0001, "documents")
+      .select($"doc_id".as[Long], octet_length($"text".cast("binary"))
+        .as[Int]).collect().toMap
+    assert(got.length == lens.count(_._2 > 0))
+    got.foreach { case (id, nf, ns) =>
+      assert(nf == (lens(id) + 255) / 256, s"doc $id frame count")
+      assert(ns == (nf + 3) / 4, s"doc $id sampled count")
+    }
+  }
+
   test("dedup_incremental classifies an engineered batch correctly") {
     // Build a fixture where each classification branch provably fires.
     // Bucket assignment is md5(doc_id)%100: >= 90 is the arriving batch.
