@@ -136,6 +136,45 @@ class R15OpsSpec extends SparkTestBase {
     assert(got.map(_._2).sum == vecs.length, "clusters partition the corpus")
   }
 
+  test("histogram frames are domain-bounded, not corpus-bounded") {
+    // q_quality_bins and q_events_mad put a single-partition window over
+    // a VALUE histogram; that is 100 TB-safe only if the histogram is
+    // bounded by the value DOMAIN. Measure it: the distinct-value counts
+    // must grow far slower than the 10x corpus growth between fixtures.
+    val sf001 = "/root/testdata/sf0.01"
+    def distinctTokens(d: String): Long =
+      ops.table(spark, d, "documents")
+        .select(size(split($"text", " "))).distinct().count()
+    def distinctTypeValues(d: String): Long =
+      ops.table(spark, d, "events")
+        .select($"event_type", $"value").distinct().count()
+    val (t1, t2) = (distinctTokens(sf0001), distinctTokens(sf001))
+    assert(t2 < t1 * 3,
+      s"n_tokens histogram grew $t1 -> $t2 under a 10x corpus — " +
+      "not domain-bounded")
+    // events.value: the histogram stays small because the domain is a
+    // bounded 2-decimal grid, saturating long before corpus scale (at
+    // tiny SFs growth still looks linear — the CAP is the invariant).
+    // Assert the grid (every value*100 is integral) and that the implied
+    // (span x 100 x types) cap both bounds the measured histogram and is
+    // itself window-partition-sized.
+    import org.apache.spark.sql.functions.{abs => fabs, round => fround}
+    val ev = ops.table(spark, sf001, "events")
+      .filter($"value".isNotNull && !isnan($"value"))
+    val offGrid = ev.filter(
+      fabs($"value" * 100 - fround($"value" * 100, 0)) > 1e-6).count()
+    assert(offGrid == 0, s"$offGrid values off the 2-decimal grid — " +
+      "q_events_mad's bounded-histogram argument needs re-examination")
+    val Array((lo, hi, types)) = ev
+      .agg(min($"value"), max($"value"),
+           countDistinct($"event_type"))
+      .as[(Double, Double, Long)].collect()
+    val cap = ((hi - lo) * 100 + 1).toLong * types
+    assert(distinctTypeValues(sf001) <= cap)
+    assert(cap <= 2_000_000L,
+      s"domain cap $cap too large for a single-partition histogram walk")
+  }
+
   test("mm_frames sampling keeps exactly every 4th frame of the payload") {
     val got = ops.MultimodalOps.queries("q_mm_frames")(spark, sf0001)
       .select($"doc_id".as[Long], $"n_frames".as[Long],
