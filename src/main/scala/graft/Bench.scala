@@ -115,6 +115,7 @@ object Bench {
       // distorts warm timings far more than the cache reuse helps them.
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
+      graft.ops.SimOps.clearKmeansCache()
       spark.catalog.clearCache()
     }
     releaseCaches()

