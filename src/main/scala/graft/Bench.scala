@@ -115,7 +115,7 @@ object Bench {
       // distorts warm timings far more than the cache reuse helps them.
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
-      graft.ops.SimOps.clearKmeansCache()
+      graft.ops.SimOps.clearSimCaches()
       spark.catalog.clearCache()
     }
     releaseCaches()

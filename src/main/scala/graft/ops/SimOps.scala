@@ -57,6 +57,89 @@ object SimOps {
   private val pqK = 32
   private val pqShortlist = 200
 
+  /** IVF+PQ probe width and its (smaller) ADC shortlist: with 2 of 8
+    * cells probed the candidate pool is ~25% of the corpus, so a 100-row
+    * shortlist matches plain PQ's recall at half its re-rank width
+    * (measured recall@10 vs brute force: 9/10 sf0.01, 8/10 sf0.1). */
+  private val pqNprobe = 2
+  private val pqIvfShortlist = 100
+
+  /** Squared L2 between two equal-length vectors, with the oracle's
+    * list_sum element-order accumulation. */
+  private def sqd(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, sv): the L2-normalized vectors split into M contiguous
+    * SUB-dim subvectors — the frame both the codebook and the encoder
+    * read. Zero-norm vectors are excluded (cannot be cosine-ranked, and
+    * their NULL subvectors would order differently across engines). */
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    vectors(s, d).filter(col("nrm") > 0)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), explode(array((0 until pqM).map { m =>
+        struct(lit(m).as("m"),
+               slice(col("u"), m * pqSub + 1, pqSub).as("sv"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** (m, cwid, cw): the deterministic per-subspace codebook — the
+    * subvectors of the K smallest vec_ids. K·M rows, broadcast. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(s, d).filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("cwid"), col("sv").as("cw"))
+
+  /** (vec_id, m, cwid): every vector's PQ code — argmin squared-L2 over
+    * the broadcast codebook, (dist, cwid) tie-break via the same
+    * per-key row_number window as the k-means argmin (a struct-min agg
+    * would plan as SortAggregate — struct buffers are not mutable — so
+    * the window IS the cheaper spelling: one (vec_id, m) shuffle with a
+    * ≤ K-row sort per key). This is the INDEX BUILD — memoized +
+    * persisted (M small ints per vector) so the plain-PQ and IVF+PQ
+    * searches share one encode pass; at 100 TB it is the write-once
+    * artifact next to the table. */
+  private[ops] def pqCodes(s: SparkSession, d: String): DataFrame =
+    simCache.getOrElseUpdate((s, d, "pq_codes"), {
+      val encW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("cwid"))
+      pqSubvectors(s, d).join(broadcast(pqCodebook(s, d)), Seq("m"))
+        .withColumn("dist", sqd(col("sv"), col("cw")))
+        .withColumn("rn", row_number().over(encW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cwid"))
+        .persist()
+    })
+
+  /** (m, cwid, qd): the ADC lookup table — exact squared-L2 from each
+    * of the query's subvectors to every codeword. K·M rows, broadcast
+    * into the code scan. */
+  private def pqQtab(s: SparkSession, d: String): DataFrame =
+    pqCodebook(s, d).join(
+        broadcast(pqSubvectors(s, d).filter(col("vec_id") === 0)
+          .select(col("m"), col("sv").as("qsv")).limit(pqM)),
+        Seq("m"))
+      .select(col("m"), col("cwid"), sqd(col("qsv"), col("cw")).as("qd"))
+
+  /** Exact-cosine re-rank of a (vec_id, adist, …) shortlist: top 10 by
+    * (cos DESC, vec_id), carrying the r6 ADC distance plus any `extra`
+    * shortlist columns through. */
+  private def pqRerank(s: SparkSession, d: String, short: DataFrame,
+                       extra: Seq[String] = Nil): DataFrame = {
+    val n = vectors(s, d)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
+    n.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(Seq(col("vec_id"), col("label")) ++ extra.map(col) ++ Seq(
+        r6(col("adist")).as("adist"),
+        r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+        : _*)
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, QB] = Map(
     // Exact top-10 by cosine against the vec_id=0 vector.
     "q_sim_search" -> ((s, d) => {
@@ -142,44 +225,48 @@ object SimOps {
     // rows); the re-rank joins the broadcast 200-row shortlist back to
     // the vectors — no corpus-sized shuffle anywhere.
     "q_sim_search_pq" -> ((s, d) => {
-      def sq(a: org.apache.spark.sql.Column,
-             b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-                  lit(0.0), (acc, x) => acc + x)
-      val n = vectors(s, d).filter(col("nrm") > 0)
-        .withColumn("u", transform(col("v"), x => x / col("nrm")))
-      val sub = n.select(col("vec_id"), explode(array((0 until pqM).map {
-          m => struct(lit(m).as("m"),
-                      slice(col("u"), m * pqSub + 1, pqSub).as("sv"))
-        }: _*)).as("s"))
-        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-      val cb = sub.filter(col("vec_id") < pqK)
-        .select(col("m"), col("vec_id").as("cwid"), col("sv").as("cw"))
-      val encW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dist"), col("cwid"))
-      val enc = sub.join(broadcast(cb), Seq("m"))
-        .withColumn("dist", sq(col("sv"), col("cw")))
-        .withColumn("rn", row_number().over(encW))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cwid"))
-      val qtab = cb.join(
-          broadcast(sub.filter(col("vec_id") === 0)
-            .select(col("m"), col("sv").as("qsv")).limit(pqM)),
-          Seq("m"))
-        .select(col("m"), col("cwid"), sq(col("qsv"), col("cw")).as("qd"))
-      val short = enc.filter(col("vec_id") =!= 0)
-        .join(broadcast(qtab), Seq("m", "cwid"))
+      val short = pqCodes(s, d).filter(col("vec_id") =!= 0)
+        .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
         .groupBy(col("vec_id")).agg(dsum(col("qd")).as("adist"))
         .orderBy(col("adist"), col("vec_id")).limit(pqShortlist)
-      val q = n.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
-      n.join(broadcast(short), Seq("vec_id"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"), r6(col("adist")).as("adist"),
-          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(10)
+      pqRerank(s, d, short)
+    }),
+
+    // IVF+PQ (the IVFADC composition, Jégou et al. 2011 "Product
+    // quantization for nearest neighbor search", public IEEE TPAMI):
+    // the coarse quantizer restricts the scan to the query's pqNprobe
+    // nearest k-means cells, and PQ-ADC ranks only those candidates.
+    // Unlike q_sim_search_ivf (whose cells are the pretrained label
+    // column), the coarse quantizer here is LEARNED — the shared
+    // kmeansCells/kmeansCents frames — so this is the full
+    // build-your-own-index path: cluster, encode, probe, ADC, re-rank,
+    // every stage deterministic and oracle-mirrored. At 100 TB the
+    // table is partitioned by cell and codes are M small ints per
+    // vector: a query touches nprobe/nlist of the data and reads codes,
+    // not vectors — the standard billion-scale ANN serving shape.
+    // Plan: probing is an 8-row broadcast argsort; the candidate
+    // restriction is a hash join of the persisted codes against the
+    // probed cells' vec_ids; ADC/shortlist/re-rank as in
+    // q_sim_search_pq.
+    "q_sim_search_ivfpq" -> ((s, d) => {
+      val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double"))
+          .as("qv")).limit(1)
+      val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
+        .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
+        .orderBy(col("cdist"), col("cid")).limit(pqNprobe)
+        .select(col("cid"))
+      val cand = kmeansCells(s, d)
+        .join(broadcast(probe), Seq("cid"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"))
+      val short = pqCodes(s, d)
+        .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
+        .join(cand, Seq("vec_id"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(dsum(col("qd")).as("adist"))
+        .orderBy(col("adist"), col("vec_id")).limit(pqIvfShortlist)
+      pqRerank(s, d, short, Seq("cid"))
     }),
 
     // k-NN join (batch ANN): every vector gets its top-1 neighbor among
@@ -323,26 +410,52 @@ object SimOps {
     * 3-iteration Lloyd lineage re-executes once per consumer (twice
     * inside q_dedup_semantic alone). The carried vector is dropped
     * before the persist, so the cached frame is 3 narrow columns ×
-    * corpus rows. Release via [[clearKmeansCache]] (Bench's
+    * corpus rows. Release via [[clearSimCaches]] (Bench's
     * between-pass hook). Mirrors the oracle's [[kmeansSql]] CTE chain
     * exactly. */
-  private[ops] def kmeansCells(s: SparkSession, d: String): DataFrame =
-    kmeansCache.getOrElseUpdate((s, d),
-      buildKmeansCells(s, d)
-        .select(col("vec_id"), col("cid"), col("dist")).persist())
-
-  private val kmeansCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String),
-                                            DataFrame]
-
-  /** Drop the memoized cell assignments and release their storage. */
-  def clearKmeansCache(): Unit = {
-    kmeansCache.values.foreach(df =>
-      try df.unpersist() catch { case _: Exception => () })
-    kmeansCache.clear()
+  private[ops] def kmeansCells(s: SparkSession, d: String): DataFrame = {
+    ensureKmeans(s, d); simCache((s, d, "kmeans_cells"))
   }
 
-  private def buildKmeansCells(s: SparkSession, d: String): DataFrame = {
+  /** The converged coarse-quantizer centroids (cid, c) — the c2 frame
+    * a3 was assigned against, i.e. exactly the centroids the cell ids
+    * in [[kmeansCells]] refer to. Persisted via the shared cache; the
+    * `.limit(8)` re-wrap restores the PROVABLE maxRows bound
+    * PlanShapeSpec's structural BNLJ certification reads (an
+    * InMemoryRelation does not carry one), and is value-neutral —
+    * the frame has ≤ 8 rows by construction. */
+  private[ops] def kmeansCents(s: SparkSession, d: String): DataFrame = {
+    ensureKmeans(s, d); simCache((s, d, "kmeans_cents")).limit(8)
+  }
+
+  private val simCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String),
+                                            DataFrame]
+
+  /** Drop every memoized similarity-index frame (k-means cells and
+    * centroids, PQ codes) and release their storage. */
+  def clearSimCaches(): Unit = {
+    simCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Exception => () })
+    simCache.clear()
+  }
+
+  /** Populate the k-means cache entries: one Lloyd run yields BOTH the
+    * assignment frame and its centroids, with c2 persisted so the a3
+    * assignment pass reuses the cached centroids instead of re-running
+    * two more corpus passes. */
+  private def ensureKmeans(s: SparkSession, d: String): Unit =
+    if (!simCache.contains((s, d, "kmeans_cells"))) simCache.synchronized {
+      if (!simCache.contains((s, d, "kmeans_cells"))) {
+        val (a3, c2) = lloydFrames(s, d)
+        simCache((s, d, "kmeans_cents")) = c2
+        simCache((s, d, "kmeans_cells")) =
+          a3.select(col("vec_id"), col("cid"), col("dist")).persist()
+      }
+    }
+
+  private def lloydFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val vecs = table(s, d, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -373,7 +486,8 @@ object SimOps {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("c"))
       .limit(8)
-    assign(means(assign(means(assign(c0)))))
+    val c2 = means(assign(means(assign(c0)))).persist()
+    (assign(c2), c2)
   }
 
   /** Unrolled k-means CTE chain for the oracle (k=8, `iters` Lloyd
@@ -404,6 +518,35 @@ object SimOps {
     }
     init + steps.mkString(",", ",", "")
   }
+
+  /** The PQ index CTE chain shared by the plain-PQ and IVF+PQ oracles:
+    * normalized vectors (nn), subvector explode (sub), codebook (cb),
+    * per-vector codes (enc), and the query's ADC lookup table (qtab) —
+    * each mirroring the Spark helper of the same role. */
+  private val pqCtesSql = s"""nn AS (SELECT vec_id, label, v, nrm,
+                    list_transform(v, x -> x / nrm) AS u
+             FROM n WHERE nrm > 0),
+      sub AS (SELECT vec_id, m,
+                     list_transform(range(1, ${pqSub + 1}),
+                                    i -> u[m * $pqSub + i]) AS sv
+              FROM nn, (SELECT unnest(range(0, $pqM)) AS m)),
+      cb AS (SELECT m, vec_id AS cwid, sv AS cw FROM sub
+             WHERE vec_id < $pqK),
+      enc AS (SELECT vec_id, m, cwid FROM (
+                SELECT s.vec_id, s.m, c.cwid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY
+                           list_sum(list_transform(range(1, ${pqSub + 1}),
+                             i -> (s.sv[i] - c.cw[i])
+                                  * (s.sv[i] - c.cw[i]))),
+                           c.cwid) AS rn
+                FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+      qtab AS (SELECT c.m, c.cwid,
+                      list_sum(list_transform(range(1, ${pqSub + 1}),
+                        i -> (q.sv[i] - c.cw[i])
+                             * (q.sv[i] - c.cw[i]))) AS qd
+               FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q
+                 ON c.m = q.m)"""
 
   val oracles: Map[String, String] = Map(
     "q_cluster_kmeans" -> s"""
@@ -492,30 +635,7 @@ object SimOps {
 
     "q_sim_search_pq" -> s"""
       WITH $vectorsSql,
-      nn AS (SELECT vec_id, label, v, nrm,
-                    list_transform(v, x -> x / nrm) AS u
-             FROM n WHERE nrm > 0),
-      sub AS (SELECT vec_id, m,
-                     list_transform(range(1, ${pqSub + 1}),
-                                    i -> u[m * $pqSub + i]) AS sv
-              FROM nn, (SELECT unnest(range(0, $pqM)) AS m)),
-      cb AS (SELECT m, vec_id AS cwid, sv AS cw FROM sub
-             WHERE vec_id < $pqK),
-      enc AS (SELECT vec_id, m, cwid FROM (
-                SELECT s.vec_id, s.m, c.cwid,
-                       row_number() OVER (PARTITION BY s.vec_id, s.m
-                         ORDER BY
-                           list_sum(list_transform(range(1, ${pqSub + 1}),
-                             i -> (s.sv[i] - c.cw[i])
-                                  * (s.sv[i] - c.cw[i]))),
-                           c.cwid) AS rn
-                FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
-      qtab AS (SELECT c.m, c.cwid,
-                      list_sum(list_transform(range(1, ${pqSub + 1}),
-                        i -> (q.sv[i] - c.cw[i])
-                             * (q.sv[i] - c.cw[i]))) AS qd
-               FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q
-                 ON c.m = q.m),
+      $pqCtesSql,
       adc AS (SELECT e.vec_id,
                      CAST(sum(CAST(t.qd AS DECIMAL(18,6))) AS DOUBLE)
                        AS adist
@@ -524,6 +644,34 @@ object SimOps {
       short AS (SELECT vec_id, adist FROM adc
                 ORDER BY adist, vec_id LIMIT $pqShortlist)
       SELECT c.vec_id AS vec_id, c.label AS label,
+             round(t.adist, 6) AS adist,
+             round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
+      FROM short t JOIN nn c ON t.vec_id = c.vec_id,
+           (SELECT v, nrm FROM nn WHERE vec_id = 0) q
+      ORDER BY cos DESC, vec_id ASC
+      LIMIT 10""",
+
+    "q_sim_search_ivfpq" -> s"""
+      WITH $vectorsSql,
+      ${kmeansSql(3)},
+      $pqCtesSql,
+      qc AS (SELECT c.cid,
+                    list_sum(list_transform(range(1, len(q.v) + 1),
+                      i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])))
+                      AS cdist
+             FROM c2 c, (SELECT v FROM n WHERE vec_id = 0) q),
+      probe AS (SELECT cid FROM qc ORDER BY cdist, cid LIMIT $pqNprobe),
+      cand AS (SELECT a3.vec_id, a3.cid FROM a3 JOIN probe USING (cid)
+               WHERE a3.vec_id <> 0),
+      adc AS (SELECT e.vec_id, cand.cid,
+                     CAST(sum(CAST(t.qd AS DECIMAL(18,6))) AS DOUBLE)
+                       AS adist
+              FROM enc e JOIN qtab t ON e.m = t.m AND e.cwid = t.cwid
+              JOIN cand ON e.vec_id = cand.vec_id
+              GROUP BY e.vec_id, cand.cid),
+      short AS (SELECT vec_id, cid, adist FROM adc
+                ORDER BY adist, vec_id LIMIT $pqIvfShortlist)
+      SELECT c.vec_id AS vec_id, c.label AS label, t.cid AS cid,
              round(t.adist, 6) AS adist,
              round($dotSql / nullif(q.nrm * c.nrm, 0), 6) AS cos
       FROM short t JOIN nn c ON t.vec_id = c.vec_id,

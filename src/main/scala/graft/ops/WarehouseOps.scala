@@ -216,9 +216,119 @@ object WarehouseOps {
             .cast("double").as("revenue"))
         .orderBy("custkey")
     }),
+
+    // SCD2 dimension-history build (slowly-changing-dimension type 2):
+    // the events stream is the change log of each user's status
+    // (event_type), and the output is the versioned dimension table —
+    // one row per RUN of equal consecutive statuses with
+    // [valid_from, valid_to) epoch-µs bounds, a version number and the
+    // open-ended is_current flag. The canonical warehouse shape for
+    // "what was this entity's attribute AT TIME t" joins.
+    //
+    // Run detection is the gaps-and-islands spelling: lag-compare the
+    // status, cumulative-sum the change markers into a version id.
+    // The versioned row is then the run's START row itself — it
+    // already carries status and valid_from, so no aggregate touches a
+    // string column (min(status) would demote the whole aggregation to
+    // SortAggregate: string agg buffers are not mutable) — and
+    // n_events is an unordered window count over (user_id, ver). ALL
+    // four window passes key on user_id (HashPartitioning(user_id)
+    // satisfies the (user_id, ver) clustering by the subset rule), so
+    // the whole query runs on ONE corpus-partitionable exchange.
+    // Versions-per-user is horizon-bounded, never corpus-bounded.
+    // Total order everywhere: ties inside a run break on event_id,
+    // versions are strictly time-ordered per user.
+    "q_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+                col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"),
+               lit(1L)).otherwise(lit(0L)))
+        .withColumn("ver", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+        .withColumn("n_events", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("ver"))))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+      runs.filter(col("chg") === 1)
+        .withColumn("vt", lead(col("ts"), 1).over(wv))
+        .select(col("user_id"), col("ver").as("version"),
+          col("event_type").as("status"),
+          unix_micros(col("ts")).as("valid_from"),
+          unix_micros(col("vt")).as("valid_to"),
+          col("vt").isNull.as("is_current"), col("n_events"))
+        .orderBy("user_id", "version")
+    }),
+
+    // File-compaction planner — the small-file maintenance pass every
+    // large parquet warehouse schedules: treat each document as a file
+    // of n_chars bytes inside its `source` table-partition and assign
+    // files to compaction groups by first-fit in doc_id order against a
+    // 4096-byte target. bin = (exclusive running total) DIV target —
+    // closed-form from one per-partition cumulative-sum window, so
+    // planning over a 100 TB manifest (millions of file rows) is one
+    // partition-keyed window + an aggregate that reuses the same
+    // hash partitioning (no second exchange). Integer arithmetic only
+    // (DIV), so both engines bin identically; a file larger than the
+    // target closes its own bin, exactly like a real compactor.
+    "q_compaction" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("bin", expr("(cum - n_chars) DIV 4096"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" -> """
+      WITH o AS (SELECT user_id, event_type, ts, event_id,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+                 FROM events),
+      m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                           THEN 1 ELSE 0 END AS chg FROM o),
+      r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS ver FROM m),
+      v AS (SELECT user_id, ver, ts AS vf, event_type AS status, chg,
+                   count(*) OVER (PARTITION BY user_id, ver) AS n_events
+            FROM r),
+      w AS (SELECT user_id, ver, vf, status, n_events,
+                   lead(vf) OVER (PARTITION BY user_id ORDER BY ver)
+                     AS vt
+            FROM v WHERE chg = 1)
+      SELECT user_id, ver AS version, status,
+             epoch_us(vf) AS valid_from, epoch_us(vt) AS valid_to,
+             vt IS NULL AS is_current, n_events
+      FROM w ORDER BY user_id, version""",
+
+    "q_compaction" -> """
+      WITH c AS (SELECT source, doc_id, n_chars,
+                        sum(n_chars) OVER (PARTITION BY source
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          AS cum
+                 FROM documents),
+      b AS (SELECT source, doc_id, n_chars,
+                   CAST((cum - n_chars) // 4096 AS BIGINT) AS bin FROM c)
+      SELECT source, bin, count(*) AS n_files,
+             CAST(sum(n_chars) AS BIGINT) AS bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY source, bin
+      ORDER BY source, bin""",
+
     "q_incr_agg" -> """
       SELECT o_custkey AS custkey, count(*) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)

@@ -20,7 +20,7 @@ object Profile {
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     (1 to n).foreach { i =>
       graft.ops.DedupOps.clearPairsCache()
-      graft.ops.SimOps.clearKmeansCache()
+      graft.ops.SimOps.clearSimCaches()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -36,7 +36,7 @@ object Profile {
       fn(spark, sfDir).explain("formatted")
     if (sys.env.get("PROFILE_MS_STAGES").contains("1")) {
       graft.ops.DedupOps.clearPairsCache()
-      graft.ops.SimOps.clearKmeansCache()
+      graft.ops.SimOps.clearSimCaches()
       spark.catalog.clearCache()
       graft.ops.DedupOps.profileMultiSignalStages(spark, sfDir)
     }

@@ -184,7 +184,7 @@ object ScaleStress {
       }
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
-      graft.ops.SimOps.clearKmeansCache()
+      graft.ops.SimOps.clearSimCaches()
       spark.catalog.clearCache()
       val fields = Seq(
         Some(f""""wall_s":$wall%.3f"""),

@@ -30,14 +30,18 @@ class SemanticPqSpec extends SparkTestBase {
       .map { case (id, l, e) => (id, l, e.map(_.toDouble)) }.sortBy(_._1)
 
   /** 3-iteration Lloyd run, identical to the R15OpsSpec law (init = 8
-    * smallest vec_ids, (dist, cid) argmin, exact-decimal means). */
-  private def bruteCells(
-      vecs: Array[(Long, Long, Array[Double])]): Map[Long, Long] = {
+    * smallest vec_ids, (dist, cid) argmin, exact-decimal means).
+    * Returns the final assignment AND the centroids that assignment was
+    * made against (c2 — what kmeansCents exposes for IVF probing). */
+  private def bruteKmeans(vecs: Array[(Long, Long, Array[Double])])
+      : (Map[Long, Long], Seq[(Long, Array[Double])]) = {
     val vmap = vecs.map { case (id, _, v) => (id, v) }.toMap
     var cents: Seq[(Long, Array[Double])] =
       vecs.filter(_._1 < 8).map { case (id, _, v) => (id, v) }.toSeq
+    var lastCents = cents
     var asg: Array[(Long, Long)] = null
     for (_ <- 1 to 3) {
+      lastCents = cents
       asg = vecs.map { case (id, _, v) =>
         val cid = cents.map { case (c, cv) => (c, sqDist(v, cv)) }
           .minBy { case (c, dd) => (dd, c) }._1
@@ -51,8 +55,12 @@ class SemanticPqSpec extends SparkTestBase {
         (c, mean)
       }
     }
-    asg.toMap
+    (asg.toMap, lastCents)
   }
+
+  private def bruteCells(
+      vecs: Array[(Long, Long, Array[Double])]): Map[Long, Long] =
+    bruteKmeans(vecs)._1
 
   test("dedup_semantic = brute-force cell-scoped band-pair domination") {
     val vecs = loadVecs(sf0001)
@@ -96,12 +104,14 @@ class SemanticPqSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
   }
 
-  test("sim_search_pq = brute-force ADC shortlist + exact re-rank") {
-    val vecs = loadVecs(sf0001).filter { case (_, _, v) =>
-      math.sqrt(dot(v, v)) > 0
-    }
+  /** ADC distances for every non-query vector: deterministic codebook
+    * (subvectors of the 32 smallest vec_ids over L2-normalized
+    * vectors), argmin encode with (dist, cwid) tie-break, per-subspace
+    * exact-decimal term sum — the Catalyst pqCodes/pqQtab pipeline
+    * recomputed in plain Scala. */
+  private def bruteAdc(
+      vecs: Array[(Long, Long, Array[Double])]): Array[(Long, Double)] = {
     val q = vecs.find(_._1 == 0L).get._3
-    val qn = math.sqrt(dot(q, q))
     def unit(v: Array[Double]) = {
       val n = math.sqrt(dot(v, v)); v.map(_ / n)
     }
@@ -112,7 +122,7 @@ class SemanticPqSpec extends SparkTestBase {
         .map { case (id, _, v) => (id, subs(unit(v))(m)) }.toSeq)
     }.toMap
     val qsub = subs(unit(q))
-    val adist = vecs.filter(_._1 != 0L).map { case (id, _, v) =>
+    vecs.filter(_._1 != 0L).map { case (id, _, v) =>
       val sv = subs(unit(v))
       val terms = (0 until 8).map { m =>
         val cw = cb(m).minBy { case (c, w) => (sqDist(sv(m), w), c) }._2
@@ -120,7 +130,15 @@ class SemanticPqSpec extends SparkTestBase {
       }
       (id, terms.reduce(_ add _).doubleValue)
     }
-    val short = adist.sortBy { case (id, a) => (a, id) }.take(200)
+  }
+
+  test("sim_search_pq = brute-force ADC shortlist + exact re-rank") {
+    val vecs = loadVecs(sf0001).filter { case (_, _, v) =>
+      math.sqrt(dot(v, v)) > 0
+    }
+    val q = vecs.find(_._1 == 0L).get._3
+    val qn = math.sqrt(dot(q, q))
+    val short = bruteAdc(vecs).sortBy { case (id, a) => (a, id) }.take(200)
     val lmap = vecs.map { case (id, l, _) => (id, l) }.toMap
     val vmap = vecs.map { case (id, _, v) => (id, v) }.toMap
     val want = short.map { case (id, a) =>
@@ -133,5 +151,34 @@ class SemanticPqSpec extends SparkTestBase {
         $"cos".as[Double]).collect()
     assert(got.length == 10)
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("sim_search_ivfpq = brute probe(2 cells) + ADC + exact re-rank") {
+    val vecs = loadVecs(sf0001).filter { case (_, _, v) =>
+      math.sqrt(dot(v, v)) > 0
+    }
+    val (cells, cents) = bruteKmeans(vecs)
+    val q = vecs.find(_._1 == 0L).get._3
+    val qn = math.sqrt(dot(q, q))
+    val probe = cents.map { case (c, cv) => (c, sqDist(q, cv)) }
+      .sortBy { case (c, dd) => (dd, c) }.take(2).map(_._1).toSet
+    val adc = bruteAdc(vecs).toMap
+    val cand = vecs.filter(v => v._1 != 0L && probe(cells(v._1)))
+    val short = cand.map(v => (v._1, adc(v._1)))
+      .sortBy { case (id, a) => (a, id) }.take(100)
+    val lmap = vecs.map { case (id, l, _) => (id, l) }.toMap
+    val vmap = vecs.map { case (id, _, v) => (id, v) }.toMap
+    val want = short.map { case (id, a) =>
+      val cos = r6(dot(q, vmap(id)) / (qn * math.sqrt(dot(vmap(id),
+        vmap(id)))))
+      (id, lmap(id), cells(id), r6(a), cos)
+    }.sortBy { case (id, _, _, _, cos) => (-cos, id) }.take(10)
+    val got = ops.SimOps.queries("q_sim_search_ivfpq")(spark, sf0001)
+      .select($"vec_id".as[Long], $"label".as[Long], $"cid".as[Long],
+        $"adist".as[Double], $"cos".as[Double]).collect()
+    assert(got.length == 10)
+    assert(got.toSeq == want.toSeq)
+    // every returned row must come from a probed cell
+    assert(got.forall(r => probe(r._3)))
   }
 }
