@@ -154,6 +154,35 @@ object PipelineOps {
         .orderBy("source")
     }),
 
+    // Soft dedup / copy-count down-weighting — the mixing policy that
+    // keeps every copy of a duplicated document but weights each at
+    // 1/copies, so duplicated content contributes ONE document's worth
+    // of probability mass to the training blend (the alternative to
+    // hard removal when provenance or recency must survive). Weights
+    // are exact integer micro-units (1e6 DIV copies — no float sums),
+    // and the per-source audit reports raw vs effective (weighted)
+    // document counts plus the contraction ratio. Plan: one
+    // content-key (normalized-md5) count shuffle — the exact-dedup
+    // key the dedup family shares — one join back, one per-source
+    // aggregate; every stage partitions by content or source at any
+    // corpus size.
+    "q_mix_softdedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"),
+          md5(trim(lower(col("text"))).cast("binary")).as("k"))
+      val copies = docs.groupBy(col("k"))
+        .agg(count(lit(1)).as("copies"))
+      docs.join(copies, Seq("k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             count_distinct(col("k")).as("n_contents"),
+             sum(expr("1000000 DIV copies")).as("eff_docs_micro"))
+        .withColumn("softdedup_ratio",
+          r6(col("eff_docs_micro").cast("double") /
+             (col("n_docs") * lit(1000000L))))
+        .orderBy("source")
+    }),
+
     // Symmetric int8 quantization of embeddings: scale = 127/max|x|,
     // q_i = floor(x_i·scale + 0.5). Emits the audit scalars (scale,
     // quantized checksum, saturation count) rather than the int8 array
@@ -386,6 +415,18 @@ object PipelineOps {
                   AS BIGINT) AS w_temp_micro
       FROM t, tot
       ORDER BY source""",
+
+    "q_mix_softdedup" -> """
+      WITH dk AS (SELECT source, md5(trim(lower(text))) AS k
+                  FROM documents),
+      c AS (SELECT k, count(*) AS copies FROM dk GROUP BY k)
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT dk.k) AS n_contents,
+             CAST(sum(1000000 // copies) AS BIGINT) AS eff_docs_micro,
+             round(CAST(sum(1000000 // copies) AS DOUBLE)
+                   / (count(*) * 1000000), 6) AS softdedup_ratio
+      FROM dk JOIN c ON dk.k = c.k
+      GROUP BY source ORDER BY source""",
 
     "q_embed_quantize" -> """
       WITH v AS (SELECT vec_id,

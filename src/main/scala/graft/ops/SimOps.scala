@@ -122,6 +122,43 @@ object SimOps {
         Seq("m"))
       .select(col("m"), col("cwid"), sqd(col("qsv"), col("cw")).as("qd"))
 
+  /** The q_sim_search_pq result frame — a def so the recall audit
+    * (q_ann_eval_pq) evaluates EXACTLY the shipped search. */
+  private def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val short = pqCodes(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
+      .groupBy(col("vec_id")).agg(dsum(col("qd")).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(pqShortlist)
+    pqRerank(s, d, short)
+  }
+
+  /** The probed-cell candidate pool (vec_id, cid) the IVF+PQ search
+    * ranks — also counted by the recall audit. */
+  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+    val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double"))
+        .as("qv")).limit(1)
+    val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
+      .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
+      .orderBy(col("cdist"), col("cid")).limit(pqNprobe)
+      .select(col("cid"))
+    kmeansCells(s, d)
+      .join(broadcast(probe), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** The q_sim_search_ivfpq result frame (see [[pqSearch]]). */
+  private def ivfpqSearch(s: SparkSession, d: String): DataFrame = {
+    val short = pqCodes(s, d)
+      .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
+      .join(ivfCandidates(s, d), Seq("vec_id"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(dsum(col("qd")).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(pqIvfShortlist)
+    pqRerank(s, d, short, Seq("cid"))
+  }
+
   /** Exact-cosine re-rank of a (vec_id, adist, …) shortlist: top 10 by
     * (cos DESC, vec_id), carrying the r6 ADC distance plus any `extra`
     * shortlist columns through. */
@@ -224,13 +261,7 @@ object SimOps {
     // TakeOrderedAndProject (per-partition heaps, driver merges 200
     // rows); the re-rank joins the broadcast 200-row shortlist back to
     // the vectors — no corpus-sized shuffle anywhere.
-    "q_sim_search_pq" -> ((s, d) => {
-      val short = pqCodes(s, d).filter(col("vec_id") =!= 0)
-        .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
-        .groupBy(col("vec_id")).agg(dsum(col("qd")).as("adist"))
-        .orderBy(col("adist"), col("vec_id")).limit(pqShortlist)
-      pqRerank(s, d, short)
-    }),
+    "q_sim_search_pq" -> ((s, d) => pqSearch(s, d)),
 
     // IVF+PQ (the IVFADC composition, Jégou et al. 2011 "Product
     // quantization for nearest neighbor search", public IEEE TPAMI):
@@ -248,25 +279,42 @@ object SimOps {
     // restriction is a hash join of the persisted codes against the
     // probed cells' vec_ids; ADC/shortlist/re-rank as in
     // q_sim_search_pq.
-    "q_sim_search_ivfpq" -> ((s, d) => {
-      val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
-        .select(transform(col("embedding"), x => x.cast("double"))
-          .as("qv")).limit(1)
-      val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
-        .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
-        .orderBy(col("cdist"), col("cid")).limit(pqNprobe)
-        .select(col("cid"))
-      val cand = kmeansCells(s, d)
-        .join(broadcast(probe), Seq("cid"))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("cid"))
-      val short = pqCodes(s, d)
-        .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
-        .join(cand, Seq("vec_id"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(dsum(col("qd")).as("adist"))
-        .orderBy(col("adist"), col("vec_id")).limit(pqIvfShortlist)
-      pqRerank(s, d, short, Seq("cid"))
+    "q_sim_search_ivfpq" -> ((s, d) => ivfpqSearch(s, d)),
+
+    // Recall audit of the two PQ paths against the exact brute-force
+    // top-10 — q_ann_eval's companion for the round-15 index family
+    // (kept separate so the LSH/IVF audit's contract is untouched).
+    // Evaluates the SHIPPED search frames (pqSearch/ivfpqSearch defs),
+    // not a re-spelling, so the audit cannot drift from the searches;
+    // also counts the IVF+PQ candidate pool — the number that shows
+    // what fraction of the corpus the probe actually scanned. One-row
+    // aggregates attach via structurally certified broadcasts.
+    "q_ann_eval_pq" -> ((s, d) => {
+      val n = vectors(s, d)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
+      val exact10 = n.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+            .as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val pq10 = pqSearch(s, d).select(col("vec_id"))
+      val ivf10 = ivfpqSearch(s, d).select(col("vec_id"))
+      exact10.agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(exact10.join(pq10, "vec_id")
+          .agg(count(lit(1)).as("pq_hits"))))
+        .crossJoin(broadcast(ivfCandidates(s, d)
+          .agg(count(lit(1)).as("ivfpq_candidates"))))
+        .crossJoin(broadcast(exact10.join(ivf10, "vec_id")
+          .agg(count(lit(1)).as("ivfpq_hits"))))
+        .select(col("k"), col("pq_hits"),
+          r6(col("pq_hits").cast("double") / col("k")).as("pq_recall"),
+          col("ivfpq_candidates"), col("ivfpq_hits"),
+          r6(col("ivfpq_hits").cast("double") / col("k"))
+            .as("ivfpq_recall"))
+        .orderBy("k")
     }),
 
     // k-NN join (batch ANN): every vector gets its top-1 neighbor among
@@ -678,6 +726,64 @@ object SimOps {
            (SELECT v, nrm FROM nn WHERE vec_id = 0) q
       ORDER BY cos DESC, vec_id ASC
       LIMIT 10""",
+
+    "q_ann_eval_pq" -> s"""
+      WITH $vectorsSql,
+      ${kmeansSql(3)},
+      $pqCtesSql,
+      ex AS (SELECT c.vec_id
+             FROM n c, (SELECT v, nrm FROM n WHERE vec_id = 0) q
+             WHERE c.vec_id <> 0
+             ORDER BY round($dotSql / nullif(q.nrm * c.nrm, 0), 6) DESC,
+                      c.vec_id
+             LIMIT 10),
+      adc AS (SELECT e.vec_id,
+                     CAST(sum(CAST(t.qd AS DECIMAL(18,6))) AS DOUBLE)
+                       AS adist
+              FROM enc e JOIN qtab t ON e.m = t.m AND e.cwid = t.cwid
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      short AS (SELECT vec_id, adist FROM adc
+                ORDER BY adist, vec_id LIMIT $pqShortlist),
+      pq10 AS (SELECT c.vec_id
+               FROM short t JOIN nn c ON t.vec_id = c.vec_id,
+                    (SELECT v, nrm FROM nn WHERE vec_id = 0) q
+               ORDER BY round($dotSql / nullif(q.nrm * c.nrm, 0), 6)
+                          DESC, c.vec_id
+               LIMIT 10),
+      qc AS (SELECT c.cid,
+                    list_sum(list_transform(range(1, len(q.v) + 1),
+                      i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])))
+                      AS cdist
+             FROM c2 c, (SELECT v FROM n WHERE vec_id = 0) q),
+      probe AS (SELECT cid FROM qc ORDER BY cdist, cid LIMIT $pqNprobe),
+      cand AS (SELECT a3.vec_id, a3.cid FROM a3 JOIN probe USING (cid)
+               WHERE a3.vec_id <> 0),
+      adc2 AS (SELECT e.vec_id,
+                      CAST(sum(CAST(t.qd AS DECIMAL(18,6))) AS DOUBLE)
+                        AS adist
+               FROM enc e JOIN qtab t ON e.m = t.m AND e.cwid = t.cwid
+               JOIN cand ON e.vec_id = cand.vec_id
+               GROUP BY e.vec_id),
+      short2 AS (SELECT vec_id, adist FROM adc2
+                 ORDER BY adist, vec_id LIMIT $pqIvfShortlist),
+      ivf10 AS (SELECT c.vec_id
+                FROM short2 t JOIN nn c ON t.vec_id = c.vec_id,
+                     (SELECT v, nrm FROM nn WHERE vec_id = 0) q
+                ORDER BY round($dotSql / nullif(q.nrm * c.nrm, 0), 6)
+                           DESC, c.vec_id
+                LIMIT 10)
+      SELECT (SELECT count(*) FROM ex) AS k,
+             (SELECT count(*) FROM ex JOIN pq10 USING (vec_id))
+               AS pq_hits,
+             round(CAST((SELECT count(*) FROM ex JOIN pq10 USING (vec_id))
+                        AS DOUBLE) / (SELECT count(*) FROM ex), 6)
+               AS pq_recall,
+             (SELECT count(*) FROM cand) AS ivfpq_candidates,
+             (SELECT count(*) FROM ex JOIN ivf10 USING (vec_id))
+               AS ivfpq_hits,
+             round(CAST((SELECT count(*) FROM ex JOIN ivf10 USING (vec_id))
+                        AS DOUBLE) / (SELECT count(*) FROM ex), 6)
+               AS ivfpq_recall""",
 
     "q_knn_join" -> s"""
       WITH $vectorsSql,

@@ -78,4 +78,29 @@ class Scd2CompactionSpec extends SparkTestBase {
       }
     }
   }
+
+  test("mix_softdedup weights every copy at exactly 1e6 DIV copies") {
+    val docs = ops.table(spark, sf0001, "documents")
+      .select($"source".as[String],
+        md5(trim(lower($"text")).cast("binary")).as[String]).collect()
+    val copies = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val eff = ds.map(d => 1000000L / copies(d._2)).sum
+      (src, ds.length.toLong, ds.map(_._2).distinct.length.toLong, eff,
+       r6(eff.toDouble / (ds.length.toLong * 1000000L)))
+    }.sortBy(_._1)
+    val got = ops.PipelineOps.queries("q_mix_softdedup")(spark, sf0001)
+      .select("source", "n_docs", "n_contents", "eff_docs_micro",
+        "softdedup_ratio")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == want.toSeq)
+    // a corpus with no duplicate contents must weight every doc fully
+    got.foreach { case (src, n, nc, eff, _) =>
+      if (n == nc) assert(eff == n * 1000000L, s"$src all-distinct weight")
+      else assert(eff < n * 1000000L, s"$src must down-weight copies")
+    }
+  }
 }

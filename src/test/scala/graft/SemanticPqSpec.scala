@@ -181,4 +181,26 @@ class SemanticPqSpec extends SparkTestBase {
     // every returned row must come from a probed cell
     assert(got.forall(r => probe(r._3)))
   }
+
+  test("ann_eval_pq counts the shipped searches against exact top-10") {
+    val Array((k, pqHits, pqRec, cand, ivfHits, ivfRec)) =
+      ops.SimOps.queries("q_ann_eval_pq")(spark, sf0001)
+        .select("k", "pq_hits", "pq_recall", "ivfpq_candidates",
+          "ivfpq_hits", "ivfpq_recall")
+        .as[(Long, Long, Double, Long, Long, Double)].collect()
+    val exact = ops.SimOps.queries("q_sim_search")(spark, sf0001)
+      .select($"vec_id".as[Long]).collect().toSet
+    val pq = ops.SimOps.queries("q_sim_search_pq")(spark, sf0001)
+      .select($"vec_id".as[Long]).collect().toSet
+    val ivf = ops.SimOps.queries("q_sim_search_ivfpq")(spark, sf0001)
+      .select($"vec_id".as[Long]).collect().toSet
+    assert(k == exact.size)
+    assert(pqHits == (exact & pq).size, "pq hits must count the shipped search")
+    assert(ivfHits == (exact & ivf).size, "ivfpq hits must count the shipped search")
+    assert(pqRec == r6(pqHits.toDouble / k))
+    assert(ivfRec == r6(ivfHits.toDouble / k))
+    // the probe must actually restrict the scan
+    val total = ops.table(spark, sf0001, "embeddings").count() - 1
+    assert(cand > 0 && cand < total, s"probe scanned $cand of $total")
+  }
 }
