@@ -86,6 +86,83 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance Σ (aᵢ−bᵢ)² over two numeric arrays,
+  * accumulated in double in element order — the same left-to-right
+  * `list_sum(list_transform(range, i -> (a[i]-b[i])*(a[i]-b[i])))` the
+  * oracles spell, bit-identical to the `aggregate(zip_with(...))` HOF
+  * chain it replaces (same subtract/multiply/add per element, same
+  * order) at ~10× the speed: the k-means assign and the PQ encode both
+  * evaluate this kernel n·k times, and the HOF's per-element
+  * interpretation was the dominant cost of the whole vector-index
+  * family at 100× (q_sim_search_pq 20.9 s, q_cluster_kmeans 11.6 s).
+  * Null semantics identical to [[DotProduct]]. */
+case class SqL2Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_l2 expects array<float|double>, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val t = x - y
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $t = ((double) $a.$lGet($i)) - ((double) $b.$rGet($i));
+          $acc += $t * $t;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Σ aᵢ·bᵢ in element order, accumulated in double. */
   def dot_product(a: Column, b: Column): Column =
@@ -94,4 +171,8 @@ object VectorFunctions {
   /** L2 norm: sqrt(v·v). */
   def l2_norm(v: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot_product(v, v))
+
+  /** Σ (aᵢ−bᵢ)² in element order, accumulated in double. */
+  def sq_l2(a: Column, b: Column): Column =
+    Shim.toColumn(SqL2Dist(Shim.toExpression(a), Shim.toExpression(b)))
 }

@@ -65,11 +65,13 @@ object SimOps {
   private val pqIvfShortlist = 100
 
   /** Squared L2 between two equal-length vectors, with the oracle's
-    * list_sum element-order accumulation. */
+    * list_sum element-order accumulation — the native codegen
+    * SqL2Dist expression (bit-identical to the former
+    * aggregate(zip_with) HOF chain, ~10× faster: this kernel runs
+    * n·k times in the k-means assign and the PQ encode). */
   private def sqd(a: org.apache.spark.sql.Column,
                   b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.sq_l2(a, b)
 
   /** (vec_id, m, sv): the L2-normalized vectors split into M contiguous
     * SUB-dim subvectors — the frame both the codebook and the encoder
@@ -517,9 +519,7 @@ object SimOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
       vecs.crossJoin(broadcast(cents))
-        .withColumn("dist", aggregate(
-          zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("dist", sqd(col("v"), col("c")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cid"), col("dist"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{dot_product, l2_norm}
+import graft.functions.VectorFunctions.{dot_product, l2_norm, sq_l2}
 
 /** The native DotProduct expression must agree bitwise with the
   * HOF-composed equivalent (same element order, same double accumulation)
@@ -24,6 +24,29 @@ class DotProductSpec extends SparkTestBase {
     assert(cmp.filter($"fast" =!= $"slow").count() == 0)
     // sanity: nonzero values present
     assert(cmp.filter(abs($"fast") > 0).count() > 0)
+  }
+
+  test("sq_l2 matches HOF aggregate bitwise on random float vectors") {
+    val rows = (1 to 200).map(i => (i.toLong, vec(64), vec(64)))
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      sq_l2($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+    assert(cmp.filter($"fast" =!= $"slow").count() == 0)
+    assert(cmp.filter($"fast" > 0).count() > 0)
+  }
+
+  test("sq_l2 survives interpreted (non-codegen) evaluation") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 6.0f))).toDF("a", "b")
+      val got = df.select(sq_l2($"a", $"b")).as[Double].head()
+      assert(got == 20.0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
   test("dot_product survives interpreted (non-codegen) evaluation") {
