@@ -580,20 +580,31 @@ object DedupOps {
     cross.unionAll(within)
   }
 
-  private def pairsFromNormedVecs(n: DataFrame): DataFrame = {
+  private def pairsFromNormedVecs(n: DataFrame, cell: Boolean = false)
+      : DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     // Band key = the 4 sign bits packed into an int nibble (any
     // injective encoding of the bits induces the same equality
     // partition, so the candidate set is identical to the oracle's
     // '0101' string spelling — at a quarter of the shuffle bytes and
     // none of the per-row string building).
-    val bands = n.select(col("vec_id"), explode(array(
+    //
+    // `cell = true` adds the k-means cell id to the equi-join key —
+    // banding WITHIN cells: Catalyst puts (cid, band, bkey) into one
+    // shuffle key, so candidate volume is per-cell-bounded and a
+    // 1000-executor run holds one cell's band buckets at a time. Pair
+    // set is provably the same as global banding ∩ same-cell (band
+    // collision is a pure function of the two vectors' sign patterns,
+    // independent of cid) — only the candidate volume shrinks.
+    val keep = if (cell) Seq(col("vec_id"), col("cid"))
+               else Seq(col("vec_id"))
+    val bands = n.select(keep :+ explode(array(
       (0 until 16).map(j => struct(lit(j).as("band"),
         (1 to 4).map(i =>
           when(element_at(col("v"), j * 4 + i) > 0.0f, lit(1 << i))
-            .otherwise(lit(0))).reduce(_ + _).as("bkey"))): _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"),
-              col("b.bkey").as("bkey"))
+            .otherwise(lit(0))).reduce(_ + _).as("bkey"))): _*)).as("b"): _*)
+      .select(keep ++ Seq(col("b.band").as("band"),
+              col("b.bkey").as("bkey")): _*)
     // Candidate pairs stay a MULTISET (one row per shared band): the
     // exact-cosine verifier is a codegen'd 64-wide dot product — cheap
     // enough that scoring duplicate candidates (~1.5× rows on this
@@ -603,20 +614,76 @@ object DedupOps {
     // restores set semantics shuffles only the surviving near-dup
     // pairs (hundreds, not millions). With an expensive verifier the
     // tradeoff flips — dedupe first, then score.
-    val cand = bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") &&
-        col("a.bkey") === col("b.bkey") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ca"), col("b.vec_id").as("cb"))
+    val baseCond = col("a.band") === col("b.band") &&
+      col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id")
+    val cond = if (cell) baseCond && col("a.cid") === col("b.cid")
+               else baseCond
+    val cand = bands.as("a").join(bands.as("b"), cond)
+      .select(Seq(col("a.vec_id").as("ca"), col("b.vec_id").as("cb")) ++
+        (if (cell) Seq(col("a.cid").as("cid")) else Nil): _*)
+    val vn = n.select("vec_id", "v", "nrm")
     cand
-      .join(n.as("a"), col("ca") === col("a.vec_id"))
-      .join(n.as("b"), col("cb") === col("b.vec_id"))
-      .select(col("ca").as("vec_a"), col("cb").as("vec_b"),
+      .join(vn.as("a"), col("ca") === col("a.vec_id"))
+      .join(vn.as("b"), col("cb") === col("b.vec_id"))
+      .select(Seq(col("ca").as("vec_a"), col("cb").as("vec_b")) ++
+        (if (cell) Seq(col("cid")) else Nil) ++ Seq(
         r6(dot_product(col("a.v"), col("b.v")) /
-           (col("a.nrm") * col("b.nrm"))).as("cos"))
+           (col("a.nrm") * col("b.nrm"))).as("cos")): _*)
       .filter(col("cos") >= 0.45)
       .distinct()
   }
+
+  /** Within-cell verified near-dup pairs (vec_a, vec_b, cid, cos) —
+    * q_dedup_semantic's candidate frame, banded INSIDE each k-means
+    * cell (the cid joins the band equi-key, so candidate volume is
+    * per-cell-bounded — the end-to-end version of the "cells shard the
+    * problem" claim; the former spelling banded the corpus globally
+    * and post-filtered by cell, regenerating cross-cell candidates
+    * only to throw them away). Row-identical to (embedPairs ∩
+    * same-cell): band collision is a pure function of the two
+    * vectors' sign patterns, so restricting the join to same-cell
+    * pairs drops exactly the candidates the old filter dropped.
+    *
+    * Contracted path mirrors [[expandedEmbedPairs]]: canonical
+    * contents band within their cells (byte-identical vectors have
+    * identical centroid distances, so every copy of a content lands
+    * in its canonical vector's cell), then the verified canonical
+    * pairs expand through the copy map and each near-self content
+    * contributes its within-content copy pairs — all same-cell by
+    * construction. */
+  private def cellEmbedPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "cell_embed_pairs") {
+      val cells = graft.ops.SimOps.kmeansCells(s, d)
+        .select(col("vec_id"), col("cid"))
+      if (!contracted(s, d))
+        pairsFromNormedVecs(normedVecs(s, d).join(cells, Seq("vec_id")),
+          cell = true).persist()
+      else {
+        val v2c = vec2content(s, d).select("vec_id", "vrep")
+        val canon = normedVecs(s, d)
+          .join(v2c.filter(col("vec_id") === col("vrep"))
+            .select("vec_id"), Seq("vec_id"), "semi")
+          .join(cells, Seq("vec_id"))
+        val cross = pairsFromNormedVecs(canon, cell = true)
+          .join(v2c.select(col("vrep").as("vec_a"), col("vec_id").as("ia")),
+                Seq("vec_a"))
+          .join(v2c.select(col("vrep").as("vec_b"), col("vec_id").as("ib")),
+                Seq("vec_b"))
+          .select(least(col("ia"), col("ib")).as("vec_a"),
+                  greatest(col("ia"), col("ib")).as("vec_b"),
+                  col("cid"), col("cos"))
+        val nearCopies = v2c
+          .join(selfCosContents(s, d), Seq("vrep"))
+          .join(cells.withColumnRenamed("vec_id", "vrep"), Seq("vrep"))
+        val within = nearCopies.as("x")
+          .join(nearCopies.as("y"),
+            col("x.vrep") === col("y.vrep") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+                  col("x.cid").as("cid"), col("x.cos").as("cos"))
+        cross.unionAll(within)
+      }
+    }
 
   /** Oracle fragment: jp = jaccard>=0.3 pairs (mirrors jaccardPairs). */
   private lazy val jaccardPairsSql = s"""$shinglesSql,
@@ -1367,11 +1434,10 @@ object DedupOps {
     // arXiv:2303.09540 — cluster the embedding space, then prune
     // near-duplicates WITHIN each cluster): k-means cells come from the
     // shared SimOps.kmeansCells assignment (bit-identical to
-    // q_cluster_kmeans), near-dup pairs from the memoized sign-LSH
-    // banded + exact-cosine-verified embedPairs frame (contraction-
+    // q_cluster_kmeans), near-dup pairs from the dedicated WITHIN-CELL
+    // banded + exact-cosine-verified cellEmbedPairs frame (contraction-
     // aware: byte-identical copies pair through the copy map, never a
-    // copy-quadratic candidate join), and the cell constraint is an
-    // equality filter on the two endpoints' cell ids. A vector is
+    // copy-quadratic candidate join). A vector is
     // DROPPED when a same-cell neighbor at cos ≥ 0.45 has a smaller
     // vec_id (keep-lowest-id — deterministic without computing
     // connected components). Output = one row per dropped vector with
@@ -1380,25 +1446,19 @@ object DedupOps {
     //
     // Why cells matter at 100 TB: the cluster assignment is what makes
     // semantic dedup shardable — candidate generation, verification and
-    // the keep rule all partition by cell, so a 1000-executor run holds
-    // one cell's vectors at a time (here the cell check is a post-filter
-    // because the banded pair frame is already sub-quadratic and shared
-    // with q_dedup_embed; a dedicated 100 TB run would band within
-    // cells). Recall of the band structure on within-cell threshold
-    // pairs: 9/9 at sf0.01, 53/54 at sf0.1 (measured).
-    "q_dedup_semantic" -> ((s, d) => {
-      val cells = SimOps.kmeansCells(s, d).select(col("vec_id"), col("cid"))
-      embedPairs(s, d)
-        .join(cells.select(col("vec_id").as("vec_a"), col("cid").as("ca")),
-              Seq("vec_a"))
-        .join(cells.select(col("vec_id").as("vec_b"), col("cid").as("cb")),
-              Seq("vec_b"))
-        .filter(col("ca") === col("cb"))
-        .groupBy(col("vec_b").as("vec_id"), col("ca").as("cid"))
+    // the keep rule all partition by cell. The band join keys on
+    // (cid, band, bkey), so a 1000-executor run holds one cell's band
+    // buckets at a time and cross-cell candidates are never generated
+    // (the former global-band + cell post-filter spelling regenerated
+    // them only to throw them away). Recall of the band structure on
+    // within-cell threshold pairs: 9/9 at sf0.01, 53/54 at sf0.1
+    // (measured).
+    "q_dedup_semantic" -> ((s, d) =>
+      cellEmbedPairs(s, d)
+        .groupBy(col("vec_b").as("vec_id"), col("cid"))
         .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("best_cos"),
              min(col("vec_a")).as("rep"))
-        .orderBy("vec_id")
-    }),
+        .orderBy("vec_id")),
 
     // Multi-signal dedup clustering — the composed corpus-curation
     // pattern: candidate duplicate edges from THREE independent signals
@@ -1546,11 +1606,22 @@ object DedupOps {
         .select("rep").distinct()
       val batch = withSide.filter(col("hb") >= 90).select("doc_id", "rep")
       val sh = repHashedShingles(s, d).withColumnRenamed("doc_id", "rep")
-      val corpusSh = sh.join(corpusReps, Seq("rep"), "semi")
-        .select("h").distinct().withColumn("hit", lit(1L))
       val batchOnlyReps = batch.select("rep").distinct()
         .join(corpusReps, Seq("rep"), "left_anti")
-      val cont = sh.join(batchOnlyReps, Seq("rep"), "semi")
+      val batchSh = sh.join(batchOnlyReps, Seq("rep"), "semi")
+      // The corpus-side membership set is pruned BEFORE its distinct by a
+      // semi-join on the batch's own shingle hashes: only h values the
+      // arriving batch probes can ever match the left join below, so the
+      // big shuffle is O(batch-touched shingles), not O(corpus shingles)
+      // — the asymmetry an incremental ingest must exploit (the unpruned
+      // spelling was a full-corpus distinct per batch). Both joins key on
+      // h, so the distinct reuses the semi-join's partitioning (no extra
+      // exchange); at sf scales AQE sees the small batch set and takes
+      // the broadcast side automatically.
+      val corpusSh = sh.join(corpusReps, Seq("rep"), "semi")
+        .join(batchSh.select("h").distinct(), Seq("h"), "semi")
+        .select("h").distinct().withColumn("hit", lit(1L))
+      val cont = batchSh
         .join(corpusSh, Seq("h"), "left")
         .groupBy("rep")
         .agg(count(lit(1)).as("n_sh"),

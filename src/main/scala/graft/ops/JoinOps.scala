@@ -115,26 +115,58 @@ object JoinOps {
     // Salted skew join — the manual mitigation for a hot join key made
     // explicit (the join twin of q_agg_salted; AQE's skew-join split is
     // the automatic variant, this is the pattern for engines/joins AQE
-    // can't reach): the fact side gets a deterministic salt in [0, S),
-    // the other side is replicated S× with every salt, and the join key
-    // becomes (key, salt) — a hot orderkey now spreads over S reducers
-    // instead of melting one. Result is provably identical to the
-    // unsalted join, which is exactly what the oracle asserts (it IS the
-    // plain join + aggregate).
+    // can't reach). Hot-key-ONLY salting (round 16; the naive variant
+    // replicated the ENTIRE dim side S× whether or not a key was hot —
+    // 8× the full dim shuffle, the 100× row's scale-killer): hot keys
+    // are measured driver-side from the fact table's per-key counts (a
+    // bounded ≤64-row collect — the same AQE-spirit runtime-stats
+    // bracket as the dedup contraction gate; threshold = what would
+    // dominate one of the 32 reducers). Only those keys take the
+    // salted path — their fact rows get a deterministic salt in
+    // [0, S), their ≤64 dim rows replicate S× — while the remaining
+    // (cold) corpus takes the plain equi-join. The union is provably
+    // the unsalted join, which is exactly what the oracle asserts (it
+    // IS the plain join + aggregate). On a skew-free corpus the hot
+    // set is empty and the query IS the plain join — zero replication
+    // tax (SkewStressSpec locks the hot-corpus behavior: bounded max
+    // task, melted unsalted twin).
     "q_join_salted" -> ((s, d) => {
       val S = 8
-      // hash-based salt: covers all of [0, S) regardless of column value
-      // distribution (l_linenumber alone is 1..7 — it would leave a dead
-      // salt-0 replica). The salt never reaches the output, so Spark's
-      // internal murmur3 is fine here — no oracle-parity constraint.
       val fact = table(s, d, "lineitem")
-        .withColumn("salt",
-          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
       val dim = table(s, d, "orders")
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      fact.join(dim, col("l_orderkey") === col("o_orderkey") &&
-                     fact("salt") === dim("salt"))
-        .groupBy(col("o_orderstatus"))
+      // count() over parquet is footer-stats-only; the per-key counts
+      // map-side combine to one row per distinct key before the top-64
+      // heads driver-side.
+      val thresh = math.max(fact.count() / 32L, 256L)
+      val hot = fact.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= thresh)
+        .orderBy(desc("n"), col("l_orderkey")).limit(64)
+        .collect().map(_.getLong(0)).toSeq
+      val joined = if (hot.isEmpty)
+        fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderstatus"), col("l_extendedprice"))
+      else {
+        // hash-based salt: covers all of [0, S) regardless of column
+        // value distribution (l_linenumber alone is 1..7 — it would
+        // leave a dead salt-0 replica). The salt never reaches the
+        // output, so Spark's internal murmur3 is fine here — no
+        // oracle-parity constraint.
+        val factHot = fact.filter(col("l_orderkey").isin(hot: _*))
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
+        val dimHot = dim.filter(col("o_orderkey").isin(hot: _*))
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        val salted = factHot
+          .join(dimHot, col("l_orderkey") === col("o_orderkey") &&
+                        factHot("salt") === dimHot("salt"))
+          .select(col("o_orderstatus"), col("l_extendedprice"))
+        val plain = fact.filter(!col("l_orderkey").isin(hot: _*))
+          .join(dim.filter(!col("o_orderkey").isin(hot: _*)),
+                col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderstatus"), col("l_extendedprice"))
+        salted.unionAll(plain)
+      }
+      joined.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
              dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("o_orderstatus")
