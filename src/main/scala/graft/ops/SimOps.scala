@@ -52,15 +52,25 @@ object SimOps {
   /** PQ geometry (q_sim_search_pq): M subspaces × SUB dims (M·SUB = the
     * 64-dim embedding), K codewords per subspace, and the ADC shortlist
     * size fed to the exact re-rank. */
-  private val pqM = 8
-  private val pqSub = 8
+  private val pqM = 16
+  private val pqSub = 4
   private val pqK = 32
   private val pqShortlist = 200
+
+  /** Codebook training set bound and Lloyd iteration count: training
+    * runs on the subvectors of the pqTrain smallest vec_ids — 128
+    * training points per codeword (the classic 32–256×K sizing), a
+    * deterministic O(1)-in-corpus-size sample so the training cost is
+    * CONSTANT at 100 TB while the encode pass stays linear. */
+  private val pqTrain = 4096
+  private val pqIters = 3
 
   /** IVF+PQ probe width and its (smaller) ADC shortlist: with 2 of 8
     * cells probed the candidate pool is ~25% of the corpus, so a 100-row
     * shortlist matches plain PQ's recall at half its re-rank width
-    * (measured recall@10 vs brute force: 9/10 sf0.01, 8/10 sf0.1). */
+    * (measured recall@10 vs brute force with the trained M=16 codebook:
+    * 9/10 sf0.01, 9/10 sf0.1; q_ann_sensitivity carries the
+    * nprobe ∈ {1,2,4} sweep). */
   private val pqNprobe = 2
   private val pqIvfShortlist = 100
 
@@ -86,30 +96,61 @@ object SimOps {
       }: _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
 
-  /** (m, cwid, cw): the deterministic per-subspace codebook — the
-    * subvectors of the K smallest vec_ids. K·M rows, broadcast. */
-  private def pqCodebook(s: SparkSession, d: String): DataFrame =
-    pqSubvectors(s, d).filter(col("vec_id") < pqK)
-      .select(col("m"), col("vec_id").as("cwid"), col("sv").as("cw"))
+  /** argmin-encode `sub` against the broadcast codebook `cb`:
+    * (vec_id, m, cwid, sv) — squared-L2 argmin with (dist, cwid)
+    * tie-break via the per-key row_number window shared with the
+    * k-means argmin (a struct-min agg would plan as SortAggregate —
+    * struct buffers are not mutable — so the window IS the cheaper
+    * spelling: one (vec_id, m) shuffle with a ≤ K-row sort per key).
+    * Shared by the training iterations and the final index build. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cwid"))
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", sqd(col("sv"), col("cw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cwid"), col("sv"))
+  }
 
-  /** (vec_id, m, cwid): every vector's PQ code — argmin squared-L2 over
-    * the broadcast codebook, (dist, cwid) tie-break via the same
-    * per-key row_number window as the k-means argmin (a struct-min agg
-    * would plan as SortAggregate — struct buffers are not mutable — so
-    * the window IS the cheaper spelling: one (vec_id, m) shuffle with a
-    * ≤ K-row sort per key). This is the INDEX BUILD — memoized +
-    * persisted (M small ints per vector) so the plain-PQ and IVF+PQ
-    * searches share one encode pass; at 100 TB it is the write-once
-    * artifact next to the table. */
+  /** (m, cwid, cw): the per-subspace PQ codebook, TRAINED with the
+    * same deterministic unrolled Lloyd as q_cluster_kmeans (round 16;
+    * the untrained first-K-subvectors codebook measured recall@10 8/10
+    * at sf0.1): init = the subvectors of the pqK smallest vec_ids,
+    * then pqIters assign+mean rounds over the pqTrain-bounded training
+    * sample. Means are the exact-decimal davg spelling, so both
+    * engines iterate from bit-identical codewords; a codeword that
+    * attracts no training subvectors drops out of the next round (the
+    * assignment is deterministic, so both engines drop the same ones).
+    * ≤ K·M rows; memoized + persisted (training, the encode pass and
+    * the query lookup table all read it). */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    simCache.getOrElseUpdate((s, d, "pq_codebook"), {
+      val tr = pqSubvectors(s, d).filter(col("vec_id") < pqTrain)
+      val cb0 = tr.filter(col("vec_id") < pqK)
+        .select(col("m"), col("vec_id").as("cwid"), col("sv").as("cw"))
+      (1 to pqIters).foldLeft(cb0) { (cb, _) =>
+        pqAssign(tr, cb)
+          .select(col("m"), col("cwid"), posexplode(col("sv")))
+          .groupBy(col("m"), col("cwid"), col("pos"))
+          .agg((sum(col("col").cast("decimal(18,6)")).cast("double") /
+                count(lit(1))).as("mv"))
+          .groupBy(col("m"), col("cwid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("mv")))),
+            x => x.getField("mv")).as("cw"))
+      }.persist()
+    })
+
+  /** (vec_id, m, cwid): every vector's PQ code — the argmin encode of
+    * the full corpus against the trained codebook. This is the INDEX
+    * BUILD — memoized + persisted (M small ints per vector) so the
+    * plain-PQ and IVF+PQ searches share one encode pass; at 100 TB it
+    * is the write-once artifact next to the table. */
   private[ops] def pqCodes(s: SparkSession, d: String): DataFrame =
     simCache.getOrElseUpdate((s, d, "pq_codes"), {
-      val encW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dist"), col("cwid"))
-      pqSubvectors(s, d).join(broadcast(pqCodebook(s, d)), Seq("m"))
-        .withColumn("dist", sqd(col("sv"), col("cw")))
-        .withColumn("rn", row_number().over(encW))
-        .filter(col("rn") === 1)
+      pqAssign(pqSubvectors(s, d), pqCodebook(s, d))
         .select(col("vec_id"), col("m"), col("cwid"))
         .persist()
     })
@@ -135,26 +176,53 @@ object SimOps {
   }
 
   /** The probed-cell candidate pool (vec_id, cid) the IVF+PQ search
-    * ranks — also counted by the recall audit. */
-  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
-    val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double"))
-        .as("qv")).limit(1)
-    val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
-      .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
-      .orderBy(col("cdist"), col("cid")).limit(pqNprobe)
-      .select(col("cid"))
-    kmeansCells(s, d)
-      .join(broadcast(probe), Seq("cid"))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("cid"))
-  }
+    * ranks — also counted by the recall audit and the nprobe
+    * sensitivity row. Memoized + persisted per probe width so the
+    * search, the audit's pool count and the sensitivity sweep share
+    * ONE frame per nprobe (the former spelling rebuilt it per
+    * consumer — ADVICE r15). */
+  private def ivfCandidates(s: SparkSession, d: String,
+                            nprobe: Int = pqNprobe): DataFrame =
+    simCache.getOrElseUpdate((s, d, s"ivf_cand_$nprobe"), {
+      val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double"))
+          .as("qv")).limit(1)
+      val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
+        .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
+        .orderBy(col("cdist"), col("cid")).limit(nprobe)
+        .select(col("cid"))
+      kmeansCells(s, d)
+        .join(broadcast(probe), Seq("cid"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"))
+        .persist()
+    })
 
-  /** The q_sim_search_ivfpq result frame (see [[pqSearch]]). */
-  private def ivfpqSearch(s: SparkSession, d: String): DataFrame = {
+  /** The exact brute-force top-10 ids — the recall audits' ground
+    * truth. Memoized + persisted: one corpus scan serves every audit
+    * branch (the former spelling re-evaluated the brute-force pass in
+    * each hit-count join — ADVICE r15). */
+  private def annExact10(s: SparkSession, d: String): DataFrame =
+    simCache.getOrElseUpdate((s, d, "ann_exact10"), {
+      val n = vectors(s, d)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
+      n.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(10)
+        .select(col("vec_id"))
+        .persist()
+    })
+
+  /** The q_sim_search_ivfpq result frame (see [[pqSearch]]); wider
+    * probes feed the sensitivity sweep. */
+  private def ivfpqSearch(s: SparkSession, d: String,
+                          nprobe: Int = pqNprobe): DataFrame = {
     val short = pqCodes(s, d)
       .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
-      .join(ivfCandidates(s, d), Seq("vec_id"))
+      .join(ivfCandidates(s, d, nprobe), Seq("vec_id"))
       .groupBy(col("vec_id"), col("cid"))
       .agg(dsum(col("qd")).as("adist"))
       .orderBy(col("adist"), col("vec_id")).limit(pqIvfShortlist)
@@ -234,31 +302,37 @@ object SimOps {
 
     // Product-quantization ANN (PQ with asymmetric distance computation)
     // — the memory-compression scale path next to the LSH bucket and the
-    // IVF cell probe: at 100 TB the index stores M=8 small codes per
-    // vector (8 bytes vs 256 for the raw floats), and a query scans
-    // codes + one 8×32 lookup table instead of re-reading every vector.
+    // IVF cell probe: at 100 TB the index stores M=16 small codes per
+    // vector (16 bytes vs 256 for the raw floats), and a query scans
+    // codes + one 16×32 lookup table instead of re-reading every vector.
     // Everything is deterministic and engine-exact:
     //   - vectors are L2-normalized first (on unit vectors L2² =
     //     2·(1−cos), so ADC distance order approximates cosine order;
     //     quantizing the RAW vectors ranked by magnitude, not angle —
     //     measured recall 1–2/10 vs 8–10/10 normalized);
-    //   - codebook = the subvectors of the 32 smallest vec_ids per
-    //     subspace (no RNG, no training loop to unroll in the oracle);
+    //   - codebook = TRAINED per-subspace Lloyd (pqIters unrolled
+    //     rounds over the pqTrain-bounded sample; init = the subvectors
+    //     of the pqK smallest vec_ids — no RNG, every round
+    //     oracle-unrolled). M=16 subspaces of 4 dims: the finer
+    //     geometry halves per-subspace quantization error vs 8×8 at 2×
+    //     the encode cost, and training lifted measured recall@10 from
+    //     8/10 to 9/10 at sf0.1;
     //   - encode = argmin of squared-L2 over the broadcast codebook,
     //     (dist, cwid) tie-break via the same per-key row_number window
     //     as the k-means argmin (a struct-min agg would plan as
     //     SortAggregate — struct buffers are not mutable — so the
     //     window IS the cheaper spelling: one (vec_id, m) shuffle with
     //     a ≤ K-row sort per key);
-    //   - search = ADC: exact query→codeword distances (8×32 rows,
-    //     broadcast), approx dist = exact-decimal sum of the 8 table
+    //   - search = ADC: exact query→codeword distances (16×32 rows,
+    //     broadcast), approx dist = exact-decimal sum of the 16 table
     //     entries each code selects (order-independent DECIMAL(18,6)
     //     terms, so Spark's unordered hash agg and DuckDB agree bitwise);
     //   - ADC top-200 shortlist (total (adist, vec_id) order), then
     //     exact-cosine re-rank on the raw vectors — the standard
     //     PQ candidate/re-rank split; measured recall@10 vs brute force:
-    //     10/10 at sf0.01, 8/10 at sf0.1 with a 10% shortlist.
-    // Plan shape: encode is one broadcast hash join + two map-side-
+    //     10/10 at sf0.01, 9/10 at sf0.1 with a 10% shortlist.
+    // Plan shape: training is pqIters bounded rounds over an O(1)
+    // sample; encode is one broadcast hash join + two map-side-
     // combined shuffles of ≤ (n·M → n) rows; the shortlist is a
     // TakeOrderedAndProject (per-partition heaps, driver merges 200
     // rows); the re-rank joins the broadcast 200-row shortlist back to
@@ -292,16 +366,7 @@ object SimOps {
     // what fraction of the corpus the probe actually scanned. One-row
     // aggregates attach via structurally certified broadcasts.
     "q_ann_eval_pq" -> ((s, d) => {
-      val n = vectors(s, d)
-      val q = n.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
-      val exact10 = n.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          r6(cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-            .as("cos"))
-        .orderBy(desc("cos"), asc("vec_id")).limit(10)
-        .select(col("vec_id"))
+      val exact10 = annExact10(s, d)
       val pq10 = pqSearch(s, d).select(col("vec_id"))
       val ivf10 = ivfpqSearch(s, d).select(col("vec_id"))
       exact10.agg(count(lit(1)).as("k"))
@@ -317,6 +382,29 @@ object SimOps {
           r6(col("ivfpq_hits").cast("double") / col("k"))
             .as("ivfpq_recall"))
         .orderBy("k")
+    }),
+
+    // IVF+PQ probe-width sensitivity (round 16): the recall/cost trade
+    // the IVFADC design claims, MEASURED instead of asserted — one row
+    // per nprobe ∈ {1, 2, 4} with the candidate-pool size (what
+    // fraction of the corpus the probe scanned) and recall@10 against
+    // the exact brute-force top-10. Every branch evaluates the SHIPPED
+    // ivfpqSearch frame at that probe width; the persisted per-nprobe
+    // candidate pools and the persisted exact-10 ground truth are
+    // shared across branches, so the sweep pays one brute pass + one
+    // ADC scan per width, not one per aggregate.
+    "q_ann_sensitivity" -> ((s, d) => {
+      val ex = annExact10(s, d)
+      Seq(1, 2, 4).map { np =>
+        ex.agg(count(lit(1)).as("k"))
+          .crossJoin(broadcast(ivfCandidates(s, d, np)
+            .agg(count(lit(1)).as("candidates"))))
+          .crossJoin(broadcast(ex
+            .join(ivfpqSearch(s, d, np).select(col("vec_id")), "vec_id")
+            .agg(count(lit(1)).as("hits"))))
+          .select(lit(np).as("nprobe"), col("candidates"), col("hits"),
+            r6(col("hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
     }),
 
     // k-NN join (batch ANN): every vector gets its top-1 neighbor among
@@ -567,10 +655,45 @@ object SimOps {
     init + steps.mkString(",", ",", "")
   }
 
+  /** The codebook-training CTE chain (mirrors [[pqCodebook]]): training
+    * sample (tr), init codebook (cb0), then pqIters unrolled
+    * assign+mean rounds (te$k / pm$k / cb$k) — the per-subspace Lloyd
+    * with the exact arithmetic of the k-means oracle (list_sum
+    * squared-L2, (dist, cwid) tiebreak, exact-decimal means). */
+  private val pqTrainCtesSql: String = {
+    val init =
+      s"""tr AS (SELECT vec_id, m, sv FROM sub WHERE vec_id < $pqTrain),
+      cb0 AS (SELECT m, vec_id AS cwid, sv AS cw FROM sub
+              WHERE vec_id < $pqK)"""
+    val steps = (1 to pqIters).map { k =>
+      s"""
+      te$k AS (SELECT vec_id, m, cwid, sv FROM (
+                SELECT t.vec_id, t.m, c.cwid, t.sv,
+                       row_number() OVER (PARTITION BY t.vec_id, t.m
+                         ORDER BY
+                           list_sum(list_transform(range(1, ${pqSub + 1}),
+                             i -> (t.sv[i] - c.cw[i])
+                                  * (t.sv[i] - c.cw[i]))),
+                           c.cwid) AS rn
+                FROM tr t JOIN cb${k - 1} c ON t.m = c.m) WHERE rn = 1),
+      pm$k AS (SELECT m, cwid, pos,
+                      CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*) AS mv
+               FROM (SELECT m, cwid, unnest(sv) AS val,
+                            unnest(range(1, len(sv) + 1)) AS pos
+                     FROM te$k)
+               GROUP BY m, cwid, pos),
+      cb$k AS (SELECT m, cwid, list(mv ORDER BY pos) AS cw FROM pm$k
+               GROUP BY m, cwid)"""
+    }
+    init + steps.mkString(",", ",", "")
+  }
+
   /** The PQ index CTE chain shared by the plain-PQ and IVF+PQ oracles:
-    * normalized vectors (nn), subvector explode (sub), codebook (cb),
-    * per-vector codes (enc), and the query's ADC lookup table (qtab) —
-    * each mirroring the Spark helper of the same role. */
+    * normalized vectors (nn), subvector explode (sub), trained codebook
+    * (cb$pqIters via [[pqTrainCtesSql]]), per-vector codes (enc), and
+    * the query's ADC lookup table (qtab) — each mirroring the Spark
+    * helper of the same role. */
   private val pqCtesSql = s"""nn AS (SELECT vec_id, label, v, nrm,
                     list_transform(v, x -> x / nrm) AS u
              FROM n WHERE nrm > 0),
@@ -578,8 +701,7 @@ object SimOps {
                      list_transform(range(1, ${pqSub + 1}),
                                     i -> u[m * $pqSub + i]) AS sv
               FROM nn, (SELECT unnest(range(0, $pqM)) AS m)),
-      cb AS (SELECT m, vec_id AS cwid, sv AS cw FROM sub
-             WHERE vec_id < $pqK),
+      $pqTrainCtesSql,
       enc AS (SELECT vec_id, m, cwid FROM (
                 SELECT s.vec_id, s.m, c.cwid,
                        row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -588,12 +710,13 @@ object SimOps {
                              i -> (s.sv[i] - c.cw[i])
                                   * (s.sv[i] - c.cw[i]))),
                            c.cwid) AS rn
-                FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+                FROM sub s JOIN cb$pqIters c ON s.m = c.m) WHERE rn = 1),
       qtab AS (SELECT c.m, c.cwid,
                       list_sum(list_transform(range(1, ${pqSub + 1}),
                         i -> (q.sv[i] - c.cw[i])
                              * (q.sv[i] - c.cw[i]))) AS qd
-               FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q
+               FROM cb$pqIters c
+               JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q
                  ON c.m = q.m)"""
 
   val oracles: Map[String, String] = Map(
@@ -784,6 +907,52 @@ object SimOps {
              round(CAST((SELECT count(*) FROM ex JOIN ivf10 USING (vec_id))
                         AS DOUBLE) / (SELECT count(*) FROM ex), 6)
                AS ivfpq_recall""",
+
+    "q_ann_sensitivity" -> s"""
+      WITH $vectorsSql,
+      ${kmeansSql(3)},
+      $pqCtesSql,
+      ex AS (SELECT c.vec_id
+             FROM n c, (SELECT v, nrm FROM n WHERE vec_id = 0) q
+             WHERE c.vec_id <> 0
+             ORDER BY round($dotSql / nullif(q.nrm * c.nrm, 0), 6) DESC,
+                      c.vec_id
+             LIMIT 10),
+      qc AS (SELECT c.cid,
+                    list_sum(list_transform(range(1, len(q.v) + 1),
+                      i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])))
+                      AS cdist
+             FROM c2 c, (SELECT v FROM n WHERE vec_id = 0) q)${
+      Seq(1, 2, 4).map { np => s""",
+      probe$np AS (SELECT cid FROM qc ORDER BY cdist, cid LIMIT $np),
+      cand$np AS (SELECT a3.vec_id, a3.cid FROM a3 JOIN probe$np
+                    USING (cid)
+                  WHERE a3.vec_id <> 0),
+      adc$np AS (SELECT e.vec_id,
+                        CAST(sum(CAST(t.qd AS DECIMAL(18,6))) AS DOUBLE)
+                          AS adist
+                 FROM enc e JOIN qtab t ON e.m = t.m AND e.cwid = t.cwid
+                 JOIN cand$np ON e.vec_id = cand$np.vec_id
+                 GROUP BY e.vec_id),
+      short$np AS (SELECT vec_id, adist FROM adc$np
+                   ORDER BY adist, vec_id LIMIT $pqIvfShortlist),
+      ivf$np AS (SELECT c.vec_id
+                 FROM short$np t JOIN nn c ON t.vec_id = c.vec_id,
+                      (SELECT v, nrm FROM nn WHERE vec_id = 0) q
+                 ORDER BY round($dotSql / nullif(q.nrm * c.nrm, 0), 6)
+                            DESC, c.vec_id
+                 LIMIT 10)"""
+      }.mkString}
+      ${Seq(1, 2, 4).map { np => s"""
+      SELECT $np AS nprobe,
+             (SELECT count(*) FROM cand$np) AS candidates,
+             (SELECT count(*) FROM ex JOIN ivf$np USING (vec_id))
+               AS hits,
+             round(CAST((SELECT count(*) FROM ex JOIN ivf$np
+                           USING (vec_id)) AS DOUBLE)
+                   / (SELECT count(*) FROM ex), 6) AS recall"""
+      }.mkString(" UNION ALL ")}
+      ORDER BY nprobe""",
 
     "q_knn_join" -> s"""
       WITH $vectorsSql,

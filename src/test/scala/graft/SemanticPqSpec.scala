@@ -104,10 +104,20 @@ class SemanticPqSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
   }
 
-  /** ADC distances for every non-query vector: deterministic codebook
-    * (subvectors of the 32 smallest vec_ids over L2-normalized
-    * vectors), argmin encode with (dist, cwid) tie-break, per-subspace
-    * exact-decimal term sum — the Catalyst pqCodes/pqQtab pipeline
+  /** PQ geometry mirrored from SimOps: M subspaces × SUB dims, K init
+    * codewords, training-sample bound, Lloyd rounds. */
+  private val M = 16
+  private val SUB = 4
+  private val K = 32
+  private val TRAIN = 4096
+  private val ITERS = 3
+
+  /** ADC distances for every non-query vector: TRAINED deterministic
+    * codebook (init = subvectors of the K smallest vec_ids over
+    * L2-normalized vectors, then ITERS unrolled Lloyd rounds over the
+    * vec_id < TRAIN training sample with exact-decimal means), argmin
+    * encode with (dist, cwid) tie-break, per-subspace exact-decimal
+    * term sum — the Catalyst pqCodebook/pqCodes/pqQtab pipeline
     * recomputed in plain Scala. */
   private def bruteAdc(
       vecs: Array[(Long, Long, Array[Double])]): Array[(Long, Double)] = {
@@ -116,15 +126,30 @@ class SemanticPqSpec extends SparkTestBase {
       val n = math.sqrt(dot(v, v)); v.map(_ / n)
     }
     def subs(u: Array[Double]): Array[Array[Double]] =
-      (0 until 8).map(m => u.slice(m * 8, m * 8 + 8)).toArray
-    val cb: Map[Int, Seq[(Long, Array[Double])]] = (0 until 8).map { m =>
-      (m, vecs.filter(_._1 < 32)
-        .map { case (id, _, v) => (id, subs(unit(v))(m)) }.toSeq)
+      (0 until M).map(m => u.slice(m * SUB, m * SUB + SUB)).toArray
+    val train = vecs.filter(_._1 < TRAIN)
+    val cb: Map[Int, Seq[(Long, Array[Double])]] = (0 until M).map { m =>
+      var cents: Seq[(Long, Array[Double])] = vecs.filter(_._1 < K)
+        .map { case (id, _, v) => (id, subs(unit(v))(m)) }.toSeq
+      for (_ <- 1 to ITERS) {
+        val asg = train.map { case (id, _, v) =>
+          val sv = subs(unit(v))(m)
+          val cw = cents.minBy { case (c, w) => (sqDist(sv, w), c) }._1
+          (cw, sv)
+        }
+        cents = asg.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, ms) =>
+          val mean = (0 until SUB).map { i =>
+            ms.map(x => d6(x._2(i))).reduce(_ add _).doubleValue / ms.length
+          }.toArray
+          (c, mean)
+        }
+      }
+      (m, cents)
     }.toMap
     val qsub = subs(unit(q))
     vecs.filter(_._1 != 0L).map { case (id, _, v) =>
       val sv = subs(unit(v))
-      val terms = (0 until 8).map { m =>
+      val terms = (0 until M).map { m =>
         val cw = cb(m).minBy { case (c, w) => (sqDist(sv(m), w), c) }._2
         d6(sqDist(qsub(m), cw))
       }
