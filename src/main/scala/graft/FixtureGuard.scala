@@ -79,9 +79,20 @@ object FixtureGuard {
         // path-not-found stays "missing ≠ drifted".
         val plainLocalMissing =
           !path.contains(":/") && !new java.io.File(path).exists()
-        def isPathNotFound(e: Throwable): Boolean = {
-          val m = String.valueOf(e.getMessage)
-          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+        // Missing-vs-unreadable classification keys on the error CLASS
+        // (SparkThrowable condition), not message text — a Spark
+        // version or locale rewording the message must not turn a
+        // merely-missing scheme'd path into a spurious "present but
+        // unreadable" diagnostic. Fallback: ask the filesystem itself
+        // (Hadoop FileSystem.exists handles every scheme Spark reads).
+        def isPathNotFound(e: Throwable): Boolean = e match {
+          case st: org.apache.spark.SparkThrowable
+              if st.getCondition != null =>
+            st.getCondition.contains("PATH_NOT_FOUND")
+          case _ => scala.util.Try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            !p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+          }.getOrElse(false)
         }
         if (plainLocalMissing) Nil // missing ≠ drifted
         else scala.util.Try(spark.read.parquet(path)
@@ -131,6 +142,30 @@ object FixtureGuard {
               "reader's conversion")
         }
       }
-    schemaDrift ++ epochDrift
+    // q_mm_frames' oracle equivalence (Spark byte-slicing + md5-of-binary
+    // vs DuckDB VARCHAR char-slicing + md5-of-string) holds only while
+    // documents.text is single-byte — a checked invariant, not an
+    // undeclared fixture property: a regenerated fixture with multibyte
+    // text fails loudly here instead of silently diverging.
+    val asciiDrift =
+      if (readable.contains("documents") && !badTables.contains("documents"))
+        scala.util.Try {
+          graft.ops.table(spark, dir, "documents")
+            .filter(octet_length(col("text")) =!= length(col("text")))
+            .count()
+        } match {
+          case scala.util.Success(0L) => Nil
+          case scala.util.Success(n) =>
+            Seq(s"documents.text: $n rows contain multibyte characters — " +
+              "q_mm_frames' byte-slice vs char-slice oracle equivalence " +
+              "no longer holds")
+          case scala.util.Failure(e) =>
+            Seq("documents.text: single-byte pin failed to evaluate — " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).linesIterator
+                .take(1).mkString.take(160))
+        }
+      else Nil
+    schemaDrift ++ epochDrift ++ asciiDrift
   }
 }

@@ -255,18 +255,28 @@ object TextOps {
       // DECIMAL(38,0)/HUGEINT at 100 TB magnitudes (n_uni ~ 2.5e13):
       // the one-step numerator cxy·n_uni²·10⁶ crosses 10³⁸ for hot
       // bigrams, where non-ANSI Spark NULLs silently and HUGEINT
-      // errors. Step 1 ≤ 10⁶·n_uni (since cxy ≤ min(c1,c2)); step 2
-      // ≤ 10⁶·n_uni² ≈ 6e32. Both engines run the identical two-step
-      // floor spelling, so the (slightly coarser) rounding is shared.
+      // errors. Step 1 stays in DECIMAL end to end — Spark's DIV is
+      // IntegralDivide and returns BIGINT, whose 9.2e18 ceiling the
+      // step-1 quotient (≤ 2e5·n_uni from cxy ≥ 5 and cxy ≤
+      // min(c1,c2), ≈ 5e18 at n_uni 2.5e13) clears with < 2×
+      // headroom; the (num − num % den) / den floor spelling is an
+      // exact decimal at any magnitude up to the 10³²-bounded step-2
+      // product, matching DuckDB's exact HUGEINT // bit for bit.
+      // Intermediates: num = cxy·10⁶·n_uni ≤ 6.3e32, den = c1·c2 ≤
+      // 6.3e26, step 2 ≤ 1.3e32 — all inside DECIMAL(38,0). The FINAL
+      // lift_micro is BIGINT by contract; its own ceiling is the same
+      // ≤ 2e5·n_uni bound, inherent to micro units at that corpus
+      // size. Both engines floor identically, so rounding is shared.
       bi.join(uni.withColumnRenamed("w", "w1")
                  .withColumnRenamed("cw", "c1"), "w1")
         .join(uni.withColumnRenamed("w", "w2")
                  .withColumnRenamed("cw", "c2"), "w2")
         .crossJoin(broadcast(totals))
+        .withColumn("num",
+          expr("CAST(cxy AS DECIMAL(38,0)) * 1000000 * n_uni"))
+        .withColumn("den", expr("CAST(c1 AS DECIMAL(38,0)) * c2"))
         .select(col("w1"), col("w2"), col("cxy"),
-          expr("""CAST(CAST((CAST(cxy AS DECIMAL(38,0)) * 1000000 * n_uni)
-                            DIV (CAST(c1 AS DECIMAL(38,0)) * c2)
-                            AS DECIMAL(38,0))
+          expr("""CAST(CAST((num - num % den) / den AS DECIMAL(38,0))
                        * n_uni DIV n_bi AS BIGINT)""").as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
         .limit(50)
