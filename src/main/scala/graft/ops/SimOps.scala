@@ -147,11 +147,42 @@ object SimOps {
     * the full corpus against the trained codebook. This is the INDEX
     * BUILD — memoized + persisted (M small ints per vector) so the
     * plain-PQ and IVF+PQ searches share one encode pass; at 100 TB it
-    * is the write-once artifact next to the table. */
+    * is the write-once artifact next to the table.
+    *
+    * The corpus-sized encode does NOT take the join+window argmin the
+    * O(1)-bounded training rounds use: that spelling shuffles n·M·K
+    * scored rows (~100 M at the 100× sweep) only to keep one per key.
+    * Instead the ≤ K·M-row trained codebook is collected once (the
+    * bounded driver-control bracket, same idiom as the percentile
+    * refinement) and inlined as a literal m → [(cwid, cw)] map, so the
+    * encode is ONE narrow map-only projection over the n·M subvector
+    * rows — zero shuffle, argmin computed per row by a fold over the
+    * ≤ K codewords with the same sq_l2 values and (dist, cwid)
+    * tie-break, hence bit-identical codes. */
   private[ops] def pqCodes(s: SparkSession, d: String): DataFrame =
     simCache.getOrElseUpdate((s, d, "pq_codes"), {
-      pqAssign(pqSubvectors(s, d), pqCodebook(s, d))
-        .select(col("vec_id"), col("m"), col("cwid"))
+      val cbLocal: Map[Int, Seq[(Long, Seq[Double])]] =
+        pqCodebook(s, d).collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+                     r.getSeq[Double](2).toSeq))
+          .groupBy(_._1).view
+          .mapValues(_.sortBy(_._2).map(e => (e._2, e._3)).toSeq).toMap
+      val cbCol = typedLit(cbLocal)
+      val init = struct(lit(Double.MaxValue).as("dist"),
+                        lit(Long.MaxValue).as("cwid"))
+      pqSubvectors(s, d)
+        .withColumn("best", aggregate(
+          element_at(cbCol, col("m")),
+          init,
+          (acc, e) => {
+            val dd = sqd(col("sv"), e.getField("_2"))
+            when(dd < acc.getField("dist") ||
+                 (dd === acc.getField("dist") &&
+                  e.getField("_1") < acc.getField("cwid")),
+              struct(dd.as("dist"), e.getField("_1").as("cwid")))
+              .otherwise(acc)
+          }))
+        .select(col("vec_id"), col("m"), col("best.cwid").as("cwid"))
         .persist()
     })
 

@@ -63,6 +63,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == 2000L, s"got $got")
   }
 
+  test("pmi step-1 decimal floor is exact past the BIGINT DIV ceiling") {
+    // The former step-1 spelling (DECIMAL DIV → IntegralDivide →
+    // BIGINT) silently NULLed once the quotient crossed 9.2e18 while
+    // DuckDB's HUGEINT // stayed exact. The decimal (num − num % den)
+    // / den floor must match BigInt floor division at magnitudes past
+    // that ceiling (quotient here ≈ 2e19).
+    val nUni = 100_000_000_000_000L // 1e14 unigrams (> the 100 TB est.)
+    val row = Seq((5L, 5L, 5L, nUni, nUni)).toDF(
+      "cxy", "c1", "c2", "n_uni", "n_bi")
+    val got = row
+      .withColumn("num",
+        expr("CAST(cxy AS DECIMAL(38,0)) * 1000000 * n_uni"))
+      .withColumn("den", expr("CAST(c1 AS DECIMAL(38,0)) * c2"))
+      .select(expr(
+        "CAST((num - num % den) / den AS DECIMAL(38,0))").as("step1"))
+      .as[java.math.BigDecimal].head()
+    val want = (BigInt(5) * 1000000 * nUni) / (BigInt(5) * 5)
+    assert(want > BigInt(Long.MaxValue), "fixture must exceed the ceiling")
+    assert(BigInt(got.toBigIntegerExact()) == want,
+      s"step1 $got != exact $want")
+  }
+
   test("quality filter: too_short verdict tracks the token-count rule") {
     // The verdict chain's first rule is n_tokens < 30 — so that verdict
     // and that predicate must agree row-for-row, whatever the later
