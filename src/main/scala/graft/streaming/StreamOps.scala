@@ -368,6 +368,28 @@ object StreamOps {
     val savedChangelog = s.conf.getOption(
       "spark.sql.streaming.stateStore.rocksdb." +
       "changelogCheckpointing.enabled")
+    // RocksDB sizing for the corpus-keyed burst (round 16): the store's
+    // defaults target modest per-partition state; at the 100× sweep each
+    // of the 16 partitions holds ~600 K keys / ~70 MB.
+    //   - blockCacheSizeMB 512: corpus-keyed dedup is get-then-put per
+    //     event, and the default 8 MB cache thrashes once the working
+    //     set outgrows it — every get then decompresses a block back
+    //     off local disk.
+    //   - writeBufferSizeMB 256 + maxWriteBufferNumber 4: fewer L0
+    //     flushes/compactions while the replay pushes millions of new
+    //     keys in 2–3 micro-batches.
+    // Explicit session settings win; applied only on the gated runs and
+    // restored below.
+    val rocksTuning = Seq(
+      "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "512",
+      "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "256",
+      "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber" -> "4")
+    val savedTuning: Seq[(String, Option[String])] =
+      if (useRocks) rocksTuning.map { case (k, v) =>
+        val old = s.conf.getOption(k)
+        if (old.isEmpty) s.conf.set(k, v)
+        (k, old)
+      } else Nil
     if (useRocks) {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
@@ -415,6 +437,10 @@ object StreamOps {
             "rocksdb.changelogCheckpointing.enabled", v)
           case None => s.conf.unset("spark.sql.streaming.stateStore." +
             "rocksdb.changelogCheckpointing.enabled")
+        }
+        savedTuning.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
         }
       }
       try s.catalog.dropTempView(qname) catch { case _: Exception => () }
