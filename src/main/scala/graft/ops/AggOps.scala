@@ -455,6 +455,47 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter audit:
+    // a depth-4 × width-256 sketch of the l_partkey frequency stream,
+    // read back at the top-20 true-frequency keys. Deterministic hash
+    // rows (md5 of "row:key" mod width — identical in both engines, no
+    // RNG) make the whole sketch oracle-matchable as plain SQL, unlike
+    // the engine-private HLL above. The output carries truth AND
+    // estimate, so the CM one-sided error guarantee (est >= true, with
+    // overcount bounded by the depth-min of row collisions) is visible
+    // in the artifact, not asserted.
+    //
+    // Scale posture: the sketch build is one linear ×4 explode shuffled
+    // into 1024 cells (a map-side-combinable HashAggregate — at 100 TB
+    // the partial aggregation collapses each task's stream to <= 1024
+    // rows before the exchange, so the shuffle is O(tasks), not O(rows));
+    // the probe side is a 20-row TakeOrdered broadcast. This is the
+    // pre-aggregation shape a pipeline uses to find hot keys without a
+    // full groupBy when the key space is huge.
+    "q_agg_countmin" -> ((s, d) => {
+      val keys = table(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("k"))
+      def bucket(r: org.apache.spark.sql.Column,
+                 k: org.apache.spark.sql.Column) =
+        pmod(md5hash32(concat(r.cast("string"), lit(":"),
+                              k.cast("string"))), lit(256))
+      val cells = keys
+        .select(col("k"), explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("r"), bucket(col("r"), col("k")).as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val top = keys.groupBy(col("k")).agg(count(lit(1)).as("c_true"))
+        .orderBy(col("c_true").desc, col("k")).limit(20)
+      top.select(col("k"), col("c_true"),
+                 explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("b", bucket(col("r"), col("k")))
+        .join(cells, Seq("r", "b"))
+        .groupBy(col("k"), col("c_true"))
+        .agg(min(col("c")).as("c_est"))
+        .select(col("k"), col("c_true"), col("c_est"),
+                (col("c_est") - col("c_true")).as("overcount"))
+        .orderBy(col("c_true").desc, col("k"))
+    }),
+
     // HLL sketch — bench-only (sketches are engine-specific, SURVEY §2.3),
     // so no oracle entry: the driver records a rows-only check.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -677,6 +718,30 @@ object AggOps {
       WHERE rn <= 64
       GROUP BY event_type
       ORDER BY event_type""",
+
+    "q_agg_countmin" -> """
+      WITH kk AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+      e AS (SELECT k, unnest([0, 1, 2, 3]) AS r FROM kk),
+      cells AS (SELECT r,
+                       CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                                                CAST(k AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 256 AS b,
+                       count(*) AS c
+                FROM e GROUP BY 1, 2),
+      top AS (SELECT k, count(*) AS c_true FROM kk GROUP BY k
+              ORDER BY c_true DESC, k LIMIT 20),
+      probe AS (SELECT k, c_true, unnest([0, 1, 2, 3]) AS r FROM top),
+      pb AS (SELECT k, c_true, r,
+                    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                                             CAST(k AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 256 AS b
+             FROM probe),
+      est AS (SELECT pb.k, pb.c_true, min(cells.c) AS c_est
+              FROM pb JOIN cells ON pb.r = cells.r AND pb.b = cells.b
+              GROUP BY pb.k, pb.c_true)
+      SELECT k, c_true, c_est, c_est - c_true AS overcount
+      FROM est
+      ORDER BY c_true DESC, k""",
 
     "q_agg_conditional" -> """
       SELECT l_returnflag,

@@ -1640,6 +1640,146 @@ object DedupOps {
              countDistinct(col("rep")).as("n_contents"))
         .orderBy("status")
     }),
+
+    // Exact-substring duplicate marking (Lee et al. 2022,
+    // arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    // Models Better"), re-expressed relationally: the suffix-array pass
+    // that finds every >= K-token span occurring more than once in the
+    // corpus becomes (1) a rolling K-token window hash per position,
+    // (2) a corpus-wide occurrence count per window content, (3) the
+    // classic gaps-and-islands merge of each doc's duplicated window
+    // positions into maximal spans. Output is the per-doc dedup
+    // accounting a pipeline acts on: how many duplicated windows, how
+    // many maximal spans, how many tokens those spans cover. K = 8 —
+    // proportionate to the ~50-token fixture docs as Lee et al.'s 50 is
+    // to web documents.
+    //
+    // Scale posture: linear at EVERY copy density — unlike the pairwise
+    // dedup family there is no doc-to-doc join anywhere, so no
+    // contraction gate is needed. The window explode is linear in corpus
+    // tokens, the occurrence count shuffles on the 60-bit content hash
+    // (corpus-cardinality key — see md5hash60), the semi-join back is
+    // hash-keyed, and the island merge is a per-doc window function
+    // partitioned by doc_id. A boilerplate window shared by millions of
+    // docs is just a large count — never a posting-list self-join. All
+    // arithmetic is integer (counts and token positions), so the oracle
+    // compare has no float in it.
+    "q_dedup_substring" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val wins = table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("tok", split(col("text"), " "))
+        .filter(size(col("tok")) >= K)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("tok")) - K),
+            i => md5hash60(concat_ws(" ",
+                   slice(col("tok"), i + 1, lit(K)))))))
+        .select(col("doc_id"), col("pos").cast("long").as("start"),
+                col("col").as("h"))
+      // Occurrence count >= 2 marks a window duplicated anywhere in the
+      // corpus (cross-doc or a within-doc repeat — Lee et al. dedup both).
+      val dupH = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("h")
+      val dup = wins.join(dupH, Seq("h"), "semi")
+      // Islands: consecutive duplicated windows overlap whenever the next
+      // start is within K-1 of the previous (windows are K tokens long and
+      // starts ascend), so a gap > K-1 opens a new maximal span.
+      val byDoc = Window.partitionBy("doc_id").orderBy("start")
+      val run = Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dup
+        .withColumn("brk",
+          when(lag(col("start"), 1).over(byDoc).isNull ||
+               col("start") - lag(col("start"), 1).over(byDoc) > (K - 1),
+               1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(run))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("nw"),
+             (max(col("start")) - min(col("start")) + K).as("span_tokens"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nw")).as("n_dup_windows"),
+             count(lit(1)).as("n_spans"),
+             sum(col("span_tokens")).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Asymmetric shingle containment C(src→dst) = |S(src) ∩ S(dst)| /
+    // |S(src)| — the near-dup signal symmetric Jaccard misses: a short
+    // doc wholly quoted inside a long one has containment ~1 from the
+    // short side but Jaccard ~|short|/|long|. Ordered pairs with
+    // containment >= 0.5, in the same exact integer-micro arithmetic as
+    // q_dedup_incremental's membership containment (hits·10⁶ DIV n_sh —
+    // no float in the threshold compare).
+    //
+    // Direct path (near-all-distinct corpus): one posting-list self-join
+    // on the persisted 60-bit hashed-shingle frame (the same equi-join
+    // shape as the Jaccard verifier — quadratic only within a
+    // shared-shingle cluster, never all-pairs), emitted in both
+    // orientations against each side's own set size. Contracted path
+    // (copy-dense corpus, measured 2% gate shared with the family):
+    // containment is a pure function of the two raw contents, so rep
+    // pairs are verified once and expanded through the copy map; within
+    // a copy group every ordered pair has containment exactly 1.
+    "q_dedup_containment" -> ((s, d) => {
+      val thrMicro = 500000L
+      val ordered =
+        if (!contracted(s, d)) {
+          val shh = hashedShingles(s, d)
+          val counts = shh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          val up = shh.as("a")
+            .join(shh.as("b"), col("a.h") === col("b.h") &&
+                               col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("doc_a"),
+                     col("b.doc_id").as("doc_b"))
+            .agg(count(lit(1)).as("shared"))
+          up.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+                    col("shared"))
+            .unionAll(up.select(col("doc_b").as("src"),
+                                col("doc_a").as("dst"), col("shared")))
+            .join(counts.withColumnRenamed("doc_id", "src"), Seq("src"))
+        } else {
+          val rsh = repHashedShingles(s, d)
+          val rcnt = rsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          val rup = rsh.as("a")
+            .join(rsh.as("b"), col("a.h") === col("b.h") &&
+                               col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("doc_a"),
+                     col("b.doc_id").as("doc_b"))
+            .agg(count(lit(1)).as("shared"))
+          val rboth = rup
+            .select(col("doc_a").as("rsrc"), col("doc_b").as("rdst"),
+                    col("shared"))
+            .unionAll(rup.select(col("doc_b").as("rsrc"),
+                                 col("doc_a").as("rdst"), col("shared")))
+            .join(rcnt.withColumnRenamed("doc_id", "rsrc"), Seq("rsrc"))
+            // rep-level threshold BEFORE expansion: containment of a copy
+            // pair equals its rep pair's, so filtering early keeps the
+            // expansion linear in the final output.
+            .filter(col("shared") * 1000000L >= col("n_sh") * thrMicro)
+          val d2r = shingledD2r(s, d)
+          val cross = rboth
+            .join(d2r.select(col("rep").as("rsrc"),
+                             col("doc_id").as("src")), Seq("rsrc"))
+            .join(d2r.select(col("rep").as("rdst"),
+                             col("doc_id").as("dst")), Seq("rdst"))
+            .select(col("src"), col("dst"), col("shared"), col("n_sh"))
+          val sized = d2r.join(
+            rcnt.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+          val within = sized.as("x")
+            .join(sized.as("y"), col("x.rep") === col("y.rep") &&
+                                 col("x.doc_id") =!= col("y.doc_id"))
+            .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"),
+                    col("x.n_sh").as("shared"), col("x.n_sh").as("n_sh"))
+          cross.unionAll(within)
+        }
+      ordered
+        .select(col("src").as("doc_src"), col("dst").as("doc_dst"),
+                col("shared"),
+                expr("(shared * 1000000) DIV n_sh").as("cmicro"))
+        .filter(col("cmicro") >= thrMicro)
+        .orderBy("doc_src", "doc_dst")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1980,5 +2120,56 @@ object DedupOps {
       SELECT status, count(*) AS n_docs,
              CAST(count(DISTINCT ck) AS BIGINT) AS n_contents
       FROM cls GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_substring" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+      wins AS (SELECT doc_id,
+                      unnest(generate_series(0, len(ts) - 8)) AS start, ts
+               FROM toks WHERE len(ts) >= 8),
+      wh AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+                    CAST(('0x' || substr(md5(
+                        array_to_string(ts[start+1:start+8], ' ')), 1, 15))
+                      AS BIGINT) AS h
+             FROM wins),
+      duph AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+      dup AS (SELECT doc_id, start FROM wh
+              WHERE h IN (SELECT h FROM duph)),
+      brks AS (SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER w IS NULL
+                        OR start - lag(start) OVER w > 7
+                      THEN 1 ELSE 0 END AS brk
+               FROM dup
+               WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+      isl AS (SELECT doc_id, start,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM brks),
+      spans AS (SELECT doc_id, island, count(*) AS nw,
+                       max(start) - min(start) + 8 AS span_tokens
+                FROM isl GROUP BY doc_id, island)
+      SELECT doc_id, CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+             count(*) AS n_spans,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dedup_containment" -> s"""
+      WITH $shinglesSql,
+      shh AS (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                       AS h
+              FROM sh),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM shh a JOIN shh b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+      o AS (SELECT doc_a AS src, doc_b AS dst, shared FROM p
+            UNION ALL SELECT doc_b, doc_a, shared FROM p)
+      SELECT src AS doc_src, dst AS doc_dst, shared,
+             (shared * 1000000) // n_sh AS cmicro
+      FROM o JOIN cnt ON src = cnt.doc_id
+      WHERE (shared * 1000000) // n_sh >= 500000
+      ORDER BY doc_src, doc_dst""",
   )
 }

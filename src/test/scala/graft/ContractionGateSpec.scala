@@ -20,7 +20,8 @@ class ContractionGateSpec extends SparkTestBase {
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_clusters",
     "q_graph_degree",
     "q_dedup_minhash", "q_dedup_minhash_clusters", "q_dedup_minhash_eval",
-    "q_dedup_embed", "q_dedup_multi_signal", "q_split_leakage")
+    "q_dedup_embed", "q_dedup_multi_signal", "q_split_leakage",
+    "q_dedup_containment")
 
   private lazy val copyDense: String = {
     val tmp = java.nio.file.Files

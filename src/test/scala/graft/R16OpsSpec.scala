@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-16 additions: exact-substring span marking,
+  * asymmetric shingle containment, Count-Min heavy-hitter audit. Each is
+  * re-derived by an in-memory brute force on sf0.001 — independent of
+  * both the Spark plan and the DuckDB oracle spelling. */
+class R16OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  private lazy val docToks: Map[Long, Array[String]] =
+    ops.table(spark, sf0001, "documents")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+      .map { case (id, t) => id -> t.split(" ") }.toMap
+
+  test("dedup_substring matches a brute-force suffix-window pass") {
+    val K = 8
+    // every K-window occurrence in the corpus
+    val occ = docToks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - K).map(i => (id, i.toLong,
+        h60(ts.slice(i, i + K).mkString(" "))))
+    }
+    val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val expect = occ.filter(o => counts(o._3) >= 2)
+      .groupBy(_._1).view.mapValues { ws =>
+        val starts = ws.map(_._2).sorted
+        // gaps-and-islands over the ascending starts
+        val islands = starts.foldLeft(List.empty[(Long, Long)]) {
+          case ((lo, hi) :: rest, s) if s - hi <= K - 1 =>
+            (lo, s) :: rest
+          case (acc, s) => (s, s) :: acc
+        }
+        val spanToks = islands.map { case (lo, hi) => hi - lo + K }.sum
+        (starts.size.toLong, islands.size.toLong, spanToks)
+      }.toMap
+    val got = ops.DedupOps.queries("q_dedup_substring")(spark, sf0001)
+      .select($"doc_id".as[Long], $"n_dup_windows".as[Long],
+              $"n_spans".as[Long], $"dup_tokens".as[Long]).collect()
+    assert(got.nonEmpty, "no duplicated windows at sf0.001 — vacuous")
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, nw, ns, dt) =>
+      val (enw, ens, edt) = expect(id)
+      assert(nw == enw, s"doc $id n_dup_windows")
+      assert(ns == ens, s"doc $id n_spans")
+      assert(dt == edt, s"doc $id dup_tokens")
+      // span accounting sanity: a span of w windows covers w + K - 1
+      // tokens when contiguous, at most; and always >= K
+      assert(dt >= K && dt <= docToks(id).length)
+    }
+    // ordered output
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("dedup_containment matches brute-force asymmetric containment") {
+    val shingleSets: Map[Long, Set[Long]] = docToks.collect {
+      case (id, ts) if ts.length >= 3 =>
+        id -> (0 to ts.length - 3)
+          .map(i => h60(ts.slice(i, i + 3).mkString(" "))).toSet
+    }.toMap
+    val ids = shingleSets.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a != b
+      shared = (shingleSets(a) & shingleSets(b)).size.toLong
+      if shared > 0
+      cm = shared * 1000000L / shingleSets(a).size
+      if cm >= 500000L
+    } yield (a, b, shared, cm)).sortBy(p => (p._1, p._2))
+    val got = ops.DedupOps.queries("q_dedup_containment")(spark, sf0001)
+      .select($"doc_src".as[Long], $"doc_dst".as[Long],
+              $"shared".as[Long], $"cmicro".as[Long]).collect().toSeq
+    assert(expect.nonEmpty, "no containment pairs at sf0.001 — vacuous")
+    assert(got == expect)
+    // asymmetry is real: at least one pair above threshold one way only
+    val gotKeys = got.map(p => (p._1, p._2)).toSet
+    assert(got.forall(p => p._4 >= 500000L && p._4 <= 1000000L))
+    gotKeys.foreach { case (a, b) => assert(a != b) }
+  }
+
+  test("agg_countmin: estimates are one-sided and exact sans collision") {
+    val got = ops.AggOps.queries("q_agg_countmin")(spark, sf0001)
+      .select($"k".as[Long], $"c_true".as[Long], $"c_est".as[Long],
+              $"overcount".as[Long]).collect()
+    assert(got.length == 20)
+    // CM guarantee: never an undercount
+    got.foreach { case (k, ct, ce, oc) =>
+      assert(ce >= ct, s"key $k undercounted: est $ce < true $ct")
+      assert(oc == ce - ct)
+    }
+    // brute-force the sketch and the truth
+    val keys = ops.table(spark, sf0001, "lineitem")
+      .select($"l_partkey".cast("long").as[Long]).collect()
+    val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    keys.foreach { k =>
+      (0 to 3).foreach { r =>
+        val b = h32(s"$r:$k") % 256
+        cells((r, b)) = cells.getOrElse((r, b), 0L) + 1
+      }
+    }
+    val expTop = truth.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(got.map(_._1).toSeq == expTop.map(_._1))
+    got.foreach { case (k, ct, ce, _) =>
+      assert(ct == truth(k), s"key $k truth")
+      val exp = (0 to 3).map(r => cells((r, h32(s"$r:$k") % 256))).min
+      assert(ce == exp, s"key $k estimate")
+    }
+  }
+}
