@@ -475,19 +475,29 @@ object AggOps {
     "q_agg_countmin" -> ((s, d) => {
       val keys = table(s, d, "lineitem")
         .select(col("l_partkey").cast("long").as("k"))
-      def bucket(r: org.apache.spark.sql.Column,
-                 k: org.apache.spark.sql.Column) =
-        pmod(md5hash32(concat(r.cast("string"), lit(":"),
-                              k.cast("string"))), lit(256))
+      // All 4 row-hashes come from ONE md5 digest per key — its 32 hex
+      // chars split into 4 disjoint 8-char (32-bit) slices, each an
+      // independent uniform hash. One digest per row instead of four is
+      // the difference between the sketch build being hash-bound and
+      // scan-bound at corpus scale; the digest column is computed before
+      // the transform so the lambda only slices (no per-slice re-hash).
+      val hx = md5(col("k").cast("string").cast("binary"))
+      def buckets =
+        posexplode(transform(sequence(lit(0), lit(3)),
+          r => pmod(conv(col("hx").substr(r * 8 + 1, lit(8)), 16, 10)
+                      .cast("long"),
+                    lit(256))))
       val cells = keys
-        .select(col("k"), explode(sequence(lit(0), lit(3))).as("r"))
-        .select(col("r"), bucket(col("r"), col("k")).as("b"))
+        .withColumn("hx", hx)
+        .select(buckets)
+        .select(col("pos").as("r"), col("col").as("b"))
         .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
       val top = keys.groupBy(col("k")).agg(count(lit(1)).as("c_true"))
         .orderBy(col("c_true").desc, col("k")).limit(20)
-      top.select(col("k"), col("c_true"),
-                 explode(sequence(lit(0), lit(3))).as("r"))
-        .withColumn("b", bucket(col("r"), col("k")))
+      top.withColumn("hx", hx)
+        .select(col("k"), col("c_true"), buckets)
+        .select(col("k"), col("c_true"), col("pos").as("r"),
+                col("col").as("b"))
         .join(cells, Seq("r", "b"))
         .groupBy(col("k"), col("c_true"))
         .agg(min(col("c")).as("c_est"))
@@ -720,21 +730,23 @@ object AggOps {
       ORDER BY event_type""",
 
     "q_agg_countmin" -> """
-      WITH kk AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
-      e AS (SELECT k, unnest([0, 1, 2, 3]) AS r FROM kk),
+      WITH kk AS (SELECT CAST(l_partkey AS BIGINT) AS k,
+                         md5(CAST(l_partkey AS BIGINT)::VARCHAR) AS hx
+                  FROM lineitem),
+      e AS (SELECT k, unnest([0, 1, 2, 3]) AS r, hx FROM kk),
       cells AS (SELECT r,
-                       CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
-                                                CAST(k AS VARCHAR)), 1, 8))
-                         AS BIGINT) % 256 AS b,
+                       CAST(('0x' || substr(hx, r * 8 + 1, 8)) AS BIGINT)
+                         % 256 AS b,
                        count(*) AS c
                 FROM e GROUP BY 1, 2),
       top AS (SELECT k, count(*) AS c_true FROM kk GROUP BY k
               ORDER BY c_true DESC, k LIMIT 20),
-      probe AS (SELECT k, c_true, unnest([0, 1, 2, 3]) AS r FROM top),
+      probe AS (SELECT k, c_true, unnest([0, 1, 2, 3]) AS r,
+                       md5(k::VARCHAR) AS hx
+                FROM top),
       pb AS (SELECT k, c_true, r,
-                    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
-                                             CAST(k AS VARCHAR)), 1, 8))
-                      AS BIGINT) % 256 AS b
+                    CAST(('0x' || substr(hx, r * 8 + 1, 8)) AS BIGINT)
+                      % 256 AS b
              FROM probe),
       est AS (SELECT pb.k, pb.c_true, min(cells.c) AS c_est
               FROM pb JOIN cells ON pb.r = cells.r AND pb.b = cells.b

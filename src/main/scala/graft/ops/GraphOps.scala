@@ -52,7 +52,7 @@ object GraphOps {
     * (Bench's between-pass hook calls it alongside the dedup caches). */
   private val baseCache =
     new scala.collection.concurrent.TrieMap[(org.apache.spark.sql
-      .SparkSession, String), DataFrame]
+      .SparkSession, String, String), DataFrame]
 
   /** Attach each edge's source out-degree — the message base shape
     * [[pagerank]] consumes. */
@@ -63,7 +63,7 @@ object GraphOps {
 
   private def messageBase(s: org.apache.spark.sql.SparkSession,
                           d: String): DataFrame =
-    baseCache.getOrElseUpdate((s, d), {
+    baseCache.getOrElseUpdate((s, d, "pagerank_base"), {
       // The distinct edge set feeds BOTH branches of the symmetrizing
       // union, and Catalyst has no cross-branch subtree reuse — without
       // the persist the full-corpus scan+distinct runs twice (measured
@@ -103,6 +103,90 @@ object GraphOps {
       pagerank(messageBase(s, d), 3)
         .select(col("node").as("node_id"), col("pr").as("pr_micro"))
         .orderBy("node_id")),
+
+    // Triangle census of the part co-purchase affinity graph: parts are
+    // linked when they co-occur in >= 2 distinct orders (the >= 2 prune
+    // is the affinity-graph hygiene any 100 TB co-occurrence pipeline
+    // applies — one shared basket is noise, and it is ALSO what bounds
+    // the edge set: the raw >= 1 graph is 335× larger at sf0.1). Output
+    // is the one-row census a graph pipeline monitors: edges, wedges
+    // (open two-paths), triangles, and the global transitivity ratio
+    // 3·T/wedges in exact integer micro.
+    //
+    // The triangle join is degree-ordered (Cohen 2009 / the standard
+    // O(m^{3/2}) bound): every edge is directed from its lower (deg, id)
+    // endpoint, wedges are generated at each wedge's MINIMUM-degree
+    // vertex, and each triangle is counted exactly once where all three
+    // orderings agree. On a skewed graph the naive id-ordered join
+    // generates deg² wedge candidates at a celebrity node; the
+    // degree-ordered form caps every node's wedge fan-out at its
+    // DIRECTED out-degree <= sqrt(m)-ish. The oracle keeps the naive
+    // a<b<c triple-join spelling — same triangle set, different cost
+    // shape, which is exactly the point. Per-order pairing is bounded
+    // by order size (TPC-H <= 7 lineitems), never a hot-key blowup.
+    // Headroom: 3·T·10⁶ stays in int64 through T <= 3·10¹²; the
+    // >= 2-pruned affinity graph is ~10³ edges at fixture scales and
+    // edge-bounded (not corpus-bounded) at 100 TB.
+    "q_graph_triangles" -> ((s, d) => {
+      // memoized + persisted like the pagerank base: the pruned edge set
+      // is tiny but feeds the degree agg, BOTH wedge sides, the
+      // closing-edge probe and the edge count — five consumers that
+      // would each re-run the lineitem self-join without it; released by
+      // [[clearMessageCache]] (Bench's between-pass hook).
+      // Edge build in TWO shuffles, not four: one groupBy(order) with a
+      // map-side-combining collect_set (subsuming the (order, part)
+      // distinct), then the i<j pairs generated IN-MEMORY per order (an
+      // order holds <= 7 parts, so the explode is bounded — never a
+      // hot-key self-join), then one groupBy(part, part) with map-side
+      // partial counts. The self-join spelling the oracle keeps costs
+      // two extra corpus-sized exchanges (distinct on a different key
+      // than the join, then the join's own) — measured 121 s vs this
+      // at the 100× sweep.
+      val e = baseCache.getOrElseUpdate((s, d, "copurchase_edges"), {
+        table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .groupBy(col("ok")).agg(array_sort(collect_set(col("p")))
+            .as("pss"))
+          .select(explode(expr(
+            """flatten(transform(pss, (x, i) ->
+                 transform(slice(pss, i + 2, size(pss)),
+                           y -> struct(x AS a, y AS b))))""")).as("e"))
+          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("a"), col("b"))
+          .persist()
+      })
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val dirE = e
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+               struct(col("a").as("u"), col("b").as("w"),
+                      col("db").as("dw")))
+            .otherwise(struct(col("b").as("u"), col("a").as("w"),
+                              col("da").as("dw"))).as("e"))
+        .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+      val tri = dirE.as("e1")
+        .join(dirE.as("e2"),
+              col("e1.u") === col("e2.u") &&
+              (struct(col("e1.dw"), col("e1.w")) <
+               struct(col("e2.dw"), col("e2.w"))))
+        .select(col("e1.w").as("u"), col("e2.w").as("w"))
+        .join(dirE.select("u", "w"), Seq("u", "w"), "semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = deg.agg(
+        sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(wedges))
+        .crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("(3 * n_triangles * 1000000) DIV n_wedges")
+            .as("transitivity_micro"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,5 +212,23 @@ object GraphOps {
       SELECT node AS node_id, CAST(pr AS BIGINT) AS pr_micro
       FROM i3
       ORDER BY node_id""",
+
+    "q_graph_triangles" -> """
+      WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem),
+      e AS (SELECT x.p AS a, y.p AS b
+            FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+            GROUP BY x.p, y.p HAVING count(*) >= 2),
+      deg AS (SELECT v, count(*) AS d
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+              GROUP BY v),
+      tri AS (SELECT count(*) AS t
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+      SELECT (SELECT count(*) FROM e) AS n_edges, w AS n_wedges,
+             t AS n_triangles,
+             (3 * t * 1000000) // w AS transitivity_micro
+      FROM wed, tri""",
   )
 }

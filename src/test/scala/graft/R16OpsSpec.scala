@@ -16,9 +16,6 @@ class R16OpsSpec extends SparkTestBase {
   }
   private def h60(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).take(15), 16)
-  private def h32(s: String): Long =
-    java.lang.Long.parseLong(md5hex(s).take(8), 16)
-
   private lazy val docToks: Map[Long, Array[String]] =
     ops.table(spark, sf0001, "documents")
       .select($"doc_id".as[Long], $"text".as[String]).collect()
@@ -101,10 +98,14 @@ class R16OpsSpec extends SparkTestBase {
     val keys = ops.table(spark, sf0001, "lineitem")
       .select($"l_partkey".cast("long").as[Long]).collect()
     val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // row r's bucket = the r-th disjoint 8-hex-char slice of md5(k)
+    def bkt(k: Long, r: Int): Long =
+      java.lang.Long.parseLong(
+        md5hex(k.toString).substring(r * 8, r * 8 + 8), 16) % 256
     val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
     keys.foreach { k =>
       (0 to 3).foreach { r =>
-        val b = h32(s"$r:$k") % 256
+        val b = bkt(k, r)
         cells((r, b)) = cells.getOrElse((r, b), 0L) + 1
       }
     }
@@ -112,8 +113,41 @@ class R16OpsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == expTop.map(_._1))
     got.foreach { case (k, ct, ce, _) =>
       assert(ct == truth(k), s"key $k truth")
-      val exp = (0 to 3).map(r => cells((r, h32(s"$r:$k") % 256))).min
+      val exp = (0 to 3).map(r => cells((r, bkt(k, r)))).min
       assert(ce == exp, s"key $k estimate")
     }
+  }
+
+  test("graph_triangles matches a brute-force census") {
+    val li = ops.table(spark, sf0001, "lineitem")
+      .select($"l_orderkey".as[Long], $"l_partkey".as[Long])
+      .collect().distinct
+    val pairCounts = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // NOT `.collect { case (e, c) if c >= 2 => e }` — on a Map, a collect
+    // whose result is a tuple rebuilds a MAP, silently collapsing edges
+    // that share a first endpoint.
+    val edges: Set[(Long, Long)] =
+      pairCounts.filter(_._2 >= 2).keySet.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nWedges = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    val nTri = edges.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b).toLong
+    }.sum
+    val got = ops.GraphOps.queries("q_graph_triangles")(spark, sf0001)
+      .select($"n_edges".as[Long], $"n_wedges".as[Long],
+              $"n_triangles".as[Long], $"transitivity_micro".as[Long])
+      .collect()
+    assert(got.length == 1)
+    val (ne, nw, nt, tm) = got.head
+    assert(ne == edges.size.toLong, "edge count")
+    assert(nw == nWedges, "wedge count")
+    assert(nt == nTri, s"triangle count: got $nt, brute $nTri")
+    assert(nt > 0, "vacuous fixture — no triangles at sf0.001")
+    assert(tm == 3L * nTri * 1000000L / nWedges, "transitivity")
   }
 }
