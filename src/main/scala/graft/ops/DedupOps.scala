@@ -390,6 +390,49 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"))
     }
 
+  /** Per-doc MinHash/LSH cluster labels (doc_id, cluster) — connected
+    * components over the >= 2-band candidate pairs via pointer-doubling
+    * min-label propagation, docs outside any pair labeled by themselves.
+    * Direct path clusters doc pairs; contracted path clusters rep pairs
+    * and expands labels through the copy map (see
+    * q_dedup_minhash_clusters' scaladoc for the exactness argument).
+    * Memoized WITHOUT persist: the fixpoint output is localCheckpoint-
+    * backed, so the second consumer (q_dedup_canonical) re-runs only the
+    * cheap expansion joins, never a second CC fixpoint. */
+  private def minhashDocClusters(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "minhash_doc_clusters") {
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      if (!contracted(s, d)) {
+        // direct mode: minhashPairs IS the memoized+persisted corpus
+        // band self-join — reuse it rather than re-running the join
+        val pairs = minhashPairs(s, d)
+          .filter(col("n_bands") >= 2)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val sym = pairs.unionAll(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val (labels, _) = propagateMinLabels(sym)
+        docs
+          .join(labels.withColumnRenamed("cluster", "c"),
+                Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("c"), col("doc_id")).as("cluster"))
+      } else {
+        val pairs = repBandPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val sym = pairs.unionAll(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val (labels, _) = propagateMinLabels(sym)
+        docs
+          .join(shingledD2r(s, d), Seq("doc_id"), "left")
+          .join(labels.withColumnRenamed("doc_id", "rep")
+                      .withColumnRenamed("cluster", "c"),
+                Seq("rep"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("c"), col("rep"), col("doc_id"))
+                    .as("cluster"))
+      }
+    }
+
   /** doc_id → byte-exact representative (min doc_id of its RAW-byte-
     * identical text group) + the normalized-content key `nk` riding
     * along for the exact-dup signal. The contraction key is the raw
@@ -1298,40 +1341,44 @@ object DedupOps {
     // self-join + fixpoint become quadratic/linear in DISTINCT
     // contents — the r10 100× row paid 268 s / 6.8 GiB peak banding
     // all 100 copies of every content.
-    "q_dedup_minhash_clusters" -> ((s, d) => {
-      val docs = table(s, d, "documents").select(col("doc_id"))
-      val labeled =
-        if (!contracted(s, d)) {
-          // direct mode: minhashPairs IS the memoized+persisted corpus
-          // band self-join — reuse it rather than re-running the join
-          val pairs = minhashPairs(s, d)
-            .filter(col("n_bands") >= 2)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          val sym = pairs.unionAll(
-            pairs.select(col("dst").as("src"), col("src").as("dst")))
-          val (labels, _) = propagateMinLabels(sym)
-          docs
-            .join(labels.withColumnRenamed("cluster", "c"),
-                  Seq("doc_id"), "left")
-            .select(col("doc_id"),
-                    coalesce(col("c"), col("doc_id")).as("cluster"))
-        } else {
-          val pairs = repBandPairs(s, d)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          val sym = pairs.unionAll(
-            pairs.select(col("dst").as("src"), col("src").as("dst")))
-          val (labels, _) = propagateMinLabels(sym)
-          docs
-            .join(shingledD2r(s, d), Seq("doc_id"), "left")
-            .join(labels.withColumnRenamed("doc_id", "rep")
-                        .withColumnRenamed("cluster", "c"),
-                  Seq("rep"), "left")
-            .select(col("doc_id"),
-                    coalesce(col("c"), col("rep"), col("doc_id"))
-                      .as("cluster"))
-        }
-      labeled.groupBy(col("cluster"))
+    "q_dedup_minhash_clusters" -> ((s, d) =>
+      minhashDocClusters(s, d)
+        .groupBy(col("cluster"))
         .agg(count(lit(1)).as("csize"))
+        .orderBy("cluster")),
+
+    // Quality-aware canonicalization: within each MinHash/LSH near-dup
+    // cluster, keep the LONGEST document (the standard crawl-pipeline
+    // survivor heuristic — near-dup groups usually contain truncated or
+    // boilerplate-stripped variants of one fuller page), with the
+    // smallest doc_id as the deterministic tiebreak. Contrast with
+    // q_dedup_apply, whose exact-dup survivor is min-id by definition
+    // (byte-equal copies have no quality signal to prefer).
+    //
+    // The argmax is the q_agg_minmax_by shape: a pure-BIGINT per-cluster
+    // extremum (codegen HashAggregate, map-side combinable), then a
+    // join-back on (cluster, max) resolved to min(doc_id) — never a
+    // string/struct riding an aggregation buffer. Cluster labels come
+    // from the memoized fixpoint shared with q_dedup_minhash_clusters
+    // (one CC per run, not one per consumer).
+    "q_dedup_canonical" -> ((s, d) => {
+      val lt = minhashDocClusters(s, d)
+        .join(table(s, d, "documents")
+                .select(col("doc_id"),
+                        size(split(col("text"), " ")).cast("long")
+                          .as("n_tokens")),
+              Seq("doc_id"))
+      val mx = lt.groupBy(col("cluster"))
+        .agg(max(col("n_tokens")).as("keep_tokens"),
+             count(lit(1)).as("csize"))
+      lt.as("l")
+        .join(mx.as("m"), col("l.cluster") === col("m.cluster") &&
+                          col("l.n_tokens") === col("m.keep_tokens"))
+        .groupBy(col("m.cluster").as("cluster"), col("m.keep_tokens"),
+                 col("m.csize"))
+        .agg(min(col("l.doc_id")).as("keep_doc"))
+        .select(col("cluster"), col("keep_doc"), col("keep_tokens"),
+                col("csize"), (col("csize") - 1L).as("n_dropped"))
         .orderBy("cluster")
     }),
 
@@ -1951,6 +1998,32 @@ object DedupOps {
       FROM lab
       GROUP BY cluster
       ORDER BY cluster""",
+
+    "q_dedup_canonical" -> s"""
+      WITH RECURSIVE $shinglesSql,
+      $minhashCtesSql,
+      mp2 AS (SELECT doc_a, doc_b FROM mp WHERE n_bands >= 2),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM mp2
+            UNION ALL SELECT doc_b, doc_a FROM mp2),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      lab AS (SELECT src AS doc_id, min(dst) AS cluster
+              FROM reach GROUP BY src),
+      lt AS (SELECT lab.doc_id, lab.cluster,
+                    CAST(len(string_split(text, ' ')) AS BIGINT)
+                      AS n_tokens
+             FROM lab JOIN documents USING (doc_id)),
+      mx AS (SELECT cluster, max(n_tokens) AS keep_tokens,
+                    count(*) AS csize
+             FROM lt GROUP BY cluster)
+      SELECT mx.cluster AS cluster, min(lt.doc_id) AS keep_doc,
+             mx.keep_tokens, mx.csize, mx.csize - 1 AS n_dropped
+      FROM lt JOIN mx ON lt.cluster = mx.cluster
+                     AND lt.n_tokens = mx.keep_tokens
+      GROUP BY mx.cluster, mx.keep_tokens, mx.csize
+      ORDER BY 1""",
 
     "q_dedup_minhash_eval" -> s"""
       WITH $jaccardPairsSql,

@@ -517,6 +517,26 @@ object StreamOps {
                 schema = Some(documentsSchema))(graft.ops.TextOps.qualityVerdict)
         .orderBy("doc_id")),
 
+    // Streaming Count-Min sketch — the O(1)-state contrast to the
+    // corpus-keyed dedup stores: a complete-mode aggregate whose state is
+    // the 4×256 cell grid and NOTHING else, at any stream length. This is
+    // the always-on heavy-hitter monitor shape: exact per-key streaming
+    // counts need O(keys) state (the q_stream_dedup boundary), the sketch
+    // needs 1024 counters and answers the same hot-key question one-sided.
+    // Same digest-slicing arithmetic as the batch q_agg_countmin (4
+    // disjoint 8-hex-char fields of one md5 per event); replaying the
+    // whole fixture equals the batch sketch — the oracle is that identity.
+    "q_stream_countmin" -> ((s, d) =>
+      runStream(s, d, "complete") { src =>
+        src.withColumn("hx",
+            md5(col("user_id").cast("string").cast("binary")))
+          .select(posexplode(transform(sequence(lit(0), lit(3)),
+            r => pmod(conv(col("hx").substr(r * 8 + 1, lit(8)), 16, 10)
+                        .cast("long"), lit(256)))))
+          .groupBy(col("pos").as("r"), col("col").as("b"))
+          .agg(count(lit(1)).as("c"))
+      }.orderBy("r", "b")),
+
     // Stream-stream interval join — views matched to the same user's
     // purchases within the following hour, both sides unbounded streams.
     // This is the stateful-join shape Spark requires watermarks for:
@@ -711,6 +731,16 @@ object StreamOps {
 
     // Identical to the batch q_quality_filter oracle — that is the point.
     "q_stream_quality" -> graft.ops.TextOps.oracles("q_quality_filter"),
+
+    // Replaying the whole fixture must equal the batch sketch build.
+    "q_stream_countmin" -> """
+      WITH kk AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+      e AS (SELECT unnest([0, 1, 2, 3]) AS r, hx FROM kk)
+      SELECT r, CAST(('0x' || substr(hx, r * 8 + 1, 8)) AS BIGINT) % 256
+               AS b,
+             count(*) AS c
+      FROM e GROUP BY 1, 2
+      ORDER BY r, b""",
 
     // The replayed copy must vanish: dedup(stream ∪ stream) = the table.
     "q_stream_dedup" -> """

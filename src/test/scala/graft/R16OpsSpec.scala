@@ -118,6 +118,56 @@ class R16OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_canonical: longest-doc survivor per union-find cluster") {
+    // clusters re-derived by union-find over the PUBLIC q_dedup_minhash
+    // pair listing (>= 2 shared bands) — independent of the fixpoint
+    val pairs = ops.DedupOps.queries("q_dedup_minhash")(spark, sf0001)
+      .select($"doc_a".as[Long], $"doc_b".as[Long], $"n_bands".as[Long])
+      .collect().filter(_._3 >= 2)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = docToks.keys.toSeq
+      .groupBy(find).map { case (_, ds) => ds.min -> ds }
+    val expect = members.map { case (cl, ds) =>
+      val toks = ds.map(d => d -> docToks(d).length.toLong).toMap
+      val mx = toks.values.max
+      (cl, ds.filter(toks(_) == mx).min, mx, ds.size.toLong,
+       ds.size.toLong - 1)
+    }.toSeq.sortBy(_._1)
+    val got = ops.DedupOps.queries("q_dedup_canonical")(spark, sf0001)
+      .select($"cluster".as[Long], $"keep_doc".as[Long],
+              $"keep_tokens".as[Long], $"csize".as[Long],
+              $"n_dropped".as[Long]).collect().toSeq
+    assert(got == expect)
+    assert(got.exists(_._4 > 1), "vacuous — no multi-doc clusters")
+  }
+
+  test("stream_countmin equals the batch sketch over the full fixture") {
+    val got = streaming.StreamOps.queries("q_stream_countmin")(
+        spark, sf0001)
+      .select($"r".as[Int], $"b".as[Long], $"c".as[Long]).collect().toSeq
+    val batch = ops.table(spark, sf0001, "events")
+      .select($"user_id".cast("string").as[String]).collect()
+      .flatMap { u =>
+        val hx = md5hex(u)
+        (0 to 3).map(r => (r, java.lang.Long.parseLong(
+          hx.substring(r * 8, r * 8 + 8), 16) % 256))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((r, b), c) => (r, b, c) }
+      .sortBy(t => (t._1, t._2))
+    assert(got == batch)
+    assert(got.map(_._3).sum == ops.table(spark, sf0001, "events")
+      .count() * 4, "every event contributes 4 cells")
+  }
+
   test("graph_triangles matches a brute-force census") {
     val li = ops.table(spark, sf0001, "lineitem")
       .select($"l_orderkey".as[Long], $"l_partkey".as[Long])
