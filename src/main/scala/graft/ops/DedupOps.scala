@@ -698,10 +698,32 @@ object DedupOps {
     memo(s, d, "cell_embed_pairs") {
       val cells = graft.ops.SimOps.kmeansCells(s, d)
         .select(col("vec_id"), col("cid"))
-      if (!contracted(s, d))
-        pairsFromNormedVecs(normedVecs(s, d).join(cells, Seq("vec_id")),
-          cell = true).persist()
-      else {
+      if (!contracted(s, d)) {
+        if (pairsCache.contains((s, d, "embed_pairs")))
+          // The GLOBAL verified pair frame is already materialized this
+          // session (q_dedup_embed / multi-signal ran first — the usual
+          // full-suite order): its generation cost is sunk and the frame
+          // is persisted, so the same-cell restriction is two broadcast-
+          // able cell joins over the tiny verified listing instead of a
+          // second banded candidate build. Row-identical either way
+          // (band collision is a pure function of the sign patterns —
+          // the within-cell join generates exactly the global ∩
+          // same-cell set); locked by R16OpsSpec's both-variants test.
+          // A dedicated semantic-only run (the 100 TB shape) takes the
+          // within-cell branch below and never generates a cross-cell
+          // candidate.
+          embedPairs(s, d)
+            .join(cells.select(col("vec_id").as("vec_a"),
+                               col("cid").as("ca")), Seq("vec_a"))
+            .join(cells.select(col("vec_id").as("vec_b"),
+                               col("cid").as("cb")), Seq("vec_b"))
+            .filter(col("ca") === col("cb"))
+            .select(col("vec_a"), col("vec_b"), col("ca").as("cid"),
+                    col("cos"))
+        else
+          pairsFromNormedVecs(normedVecs(s, d).join(cells, Seq("vec_id")),
+            cell = true).persist()
+      } else {
         val v2c = vec2content(s, d).select("vec_id", "vrep")
         val canon = normedVecs(s, d)
           .join(v2c.filter(col("vec_id") === col("vrep"))

@@ -168,6 +168,27 @@ class R16OpsSpec extends SparkTestBase {
       .count() * 4, "every event contributes 4 cells")
   }
 
+  test("dedup_semantic: cached-global-reuse == within-cell banding") {
+    // the adaptive candidate source (reuse the memoized global pair
+    // frame when present, band within cells otherwise) must be a cost
+    // decision, never a semantic one
+    def rows(preBuildGlobal: Boolean): Seq[String] = {
+      ops.DedupOps.clearPairsCache()
+      if (preBuildGlobal)
+        ops.DedupOps.queries("q_dedup_embed")(spark, sf0001)
+          .write.format("noop").mode("overwrite").save()
+      val df = ops.DedupOps.queries("q_dedup_semantic")(spark, sf0001)
+      val out = df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      ops.DedupOps.clearPairsCache()
+      out
+    }
+    val fresh = rows(preBuildGlobal = false)
+    val reused = rows(preBuildGlobal = true)
+    assert(fresh.nonEmpty, "vacuous — no semantic dups at sf0.001")
+    assert(fresh == reused)
+  }
+
   test("graph_triangles matches a brute-force census") {
     val li = ops.table(spark, sf0001, "lineitem")
       .select($"l_orderkey".as[Long], $"l_partkey".as[Long])
