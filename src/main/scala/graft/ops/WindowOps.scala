@@ -170,6 +170,40 @@ object WindowOps {
         .select(unix_micros(col("window.start")).as("bucket"),
                 col("event_type"), col("n"), col("total"))
         .orderBy("bucket", "event_type")),
+
+    // Exponentially-weighted moving average per user — the time-series
+    // smoothing primitive of a monitoring pipeline, spelled EXACTLY:
+    // true EWMA is a recurrence (not expressible as one window frame),
+    // so this is the standard 8-term truncation with α = 1/2 — weights
+    // 128,64,…,1 over the last 8 events, renormalized over the terms
+    // actually present (the tail contributes < 0.4% at 8 terms). All
+    // arithmetic is integer: value enters as exact DECIMAL(18,2) cents
+    // (the fixture's 2-decimal bounded domain), the weighted sum is a
+    // cents×weight×10⁴ BIGINT, the divide is half-up integer — no float
+    // in the compare path, so an 8-term lag chain hash-matches DuckDB's.
+    // One shuffle: all 8 lags share the (user_id | ts, event_id) window
+    // spec, so Spark evaluates them in a single Window operator after a
+    // single exchange+sort — the event_id tiebreak makes equal-µs rows
+    // engine-stable.
+    "q_window_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = table(s, d, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .withColumn("v_cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      val terms = (0 to 7).map { k =>
+        val wk = 1L << (7 - k)
+        val vk = if (k == 0) col("v_cents") else lag(col("v_cents"), k).over(w)
+        (coalesce(vk, lit(0L)) * lit(wk * 10000L),
+         when(vk.isNotNull, lit(wk)).otherwise(lit(0L)))
+      }
+      ev.withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("event_id"), col("user_id"), col("v_cents"),
+                expr("(num + den DIV 2) DIV den").as("ewma_micro"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +283,37 @@ object WindowOps {
       FROM events
       GROUP BY date_trunc('hour', ts), event_type
       ORDER BY bucket, event_type""",
+
+    "q_window_ewma" -> """
+      WITH ev AS (SELECT event_id, user_id, ts,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS v_cents
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+      l AS (SELECT event_id, user_id, v_cents,
+                   lag(v_cents, 1) OVER w AS v1, lag(v_cents, 2) OVER w AS v2,
+                   lag(v_cents, 3) OVER w AS v3, lag(v_cents, 4) OVER w AS v4,
+                   lag(v_cents, 5) OVER w AS v5, lag(v_cents, 6) OVER w AS v6,
+                   lag(v_cents, 7) OVER w AS v7
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT event_id, user_id, v_cents,
+                   v_cents * 1280000
+                   + coalesce(v1, 0) * 640000 + coalesce(v2, 0) * 320000
+                   + coalesce(v3, 0) * 160000 + coalesce(v4, 0) * 80000
+                   + coalesce(v5, 0) * 40000 + coalesce(v6, 0) * 20000
+                   + coalesce(v7, 0) * 10000 AS num,
+                   128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+                       + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+                       + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+                       + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+                       + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+                       + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+                       + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END AS den
+            FROM l)
+      SELECT event_id, user_id, v_cents,
+             (num + den // 2) // den AS ewma_micro
+      FROM t
+      ORDER BY event_id""",
   )
 }

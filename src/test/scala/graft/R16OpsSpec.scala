@@ -189,6 +189,34 @@ class R16OpsSpec extends SparkTestBase {
     assert(fresh == reused)
   }
 
+  test("window_ewma matches a brute-force 8-term integer recurrence") {
+    val got = ops.WindowOps.queries("q_window_ewma")(spark, sf0001)
+      .select($"event_id".as[Long], $"user_id".as[Long],
+              $"v_cents".as[Long], $"ewma_micro".as[Long]).collect()
+    val ev = ops.table(spark, sf0001, "events")
+      .filter($"value".isNotNull && !isnan($"value"))
+      .select($"event_id".as[Long], $"user_id".as[Long],
+              unix_micros($"ts").as[Long], $"value".as[Double]).collect()
+    val expect = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val cents = ordered.map(r =>
+        BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)
+          .*(100).toLongExact)
+      ordered.indices.map { i =>
+        val ks = (0 to math.min(7, i)).map(k => (1L << (7 - k), cents(i - k)))
+        val num = ks.map { case (w, v) => w * 10000L * v }.sum
+        val den = ks.map(_._1).sum
+        ordered(i)._1 -> ((num + den / 2) / den, cents(i))
+      }
+    }.toMap
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { case (eid, _, vc, em) =>
+      val (eem, evc) = expect(eid)
+      assert(vc == evc, s"event $eid cents")
+      assert(em == eem, s"event $eid ewma")
+    }
+  }
+
   test("graph_triangles matches a brute-force census") {
     val li = ops.table(spark, sf0001, "lineitem")
       .select($"l_orderkey".as[Long], $"l_partkey".as[Long])
