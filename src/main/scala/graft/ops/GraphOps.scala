@@ -160,16 +160,24 @@ object GraphOps {
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val dirE = e
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
-        .select(
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-               struct(col("a").as("u"), col("b").as("w"),
-                      col("db").as("dw")))
-            .otherwise(struct(col("b").as("u"), col("a").as("w"),
-                              col("da").as("dw"))).as("e"))
-        .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+      // the directed edge frame is read three times (both wedge sides
+      // plus the closing-edge probe) — memoize+persist it like e, or
+      // each consumer re-runs the degree agg and both joins
+      val dirE = baseCache.getOrElseUpdate((s, d, "copurchase_dir"), {
+        e.join(deg.select(col("v").as("a"), col("deg").as("da")),
+               Seq("a"))
+          .join(deg.select(col("v").as("b"), col("deg").as("db")),
+                Seq("b"))
+          .select(
+            when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+                 struct(col("a").as("u"), col("b").as("w"),
+                        col("db").as("dw")))
+              .otherwise(struct(col("b").as("u"), col("a").as("w"),
+                                col("da").as("dw"))).as("e"))
+          .select(col("e.u").as("u"), col("e.w").as("w"),
+                  col("e.dw").as("dw"))
+          .persist()
+      })
       val tri = dirE.as("e1")
         .join(dirE.as("e2"),
               col("e1.u") === col("e2.u") &&

@@ -107,4 +107,24 @@ package object ops {
     * Oracle spelling: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT). */
   def md5hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Count-Min sketch row hashes, shared by the batch (q_agg_countmin)
+    * and streaming (q_stream_countmin) sketches — whose oracle identity
+    * "replaying the fixture equals the batch sketch" depends on the two
+    * spellings staying byte-for-byte in sync, so the arithmetic lives
+    * here once. One md5 digest per key ([[cmDigest]]); each of the 4
+    * sketch rows reads its own disjoint 8-hex-char (32-bit) slice mod
+    * the 256-cell width ([[cmBuckets]] — pass the PRE-COMPUTED digest
+    * column, not the raw key, or the lambda re-hashes per slice).
+    * Oracle spelling per row r:
+    * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), r*8+1, 8)) AS BIGINT)
+    * % 256. */
+  def cmDigest(key: Column): Column =
+    md5(key.cast("string").cast("binary"))
+
+  def cmBuckets(digest: Column): Column =
+    transform(sequence(lit(0), lit(3)),
+      r => pmod(conv(digest.substr(r * 8 + 1, lit(8)), 16, 10)
+                  .cast("long"),
+                lit(256)))
 }

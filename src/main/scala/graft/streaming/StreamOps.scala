@@ -528,11 +528,8 @@ object StreamOps {
     // whole fixture equals the batch sketch — the oracle is that identity.
     "q_stream_countmin" -> ((s, d) =>
       runStream(s, d, "complete") { src =>
-        src.withColumn("hx",
-            md5(col("user_id").cast("string").cast("binary")))
-          .select(posexplode(transform(sequence(lit(0), lit(3)),
-            r => pmod(conv(col("hx").substr(r * 8 + 1, lit(8)), 16, 10)
-                        .cast("long"), lit(256)))))
+        src.withColumn("hx", cmDigest(col("user_id")))
+          .select(posexplode(cmBuckets(col("hx"))))
           .groupBy(col("pos").as("r"), col("col").as("b"))
           .agg(count(lit(1)).as("c"))
       }.orderBy("r", "b")),

@@ -21,7 +21,7 @@ class ContractionGateSpec extends SparkTestBase {
     "q_graph_degree",
     "q_dedup_minhash", "q_dedup_minhash_clusters", "q_dedup_minhash_eval",
     "q_dedup_embed", "q_dedup_multi_signal", "q_split_leakage",
-    "q_dedup_containment", "q_dedup_canonical")
+    "q_dedup_containment", "q_dedup_canonical", "q_dedup_semantic")
 
   private lazy val copyDense: String = {
     val tmp = java.nio.file.Files
