@@ -116,6 +116,7 @@ object Bench {
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
       graft.ops.SimOps.clearSimCaches()
+      graft.ops.JoinOps.clearHotKeyCache()
       spark.catalog.clearCache()
     }
     releaseCaches()

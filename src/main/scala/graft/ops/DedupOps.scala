@@ -366,6 +366,57 @@ object DedupOps {
       bandsFromHashedShingles(repHashedShingles(s, d)).persist()
     }
 
+  /** Content-level hot-shingle stop list: h values whose document
+    * frequency (counted over DISTINCT CONTENTS, never raw copies)
+    * exceeds clamp(2·mean(df), 8, 50) — the adaptive boilerplate clamp
+    * shared by the CAPPED dedup contracts (q_dedup_ngram_capped,
+    * q_dedup_containment). Spelled without division or floats:
+    * df > clamp(2·Σdf/n, 8, 50) ⟺ df > 50 ∨ (df > 8 ∧ df·n > 2·Σdf)
+    * (min/max distribute over strict >), all integer arithmetic in
+    * DECIMAL(38,0) — bit-identical in both engines for any corpus with
+    * df·n < 10^38 (a 100 TB corpus sits near 10^28). The (Σdf, n) pair
+    * joins the df frame as a broadcast 1-row scalar, never a collect. */
+  private def hotShingleSet(dfs: DataFrame): DataFrame = {
+    val thr = dfs.agg(sum(col("df").cast("decimal(38,0)")).as("sdf"),
+                      count(lit(1)).as("n"))
+    dfs.join(broadcast(thr))
+      .filter(col("df") > 50 ||
+              (col("df") > 8 &&
+               col("df").cast("decimal(38,0)") * col("n") >
+                 col("sdf") * 2))
+      .select("h")
+  }
+
+  /** Corpus-wide hashed shingles with hot (boilerplate) shingles
+    * dropped — the DIRECT-path frame of the capped contracts. Content-
+    * level df is computed through the copy map (a near-identity on this
+    * path — the rep-only explode would be a second full pass here, the
+    * countDistinct collapses copies instead) so the clamp is invariant
+    * under copy density. Capped posting lists are ≤ T ≤ 50 long, so any
+    * posting-list self-join over this frame has per-shingle fan-in
+    * provably ≤ T² — the hot-shingle quadratic cannot occur. Memoized +
+    * persisted; released by [[clearPairsCache]]. */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "capped_sh") {
+      val all = hashedShingles(s, d)
+      val dfs = all
+        .join(rawDoc2Rep(s, d).select("doc_id", "rep"), "doc_id")
+        .groupBy("h").agg(countDistinct(col("rep")).as("df"))
+      all.join(hotShingleSet(dfs), Seq("h"), "left_anti").persist()
+    }
+
+  /** Rep-only capped shingle frame — the CONTRACTED-path twin of
+    * [[cappedShingles]] (the rep frame's per-h count IS content df, so
+    * no copy-map join is needed). Same exactness argument as the other
+    * rep frames: capped sets are pure functions of content bytes, so
+    * byte-equal copies share the whole capped set. */
+  private def cappedRepShingles(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "capped_rep_sh") {
+      val rsh = repHashedShingles(s, d)
+      val dfs = rsh.groupBy("h").agg(count(lit(1)).as("df"))
+      rsh.join(hotShingleSet(dfs), Seq("h"), "left_anti").persist()
+    }
+
   /** Rep-level candidate pairs with shared-band count — the contracted
     * form of the corpus-wide band self-join. Shingles (hence signatures
     * and band keys) are pure functions of the RAW text bytes, so a band
@@ -1069,30 +1120,13 @@ object DedupOps {
     // df·n < 10^38 (a 100 TB corpus sits near 10^28). The (Σdf, n) pair
     // joins the df frame as a broadcast 1-row scalar, never a collect.
     "q_dedup_ngram_capped" -> ((s, d) => {
-      // rep-level df → hot stop list, shared by both gate paths
-      def hotSet(dfs: DataFrame): DataFrame = {
-        val thr = dfs.agg(sum(col("df").cast("decimal(38,0)")).as("sdf"),
-                          count(lit(1)).as("n"))
-        dfs.join(broadcast(thr))
-          .filter(col("df") > 50 ||
-                  (col("df") > 8 &&
-                   col("df").cast("decimal(38,0)") * col("n") >
-                     col("sdf") * 2))
-          .select("h")
-      }
+      // The hot stop list / capped frames are the shared
+      // [[hotShingleSet]]/[[cappedShingles]]/[[cappedRepShingles]]
+      // helpers — q_dedup_containment reuses them, so a session running
+      // both capped contracts builds each frame once.
       if (!contracted(s, d)) {
-        val sh = memo(s, d, "capped_sh") {
-          // content-level df off the shared persisted corpus frame via
-          // the (near-identity on this path) copy map — the rep-only
-          // explode would be a second full pass here, the countDistinct
-          // collapses copies instead
-          val all = hashedShingles(s, d)
-          val dfs = all
-            .join(rawDoc2Rep(s, d).select("doc_id", "rep"), "doc_id")
-            .groupBy("h").agg(countDistinct(col("rep")).as("df"))
-          all.join(hotSet(dfs), Seq("h"), "left_anti").persist()
-        }
-        pairsFromShingleSets(sh).orderBy("doc_a", "doc_b")
+        pairsFromShingleSets(cappedShingles(s, d))
+          .orderBy("doc_a", "doc_b")
       } else {
         // Contracted: cap at rep level (the rep frame's per-h count IS
         // content df), verify pairs on the capped REP sets, expand
@@ -1102,11 +1136,7 @@ object DedupOps {
         // pair's, and byte-equal copies share the whole capped set
         // (J = 1 cliques, shared = capped size; an all-hot content
         // drops out of the pair join on both engines).
-        val capped = memo(s, d, "capped_rep_sh") {
-          val rsh = repHashedShingles(s, d)
-          val dfs = rsh.groupBy("h").agg(count(lit(1)).as("df"))
-          rsh.join(hotSet(dfs), Seq("h"), "left_anti").persist()
-        }
+        val capped = cappedRepShingles(s, d)
         val d2r = rawDoc2Rep(s, d).select("doc_id", "rep")
         val cross = pairsFromShingleSets(capped)
           .join(d2r.select(col("rep").as("doc_a"), col("doc_id").as("ia")),
@@ -1781,20 +1811,34 @@ object DedupOps {
     // q_dedup_incremental's membership containment (hits·10⁶ DIV n_sh —
     // no float in the threshold compare).
     //
-    // Direct path (near-all-distinct corpus): one posting-list self-join
-    // on the persisted 60-bit hashed-shingle frame (the same equi-join
-    // shape as the Jaccard verifier — quadratic only within a
-    // shared-shingle cluster, never all-pairs), emitted in both
-    // orientations against each side's own set size. Contracted path
-    // (copy-dense corpus, measured 2% gate shared with the family):
-    // containment is a pure function of the two raw contents, so rep
-    // pairs are verified once and expanded through the copy map; within
-    // a copy group every ordered pair has containment exactly 1.
+    // DECLARED CAPPED CONTRACT (round 17, the q_dedup_ngram_capped
+    // pattern): containment is computed over the STOP-SHINGLE-CAPPED
+    // sets — hot boilerplate shingles (content-level df above
+    // clamp(2·mean(df), 8, 50), see [[hotShingleSet]]) are dropped from
+    // both the numerator and the denominator before any join. Both
+    // engines compute over the same capped sets, so the operator is
+    // exactly specified and oracle-matched, not an approximation. The
+    // cap is what bounds the posting-list self-join: the direct path's
+    // per-shingle fan-in is ≤ T ≤ 50 (so ≤ T² join rows per shingle),
+    // where the uncapped spelling was quadratic in a boilerplate
+    // shingle's df — Zipf-unbounded on web-scale text. A doc whose
+    // shingles are ALL hot has an empty capped set and drops out of
+    // both roles, on both engines.
+    //
+    // Direct path (near-all-distinct corpus): one posting-list
+    // self-join on the persisted capped 60-bit hashed-shingle frame,
+    // emitted in both orientations against each side's own capped set
+    // size. Contracted path (copy-dense corpus, measured 2% gate shared
+    // with the family): containment is a pure function of the two raw
+    // contents, so rep pairs are verified once (threshold BEFORE
+    // expansion) and expanded through the copy map; within a copy group
+    // every ordered pair has containment exactly 1 over the shared
+    // capped set.
     "q_dedup_containment" -> ((s, d) => {
       val thrMicro = 500000L
       val ordered =
         if (!contracted(s, d)) {
-          val shh = hashedShingles(s, d)
+          val shh = cappedShingles(s, d)
           val counts = shh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
           val up = shh.as("a")
             .join(shh.as("b"), col("a.h") === col("b.h") &&
@@ -1808,7 +1852,7 @@ object DedupOps {
                                 col("doc_a").as("dst"), col("shared")))
             .join(counts.withColumnRenamed("doc_id", "src"), Seq("src"))
         } else {
-          val rsh = repHashedShingles(s, d)
+          val rsh = cappedRepShingles(s, d)
           val rcnt = rsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
           val rup = rsh.as("a")
             .join(rsh.as("b"), col("a.h") === col("b.h") &&
@@ -2254,9 +2298,20 @@ object DedupOps {
                      CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
                        AS h
               FROM sh),
-      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+      d2r AS (SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+              FROM documents),
+      dfs AS (SELECT h, count(DISTINCT rep) AS df
+              FROM shh JOIN d2r USING (doc_id) GROUP BY h),
+      thr AS (SELECT sum(CAST(df AS DECIMAL(38,0))) AS sdf,
+                     count(*) AS n FROM dfs),
+      hot AS (SELECT h FROM dfs, thr
+              WHERE df > 50
+                 OR (df > 8 AND CAST(df AS DECIMAL(38,0)) * n > sdf * 2)),
+      shf AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-            FROM shh a JOIN shh b
+            FROM shf a JOIN shf b
               ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id),
       o AS (SELECT doc_a AS src, doc_b AS dst, shared FROM p

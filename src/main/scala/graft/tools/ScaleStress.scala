@@ -185,6 +185,7 @@ object ScaleStress {
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
       graft.ops.SimOps.clearSimCaches()
+      graft.ops.JoinOps.clearHotKeyCache()
       spark.catalog.clearCache()
       val fields = Seq(
         Some(f""""wall_s":$wall%.3f"""),

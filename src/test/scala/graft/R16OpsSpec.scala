@@ -59,20 +59,46 @@ class R16OpsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
   }
 
-  test("dedup_containment matches brute-force asymmetric containment") {
-    val shingleSets: Map[Long, Set[Long]] = docToks.collect {
-      case (id, ts) if ts.length >= 3 =>
+  /** Brute-force the CAPPED containment contract over an in-memory
+    * corpus: raw 3-shingle sets, content-level df (distinct byte-exact
+    * contents per shingle), the clamp(2·mean, 8, 50) hot set, capped
+    * sets, then ordered containment >= 0.5 over the capped sets. */
+  private def cappedContainmentBrute(docs: Map[Long, String])
+      : (Seq[(Long, Long, Long, Long)], Set[Long]) = {
+    val rep: Map[Long, Long] = docs.groupBy(_._2).values.flatMap { g =>
+      val m = g.keys.min; g.keys.map(_ -> m)
+    }.toMap
+    val rawSets: Map[Long, Set[Long]] = docs.collect {
+      case (id, t) if t.split(" ").length >= 3 =>
+        val ts = t.split(" ")
         id -> (0 to ts.length - 3)
           .map(i => h60(ts.slice(i, i + 3).mkString(" "))).toSet
-    }.toMap
-    val ids = shingleSets.keys.toSeq.sorted
+    }
+    val df: Map[Long, Int] = rawSets.toSeq
+      .flatMap { case (id, hs) => hs.map(h => (h, rep(id))) }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = BigInt(df.size)
+    val sdf = df.values.map(BigInt(_)).sum
+    val hot = df.collect {
+      case (h, d) if d > 50 || (d > 8 && BigInt(d) * n > sdf * 2) => h
+    }.toSet
+    val capped = rawSets.view.mapValues(_ -- hot)
+      .filter(_._2.nonEmpty).toMap
+    val ids = capped.keys.toSeq.sorted
     val expect = (for {
       a <- ids; b <- ids if a != b
-      shared = (shingleSets(a) & shingleSets(b)).size.toLong
+      shared = (capped(a) & capped(b)).size.toLong
       if shared > 0
-      cm = shared * 1000000L / shingleSets(a).size
+      cm = shared * 1000000L / capped(a).size
       if cm >= 500000L
     } yield (a, b, shared, cm)).sortBy(p => (p._1, p._2))
+    (expect, hot)
+  }
+
+  test("dedup_containment matches brute-force capped containment") {
+    val docs: Map[Long, String] = ops.table(spark, sf0001, "documents")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    val (expect, _) = cappedContainmentBrute(docs)
     val got = ops.DedupOps.queries("q_dedup_containment")(spark, sf0001)
       .select($"doc_src".as[Long], $"doc_dst".as[Long],
               $"shared".as[Long], $"cmicro".as[Long]).collect().toSeq
@@ -82,6 +108,48 @@ class R16OpsSpec extends SparkTestBase {
     val gotKeys = got.map(p => (p._1, p._2)).toSet
     assert(got.forall(p => p._4 >= 500000L && p._4 <= 1000000L))
     gotKeys.foreach { case (a, b) => assert(a != b) }
+  }
+
+  test("dedup_containment: hot-boilerplate fixture — cap bounds fan-in") {
+    // 60 docs share a 10-token boilerplate prefix (8 shingles, each with
+    // content df = 60 > 50 ⇒ hot) plus a 3-token unique tail; uncapped
+    // containment between any two of them is 8/13 ≥ 0.5, so the uncapped
+    // contract would emit 60·59 = 3540 ordered boilerplate pairs off a
+    // posting-list join with fan-in 60² per hot shingle. The capped
+    // contract drops the hot shingles, leaving only the genuine
+    // containment pair (X ⊂ Y, low-df shingles).
+    val boiler = "terms of service apply all rights reserved contact us at"
+    val docs: Map[Long, String] =
+      ((1L to 60L).map(i => i -> s"$boiler unique$i tail$i tok$i") ++
+       Seq(1000L -> "alpha beta gamma delta epsilon zeta",
+           1001L -> "alpha beta gamma delta epsilon zeta extra tokens here now")
+      ).toMap
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_hotboiler_").toString
+    import spark.implicits._
+    docs.toSeq.map { case (id, t) =>
+      (id, t, "en", "synth", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (expect, hot) = cappedContainmentBrute(docs)
+    assert(hot.size >= 8, "fixture drift: boilerplate shingles not hot")
+    // the capped contract must keep the real pair and drop all
+    // boilerplate-only pairs
+    assert(expect.map(p => (p._1, p._2)).toSet ==
+      Set((1000L, 1001L), (1001L, 1000L)))
+    for (path <- Seq("never", "always")) {
+      graft.ops.DedupOps.clearPairsCache()
+      System.setProperty("graft.dedup.contract", path)
+      try {
+        val got = ops.DedupOps.queries("q_dedup_containment")(spark, tmp)
+          .select($"doc_src".as[Long], $"doc_dst".as[Long],
+                  $"shared".as[Long], $"cmicro".as[Long]).collect().toSeq
+        assert(got == expect, s"path=$path")
+      } finally {
+        System.clearProperty("graft.dedup.contract")
+        graft.ops.DedupOps.clearPairsCache()
+      }
+    }
   }
 
   test("agg_countmin: estimates are one-sided and exact sans collision") {
@@ -200,7 +268,11 @@ class R16OpsSpec extends SparkTestBase {
     val expect = ev.groupBy(_._2).flatMap { case (_, rows) =>
       val ordered = rows.sortBy(r => (r._3, r._1))
       val cents = ordered.map(r =>
-        BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)
+        // HALF_UP mirrors the engines: Spark's cast(double -> decimal)
+        // and DuckDB both round half away from zero — HALF_EVEN here
+        // would diverge from a correct implementation on an
+        // exactly-representable tie (e.g. 0.125).
+        BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .*(100).toLongExact)
       ordered.indices.map { i =>
         val ks = (0 to math.min(7, i)).map(k => (1L << (7 - k), cents(i - k)))
