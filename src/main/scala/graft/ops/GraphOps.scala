@@ -35,7 +35,18 @@ object GraphOps {
     var pr = withDeg.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
-      pr = withDeg.join(pr, col("src") === col("node"))
+      // shuffle_hash on the rank side: the default sort-merge join paid
+      // a full SORT of the cached message base per round (the dominant
+      // per-round cost — the base is edge-sized, the rank frame is
+      // node-sized). A shuffled-hash join builds on the small rank side
+      // and STREAMS the cached base, which is already hash-partitioned
+      // on src from its degree join; the rank frame arrives hash-
+      // partitioned on node from the previous round's aggregation — so
+      // a round's only exchange is its own groupBy(dst). (Broadcasting
+      // pr instead would collect O(nodes) to the driver per round —
+      // ~40 MB at 100×, and growing with the graph; the hash join keeps
+      // every round fully distributed.)
+      pr = withDeg.join(pr.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(expr("150000 + (85 * sum(c)) DIV 100").as("pr"))
@@ -75,6 +86,12 @@ object GraphOps {
                 (col("l_suppkey") + Off).as("dst"))
         .distinct()
         .persist()
+      // The degree join's output is already hash-partitioned on src, and
+      // that partitioning is what the cache exposes — every round joins
+      // on src == node with the rank frame arriving hash-partitioned on
+      // node from the previous round's groupBy(dst), so the per-round
+      // join needs no exchange on either side (see the shuffle_hash
+      // hint in [[pagerank]] for why it needs no SORT either).
       val base = withDegree(e0.unionAll(e0.select(col("dst").as("src"),
                                                   col("src").as("dst"))))
         .persist()
