@@ -117,6 +117,9 @@ object Bench {
       graft.ops.GraphOps.clearMessageCache()
       graft.ops.SimOps.clearSimCaches()
       graft.ops.JoinOps.clearHotKeyCache()
+      // completed stream runs leave their file-sink output dirs in RAM-
+      // backed scratch (the results were consumed by once()'s noop write)
+      graft.streaming.StreamOps.clearStreamSinks()
       spark.catalog.clearCache()
     }
     releaseCaches()

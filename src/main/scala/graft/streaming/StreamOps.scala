@@ -144,6 +144,32 @@ object StreamOps {
     }
     stagedCache.clear()
     tsTypeCache.clear()
+    clearStreamSinks()
+  }
+
+  /** File-sink output directories of completed append-mode stream runs.
+    * The returned DataFrame READS these lazily (that is the point — the
+    * result is never driver-resident), so the files must outlive the
+    * run until the caller has consumed the frame; registered here and
+    * released by [[clearStreamSinks]] (Bench's between-pass hook, the
+    * ScaleStress per-query hook, end-of-run cleanup). */
+  private val sinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  /** Delete all registered file-sink output directories. Only call once
+    * every previously returned stream result has been consumed — the
+    * frames read these files lazily. */
+  def clearStreamSinks(): Unit = {
+    var dir = sinkDirs.poll()
+    while (dir != null) {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+      dir = sinkDirs.poll()
+    }
   }
 
   /** State-store telemetry of the most recent stream run: max over the
@@ -334,6 +360,20 @@ object StreamOps {
         .getOrElse("true")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       s.conf.getOption("spark.graft.stream.noDataBatches").getOrElse("false"))
+    // Checkpoint-file checksums OFF for the harness's throwaway scratch
+    // checkpoints: each ChecksumCheckpointFileManager owns a thread pool
+    // that outlives its query (the r16 single-JVM 175-query sweep wedged
+    // at 8 g with 288 parked checksum-manager daemons), and the per-file
+    // checksum writes double the tiny-file fsync traffic that dominates
+    // fixture-sized micro-batches. Corruption detection on a RAM-backed
+    // temp dir deleted minutes later protects nothing; a production
+    // deployment checkpointing to durable shared storage keeps Spark's
+    // default. Kill switch: spark.graft.stream.checkpointChecksum=true.
+    val savedCksum =
+      s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      s.conf.getOption("spark.graft.stream.checkpointChecksum")
+        .getOrElse("false"))
     // cleanup rides a finally: a failing transform/start/drain must not
     // leak the session conf override or the driver-resident memory-sink
     // view across repeated builds in a long-lived session (the staged
@@ -405,9 +445,26 @@ object StreamOps {
         "changelogCheckpointing.enabled", "true")
     }
     try {
-      val q = transform(Seq.fill(nSources)(source())).writeStream
-        .outputMode(mode).format("memory").queryName(qname)
-        .option("checkpointLocation", ckptDir.toString).start()
+      val sdf = transform(Seq.fill(nSources)(source()))
+      // Sink selection. APPEND mode → parquet FILE sink: rows flow
+      // executor → files and the returned frame READS them lazily, so
+      // the result is never driver-resident — the memory sink's
+      // all-batches driver buffer (plus its collectAsList copy) is what
+      // forced a 48 GiB driver heap on the 100× q_stream_dedup_wm drain
+      // (10 M rows) when the true state bound was RocksDB's. COMPLETE
+      // mode (not supported by the file sink) keeps the memory sink;
+      // every complete-mode query here is an aggregate with a tiny
+      // result, copied out and released below.
+      val fileSinkDir =
+        if (mode == "append") Some(mkScratchDir(s, "graft_sink_out_"))
+        else None
+      val writer = sdf.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckptDir.toString)
+      val q = (fileSinkDir match {
+        case Some(dir) => writer.format("parquet")
+          .option("path", dir.toString)
+        case None => writer.format("memory").queryName(qname)
+      }).start()
       try { q.processAllAvailable() } finally { q.stop() }
       lastBatchCount = q.recentProgress.count(_.numInputRows > 0)
       stateMetrics = {
@@ -419,12 +476,40 @@ object StreamOps {
         else Some((perBatch.map(_._1).max, perBatch.map(_._2).max))
           .filter(m => m._1 > 0 || m._2 > 0)
       }
-      val sink = s.table(qname)
-      s.createDataFrame(sink.collectAsList(), sink.schema)
+      fileSinkDir match {
+        case Some(dir) =>
+          dir.toFile.deleteOnExit()
+          sinkDirs.add(dir)
+          // explicit schema: an empty result leaves no part files to
+          // infer from, and the transform's schema is exact
+          s.read.schema(sdf.schema).parquet(dir.toString)
+        case None =>
+          val sink = s.table(qname)
+          s.createDataFrame(sink.collectAsList(), sink.schema)
+      }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
                  savedNoData)
+      savedCksum match {
+        case Some(v) => s.conf.set(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", v)
+        case None => s.conf.unset(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+      // Per-query machinery teardown — each harness run's checkpoint is
+      // throwaway, so nothing below can ever be reused and everything
+      // below otherwise accumulates for the JVM lifetime (the r16
+      // single-JVM sweep wedged on exactly this):
+      // (1) the terminated StreamingQuery wrappers retained by the
+      //     session's StreamingQueryManager (each holds its executed
+      //     plan and — for memory sinks — every batch's rows);
+      // (2) the loaded state-store providers (RocksDB native handles +
+      //     block caches, or the HDFS provider's on-heap COW maps) keyed
+      //     by a provider id no future query can match.
+      try s.streams.resetTerminated() catch { case _: Exception => () }
+      try org.apache.spark.sql.graftshim.Shim.unloadAllStateStores()
+      catch { case _: Exception => () }
       if (useRocks) {
         savedProvider match {
           case Some(p) =>

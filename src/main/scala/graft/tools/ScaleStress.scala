@@ -186,6 +186,7 @@ object ScaleStress {
       graft.ops.GraphOps.clearMessageCache()
       graft.ops.SimOps.clearSimCaches()
       graft.ops.JoinOps.clearHotKeyCache()
+      graft.streaming.StreamOps.clearStreamSinks()
       spark.catalog.clearCache()
       val fields = Seq(
         Some(f""""wall_s":$wall%.3f"""),

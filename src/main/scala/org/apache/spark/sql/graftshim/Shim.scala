@@ -25,4 +25,14 @@ object Shim {
       .queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
+
+  /** Unload (and close) every loaded state-store provider —
+    * `StateStore.unloadAll()` is `private[sql]`. Used by the stream
+    * harness's per-query teardown: each harness checkpoint is a
+    * throwaway temp dir, so no provider can ever be re-claimed by a
+    * future query, and an unclosed RocksDB provider retains its native
+    * handles, block cache and local working files for the JVM
+    * lifetime. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
