@@ -97,17 +97,96 @@ object Bench {
       spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def runPass(): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    // IO-side host yardstick (r16 postmortem): the CPU-bound calibration
+    // cannot see disk/page-cache degradation, and that blind spot cost
+    // two rounds of analysis — q_dedup_incremental's official r16 row
+    // read 41.9 s warm against 3.0 s re-measured at HEAD, and the
+    // artifact could not say whether the plan or the host's IO was at
+    // fault. Three sub-probes per family boundary, each attributing a
+    // distinct degradation mode:
+    //   reread_mbps — sequential re-read of a 16 MiB fixture slice.
+    //     RAM-speed (GB/s) while the page cache holds the fixture;
+    //     collapses to raw-disk speed exactly when the cache was
+    //     evicted/contended — the hypothesized cause of the 41 s rows.
+    //   shm_mbps — 32 MiB write+read in /dev/shm: RAM bandwidth and
+    //     allocation contention (the stream scratch lives there).
+    //   fsync_ms — 4 MiB durable write (FileChannel.force) to the tmp
+    //     disk: the latency shuffle spills and checkpoint commits pay.
+    val ioBuf = new Array[Byte](1 << 20)
+    val ioProbeFile: Option[java.io.File] = {
+      val f = new java.io.File(s"$sfDir/lineitem.parquet")
+      if (f.isFile) Some(f)
+      else Option(f.listFiles()).flatMap(
+        _.filter(_.getName.endsWith(".parquet")).sortBy(-_.length)
+          .headOption)
+    }
+    case class IoProbe(rereadMbps: Double, shmMbps: Double,
+                       fsyncMs: Double) {
+      def js: String = f"""{"reread_mbps":$rereadMbps%.1f,""" +
+        f""""shm_mbps":$shmMbps%.1f,"fsync_ms":$fsyncMs%.2f}"""
+    }
+    def ioProbe(): IoProbe = {
+      val reread = ioProbeFile.map { f =>
+        val n = math.min(f.length, 16L << 20)
+        val t0 = System.nanoTime()
+        val in = new java.io.FileInputStream(f)
+        try {
+          var left = n
+          while (left > 0) {
+            val r = in.read(ioBuf, 0, math.min(ioBuf.length.toLong, left).toInt)
+            if (r < 0) left = 0 else left -= r
+          }
+        } finally in.close()
+        (n / 1048576.0) / ((System.nanoTime() - t0) / 1e9)
+      }.getOrElse(-1.0)
+      val shmRoot = java.nio.file.Paths.get("/dev/shm")
+      val shm =
+        if (java.nio.file.Files.isWritable(shmRoot)) {
+          val p = java.nio.file.Files
+            .createTempFile(shmRoot, "graft_io_", ".bin")
+          try {
+            val mb = 32
+            val t0 = System.nanoTime()
+            val out = new java.io.FileOutputStream(p.toFile)
+            try (0 until mb).foreach(_ => out.write(ioBuf))
+            finally out.close()
+            val in = new java.io.FileInputStream(p.toFile)
+            try { var r = 0; while (r >= 0) r = in.read(ioBuf) }
+            finally in.close()
+            (2.0 * mb) / ((System.nanoTime() - t0) / 1e9)
+          } finally java.nio.file.Files.deleteIfExists(p)
+        } else -1.0
+      val fsync = {
+        val p = java.nio.file.Files.createTempFile("graft_io_", ".bin")
+        try {
+          val t0 = System.nanoTime()
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            (0 until 4).foreach(_ =>
+              ch.write(java.nio.ByteBuffer.wrap(ioBuf)))
+            ch.force(true)
+          } finally ch.close()
+          (System.nanoTime() - t0) / 1e6
+        } finally java.nio.file.Files.deleteIfExists(p)
+      }
+      IoProbe(reread, shm, fsync)
+    }
+    def runPass(): (Seq[(String, Double)], Seq[(String, Double)],
+                    Seq[(String, IoProbe)]) = {
       val fams = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val ios = scala.collection.mutable.ArrayBuffer[(String, IoProbe)]()
       var lastFam = ""
       val p = named.map { case (n, fn) =>
         val f = family(n)
-        if (f != lastFam) { lastFam = f; fams += f -> calibQuick() }
+        if (f != lastFam) {
+          lastFam = f; fams += f -> calibQuick(); ios += f -> ioProbe()
+        }
         n -> once(n, fn)
       }
-      (p, fams.toSeq)
+      (p, fams.toSeq, ios.toSeq)
     }
-    val (cold, famCold) = runPass()
+    val (cold, famCold, ioCold) = runPass()
     def releaseCaches(): Unit = {
       // Release every frame a pass persisted (dedup pair caches,
       // per-query persist()s): carrying them into the next pass doubles
@@ -135,9 +214,9 @@ object Bench {
     // pass ran. Per-pass yardsticks let the gate ratio normalize each
     // flagship sample against the host speed of ITS OWN pass.
     val warmPasses = (1 to warmN).map { _ =>
-      val (p, fams) = runPass()
+      val (p, fams, ios) = runPass()
       releaseCaches()
-      (p, calibrate(), fams)
+      (p, calibrate(), fams, ios)
     }
     val calibPasses = warmPasses.map(_._2)
     def median(xs: Seq[Double]): Double = {
@@ -157,6 +236,9 @@ object Bench {
     }
     val famWarmSeries = famNames.map { f =>
       f -> warmPasses.map(_._3.toMap.apply(f))
+    }
+    val ioWarmSeries = famNames.map { f =>
+      f -> warmPasses.map(_._4.toMap.apply(f))
     }
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -220,7 +302,12 @@ object Bench {
     val famSeriesJs = famWarmSeries.map { case (f, xs) =>
       s"\"$f\":${xs.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"calib_family_cold":${js(famCold)},"calib_family_warm":${js(famWarm)},"calib_family_warm_passes":$famSeriesJs,"flagship_vs_baseline_raw":$vsRaw,"flagship_gate_calib":$vsCalib,"calib_single_ref":$calibSingleRef,"flagship_warm_tail":$flagshipTail,"flagship_tail_samples":${flagshipTailSamples.mkString("[", ",", "]")},"calib_single":[$calibSingleA,$calibSingleB],"stream_state":$stateJs,"sf":"$sfDir"}"""
+    val ioColdJs = ioCold.map { case (f, p) => s"\"$f\":${p.js}" }
+      .mkString("{", ",", "}")
+    val ioSeriesJs = ioWarmSeries.map { case (f, ps) =>
+      s"\"$f\":${ps.map(_.js).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"calib_family_cold":${js(famCold)},"calib_family_warm":${js(famWarm)},"calib_family_warm_passes":$famSeriesJs,"io_family_cold":$ioColdJs,"io_family_warm_passes":$ioSeriesJs,"flagship_vs_baseline_raw":$vsRaw,"flagship_gate_calib":$vsCalib,"calib_single_ref":$calibSingleRef,"flagship_warm_tail":$flagshipTail,"flagship_tail_samples":${flagshipTailSamples.mkString("[", ",", "]")},"calib_single":[$calibSingleA,$calibSingleB],"stream_state":$stateJs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout, which truncates the
     // per-query map (everything alphabetically early vanished from three
