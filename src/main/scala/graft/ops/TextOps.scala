@@ -15,6 +15,25 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
   private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The q_quality_classifier model: one integer micro-unit weight per
+    * hash bucket (64 buckets — fastText's hashing-trick table at
+    * fixture proportions). Literal by design: the trained model is data
+    * frozen into the query, exactly like fastText ships a .bin of
+    * weights; tests re-derive scores from this same table. Mean weight
+    * ≈ 0.974 × 10⁶, so the 1.0-threshold split is non-degenerate on
+    * hash-random features. */
+  private[graft] val QcWeights: Seq[Int] = Seq(
+    415848, 945080, 438769, 1089340, 654932, 1689658, 538816, 1282714,
+    1007364, 936951, 1415804, 1565896, 586724, 214842, 1366642, 180525,
+    1932375, 1878905, 1757767, 797325, 1297555, 246452, 816292, 1912810,
+    36852, 841664, 1303371, 1244634, 1050514, 884269, 823611, 1433050,
+    1606440, 1282759, 432069, 1529755, 267587, 703474, 1095625, 484108,
+    1802151, 8093, 1239463, 133012, 590979, 101478, 532635, 1823884,
+    1055204, 1187107, 1907050, 575873, 467125, 1692779, 1130883, 1589567,
+    1554618, 432399, 1470305, 63868, 329290, 802526, 1295597, 582267)
+
+  private val qcWeightsSql = QcWeights.mkString("[", ", ", "]")
+
   /** doc_id, n_tokens, verdict — the quality gate as a plain frame
     * transform (no source, no sort), so the batch query and the
     * streaming twin in graft.streaming.StreamOps run the identical
@@ -199,6 +218,47 @@ object TextOps {
     "q_quality_filter" -> ((s, d) =>
       qualityVerdict(table(s, d, "documents")).orderBy("doc_id")),
 
+    // Linear text-quality classifier — the fastText-style public shape
+    // (Joulin et al. 2016, arXiv:1607.01759): hashed unigram + bigram
+    // features, an integer LITERAL weight per hash bucket (the trained
+    // model, frozen into the query — [[QcWeights]], 64 buckets of
+    // micro-unit weights standing in for fastText's ~2 M at fixture
+    // proportions), score = MEAN feature weight, keep iff the mean
+    // clears the 1.0 decision threshold. This is the model-based
+    // curation stage (quality classification) between the heuristic
+    // gates (q_quality_filter) and dedup in an LLM data pipeline.
+    // Determinism: buckets are md5-sliced (md5hash32 % 64), weights and
+    // scores are integer micro, and the mean is an integer DIV of
+    // non-negative terms — no float anywhere, bit-identical in both
+    // engines. Scale posture: the feature explode is linear in corpus
+    // tokens and embarrassingly parallel; the weight lookup is a
+    // 64-element literal array indexed INSIDE whole-stage codegen (no
+    // join, no broadcast, no driver state — a 2 M-bucket production
+    // table would ride a broadcast join instead); the only shuffle is
+    // the per-doc aggregation, keyed the same as every other per-doc
+    // score.
+    "q_quality_classifier" -> ((s, d) => {
+      val wArr = array(QcWeights.map(w => lit(w.toLong)): _*)
+      table(s, d, "documents")
+        .withColumn("tok", split(lower(col("text")), " "))
+        .withColumn("feats",
+          concat(col("tok"),
+            when(size(col("tok")) >= 2,
+              expr("""transform(sequence(1, size(tok) - 1),
+                        i -> concat(element_at(tok, i), ' ',
+                                    element_at(tok, i + 1)))"""))
+              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))))
+        .select(col("doc_id"), explode(col("feats")).as("f"))
+        .withColumn("w", element_at(wArr,
+          (pmod(md5hash32(col("f")), lit(64)) + 1).cast("int")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+             expr("sum(w) DIV count(1)").as("score_micro"))
+        .withColumn("label",
+          when(col("score_micro") >= 1000000L, "keep").otherwise("drop"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic position-weighted rolling fingerprint over tokens:
     // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a
     // permuted document fingerprints differently) yet exactly expressible
@@ -381,6 +441,29 @@ object TextOps {
              CAST((sum(q_milli) + count(*) // 2) // count(*) AS BIGINT)
                AS surprisal_milli
       FROM q
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "q_quality_classifier" -> s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok
+                 FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(tok) AS f FROM t
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tok)),
+                      i -> tok[i] || ' ' || tok[i + 1])) AS f
+        FROM t),
+      b AS (SELECT doc_id,
+                   $qcWeightsSql[
+                     CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                          % 64 AS INT) + 1] AS w
+            FROM feats)
+      SELECT doc_id, count(*) AS n_feats,
+             CAST(sum(w) // count(*) AS BIGINT) AS score_micro,
+             CASE WHEN sum(w) // count(*) >= 1000000
+                  THEN 'keep' ELSE 'drop' END AS label
+      FROM b
       GROUP BY doc_id
       ORDER BY doc_id""",
 

@@ -1,0 +1,45 @@
+package graft
+
+/** Laws for the round-17 additions: the fastText-style linear quality
+  * classifier is re-derived by an in-memory brute force on sf0.001 —
+  * independent of both the Spark plan and the DuckDB oracle spelling. */
+class R17OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("quality_classifier matches a brute-force hashed-ngram scorer") {
+    val w = ops.TextOps.QcWeights
+    assert(w.length == 64 && w.forall(x => x >= 0 && x <= 2000000))
+    val docs = ops.table(spark, sf0001, "documents")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val expect = docs.map { case (id, text) =>
+      val tok = text.toLowerCase.split(" ", -1) // keep empty tokens, as
+                                                // split(text, ' ') does
+      val feats = tok.toSeq ++
+        (if (tok.length >= 2) tok.sliding(2).map(_.mkString(" ")).toSeq
+         else Nil)
+      val ws = feats.map { f =>
+        val b = (java.lang.Long.parseLong(md5hex(f).take(8), 16) % 64).toInt
+        w(b).toLong
+      }
+      // non-negative terms: truncating and flooring division agree
+      val score = ws.sum / ws.size
+      (id, ws.size.toLong, score,
+       if (score >= 1000000L) "keep" else "drop")
+    }.sortBy(_._1).toSeq
+    val got = ops.TextOps.queries("q_quality_classifier")(spark, sf0001)
+      .select($"doc_id".as[Long], $"n_feats".as[Long],
+              $"score_micro".as[Long], $"label".as[String])
+      .collect().toSeq
+    assert(got == expect)
+    // the decision boundary is live on this corpus — both labels occur
+    val labels = got.map(_._4).toSet
+    assert(labels == Set("keep", "drop"),
+      s"degenerate label split: $labels")
+  }
+}
