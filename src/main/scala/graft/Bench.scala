@@ -125,7 +125,12 @@ object Bench {
       def js: String = f"""{"reread_mbps":$rereadMbps%.1f,""" +
         f""""shm_mbps":$shmMbps%.1f,"fsync_ms":$fsyncMs%.2f}"""
     }
-    def ioProbe(): IoProbe = {
+    // A probe must never kill the bench: any IO error (disk full, races
+    // on temp files) degrades to -1 fields, not a lost artifact.
+    def ioProbe(): IoProbe = try ioProbeUnsafe() catch {
+      case _: Throwable => IoProbe(-1.0, -1.0, -1.0)
+    }
+    def ioProbeUnsafe(): IoProbe = {
       val reread = ioProbeFile.map { f =>
         val n = math.min(f.length, 16L << 20)
         val t0 = System.nanoTime()

@@ -506,7 +506,11 @@ object StreamOps {
       //     plan and — for memory sinks — every batch's rows);
       // (2) the loaded state-store providers (RocksDB native handles +
       //     block caches, or the HDFS provider's on-heap COW maps) keyed
-      //     by a provider id no future query can match.
+      //     by a provider id no future query can match. Unloading is
+      //     reload-safe by construction: a provider for a query that IS
+      //     still live (not ours — the harness runs synchronously, but a
+      //     host application might keep its own streams) reloads from
+      //     its checkpoint on that query's next batch.
       try s.streams.resetTerminated() catch { case _: Exception => () }
       try org.apache.spark.sql.graftshim.Shim.unloadAllStateStores()
       catch { case _: Exception => () }
