@@ -42,4 +42,18 @@ class R17OpsSpec extends SparkTestBase {
     assert(labels == Set("keep", "drop"),
       s"degenerate label split: $labels")
   }
+
+  test("quality_classifier plan: map-only scoring — no join, 2 exchanges") {
+    // The scale claim made in the scaladoc, locked structurally: the
+    // literal weight table must stay an in-expression array lookup
+    // (never a join/broadcast), and the only exchanges are the per-doc
+    // aggregation and the output sort.
+    val df = ops.TextOps.queries("q_quality_classifier")(spark, sf0001)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "weight lookup must not become a join")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges (agg + sort), got "
+      + s"$exchanges:\n$plan")
+  }
 }
