@@ -92,91 +92,16 @@ object Bench {
     // window; the judge normalizes per family from the artifact alone
     // instead of re-running outliers.
     def family(n: String): String = n.stripPrefix("q_").split("_")(0)
-    def calibQuick(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // IO-side host yardstick (r16 postmortem): the CPU-bound calibration
-    // cannot see disk/page-cache degradation, and that blind spot cost
-    // two rounds of analysis — q_dedup_incremental's official r16 row
-    // read 41.9 s warm against 3.0 s re-measured at HEAD, and the
-    // artifact could not say whether the plan or the host's IO was at
-    // fault. Three sub-probes per family boundary, each attributing a
-    // distinct degradation mode:
-    //   reread_mbps — sequential re-read of a 16 MiB fixture slice.
-    //     RAM-speed (GB/s) while the page cache holds the fixture;
-    //     collapses to raw-disk speed exactly when the cache was
-    //     evicted/contended — the hypothesized cause of the 41 s rows.
-    //   shm_mbps — 32 MiB write+read in /dev/shm: RAM bandwidth and
-    //     allocation contention (the stream scratch lives there).
-    //   fsync_ms — 4 MiB durable write (FileChannel.force) to the tmp
-    //     disk: the latency shuffle spills and checkpoint commits pay.
-    val ioBuf = new Array[Byte](1 << 20)
-    val ioProbeFile: Option[java.io.File] = {
-      val f = new java.io.File(s"$sfDir/lineitem.parquet")
-      if (f.isFile) Some(f)
-      else Option(f.listFiles()).flatMap(
-        _.filter(_.getName.endsWith(".parquet")).sortBy(-_.length)
-          .headOption)
-    }
-    case class IoProbe(rereadMbps: Double, shmMbps: Double,
-                       fsyncMs: Double) {
-      def js: String = f"""{"reread_mbps":$rereadMbps%.1f,""" +
-        f""""shm_mbps":$shmMbps%.1f,"fsync_ms":$fsyncMs%.2f}"""
-    }
-    // A probe must never kill the bench: any IO error (disk full, races
-    // on temp files) degrades to -1 fields, not a lost artifact.
-    def ioProbe(): IoProbe = try ioProbeUnsafe() catch {
-      case _: Throwable => IoProbe(-1.0, -1.0, -1.0)
-    }
-    def ioProbeUnsafe(): IoProbe = {
-      val reread = ioProbeFile.map { f =>
-        val n = math.min(f.length, 16L << 20)
-        val t0 = System.nanoTime()
-        val in = new java.io.FileInputStream(f)
-        try {
-          var left = n
-          while (left > 0) {
-            val r = in.read(ioBuf, 0, math.min(ioBuf.length.toLong, left).toInt)
-            if (r < 0) left = 0 else left -= r
-          }
-        } finally in.close()
-        (n / 1048576.0) / ((System.nanoTime() - t0) / 1e9)
-      }.getOrElse(-1.0)
-      val shmRoot = java.nio.file.Paths.get("/dev/shm")
-      val shm =
-        if (java.nio.file.Files.isWritable(shmRoot)) {
-          val p = java.nio.file.Files
-            .createTempFile(shmRoot, "graft_io_", ".bin")
-          try {
-            val mb = 32
-            val t0 = System.nanoTime()
-            val out = new java.io.FileOutputStream(p.toFile)
-            try (0 until mb).foreach(_ => out.write(ioBuf))
-            finally out.close()
-            val in = new java.io.FileInputStream(p.toFile)
-            try { var r = 0; while (r >= 0) r = in.read(ioBuf) }
-            finally in.close()
-            (2.0 * mb) / ((System.nanoTime() - t0) / 1e9)
-          } finally java.nio.file.Files.deleteIfExists(p)
-        } else -1.0
-      val fsync = {
-        val p = java.nio.file.Files.createTempFile("graft_io_", ".bin")
-        try {
-          val t0 = System.nanoTime()
-          val ch = java.nio.channels.FileChannel.open(p,
-            java.nio.file.StandardOpenOption.WRITE)
-          try {
-            (0 until 4).foreach(_ =>
-              ch.write(java.nio.ByteBuffer.wrap(ioBuf)))
-            ch.force(true)
-          } finally ch.close()
-          (System.nanoTime() - t0) / 1e6
-        } finally java.nio.file.Files.deleteIfExists(p)
-      }
-      IoProbe(reread, shm, fsync)
-    }
+    def calibQuick(): Double = Yardstick.calibQuick(spark)
+    // IO-side host yardstick (r16 postmortem; see graft.Yardstick): the
+    // CPU-bound calibration cannot see disk/page-cache degradation, and
+    // that blind spot cost two rounds of analysis — q_dedup_incremental's
+    // official r16 row read 41.9 s warm against 3.0 s re-measured at
+    // HEAD, and the artifact could not say whether the plan or the
+    // host's IO was at fault. One probe per family boundary, per pass.
+    val ioProbeFile = Yardstick.probeFileFor(sfDir)
+    type IoProbe = Yardstick.IoProbe
+    def ioProbe(): IoProbe = Yardstick.ioProbe(ioProbeFile)
     def runPass(): (Seq[(String, Double)], Seq[(String, Double)],
                     Seq[(String, IoProbe)]) = {
       val fams = scala.collection.mutable.ArrayBuffer[(String, Double)]()

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Host-speed yardsticks shared by the measurement harnesses (Bench's
+  * per-family boundaries, ScaleStress's per-query rows). Two axes,
+  * because they demonstrably diverge on this infrastructure:
+  *
+  *  - [[calibQuick]] — CPU: one codegen'd range-sum across all cores
+  *    (~0.12–0.15 s on the nominal host; 2–5× that on degraded
+  *    windows).
+  *  - [[ioProbe]] — IO: the r16 postmortem's blind spot. A CPU-normal
+  *    window can still carry an evicted page cache or a contended
+  *    disk, which is invisible to the range-sum and made a 41.9 s-vs-
+  *    3.0 s bench row unattributable for a full round. Three
+  *    sub-probes, each attributing a distinct degradation mode:
+  *      reread_mbps — 16 MiB sequential re-read of the largest fixture
+  *        part: RAM-speed (GB/s) while the page cache holds the
+  *        fixture, raw-disk speed when it was evicted/contended;
+  *      shm_mbps — 32 MiB write+read in /dev/shm: RAM bandwidth and
+  *        allocation contention (the stream scratch lives there);
+  *      fsync_ms — 4 MiB durable write (FileChannel.force) on the tmp
+  *        disk: the latency shuffle spills and checkpoint commits pay.
+  *
+  * A probe must never kill its harness: any IO error degrades to -1
+  * fields, not a lost artifact.
+  */
+object Yardstick {
+
+  /** CPU yardstick: median-free single sample (callers that want a
+    * median take three). */
+  def calibQuick(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  case class IoProbe(rereadMbps: Double, shmMbps: Double,
+                     fsyncMs: Double) {
+    def js: String = f"""{"reread_mbps":$rereadMbps%.1f,""" +
+      f""""shm_mbps":$shmMbps%.1f,"fsync_ms":$fsyncMs%.2f}"""
+  }
+
+  /** The largest parquet part under `sfDir`'s lineitem fixture — the
+    * re-read probe target (what the scans themselves re-read). */
+  def probeFileFor(sfDir: String): Option[java.io.File] = {
+    val f = new java.io.File(s"$sfDir/lineitem.parquet")
+    if (f.isFile) Some(f)
+    else Option(f.listFiles()).flatMap(
+      _.filter(_.getName.endsWith(".parquet")).sortBy(-_.length)
+        .headOption)
+  }
+
+  def ioProbe(probeFile: Option[java.io.File]): IoProbe =
+    try ioProbeUnsafe(probeFile) catch {
+      case _: Throwable => IoProbe(-1.0, -1.0, -1.0)
+    }
+
+  private def ioProbeUnsafe(probeFile: Option[java.io.File]): IoProbe = {
+    val buf = new Array[Byte](1 << 20)
+    val reread = probeFile.filter(_.isFile).map { f =>
+      val n = math.min(f.length, 16L << 20)
+      val t0 = System.nanoTime()
+      val in = new java.io.FileInputStream(f)
+      try {
+        var left = n
+        while (left > 0) {
+          val r = in.read(buf, 0, math.min(buf.length.toLong, left).toInt)
+          if (r < 0) left = 0 else left -= r
+        }
+      } finally in.close()
+      (n / 1048576.0) / ((System.nanoTime() - t0) / 1e9)
+    }.getOrElse(-1.0)
+    val shmRoot = java.nio.file.Paths.get("/dev/shm")
+    val shm =
+      if (java.nio.file.Files.isWritable(shmRoot)) {
+        val p = java.nio.file.Files
+          .createTempFile(shmRoot, "graft_io_", ".bin")
+        try {
+          val mb = 32
+          val t0 = System.nanoTime()
+          val out = new java.io.FileOutputStream(p.toFile)
+          try (0 until mb).foreach(_ => out.write(buf))
+          finally out.close()
+          val in = new java.io.FileInputStream(p.toFile)
+          try { var r = 0; while (r >= 0) r = in.read(buf) }
+          finally in.close()
+          (2.0 * mb) / ((System.nanoTime() - t0) / 1e9)
+        } finally java.nio.file.Files.deleteIfExists(p)
+      } else -1.0
+    val fsync = {
+      val p = java.nio.file.Files.createTempFile("graft_io_", ".bin")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          (0 until 4).foreach(_ =>
+            ch.write(java.nio.ByteBuffer.wrap(buf)))
+          ch.force(true)
+        } finally ch.close()
+        (System.nanoTime() - t0) / 1e6
+      } finally java.nio.file.Files.deleteIfExists(p)
+    }
+    IoProbe(reread, shm, fsync)
+  }
+}

@@ -158,10 +158,21 @@ object ScaleStress {
       ts(1)
     }
     val calibStart = calibrate()
+    // Per-QUERY yardstick pair (CPU calib + IO probe, graft.Yardstick):
+    // the sweep's start/end bracket cannot attribute a single row's
+    // swing — q_stream_session repeat-measured 16 → 58 s at 100× across
+    // same-config runs whose brackets looked identical, and the r16
+    // stream chunks carried a 64% same-config spread nobody could
+    // pin to CPU vs page-cache vs disk. The probe costs ~0.3 s/query
+    // against multi-second 100× rows; the IO target is the SCALED
+    // fixture (what the queries actually re-read).
+    val ioProbeFile = graft.Yardstick.probeFileFor(out)
     val sweepT0 = System.nanoTime()
     val rows = heavy.map { name =>
       val cap = fixtureCaps.get(name).filter(_._1 < copies)
       val dir = cap.map(c => cappedDir(c._1)).getOrElse(out)
+      val qCalib = graft.Yardstick.calibQuick(spark)
+      val qIo = graft.Yardstick.ioProbe(ioProbeFile)
       val t0 = System.nanoTime()
       peakStorage = 0L
       val (nRows, err) =
@@ -191,6 +202,8 @@ object ScaleStress {
       val fields = Seq(
         Some(f""""wall_s":$wall%.3f"""),
         nRows.map(r => s""""rows":$r"""),
+        Some(f""""calib":$qCalib%.3f"""),
+        Some(s""""io":${qIo.js}"""),
         Some(s""""peak_cached_bytes":$peak"""),
         state.map { case (r, b) =>
           s""""stream_state":{"rows":$r,"bytes":$b}""" },
