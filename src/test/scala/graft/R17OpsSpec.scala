@@ -43,6 +43,28 @@ class R17OpsSpec extends SparkTestBase {
       s"degenerate label split: $labels")
   }
 
+  test("stream file sink: an empty append result reads back as an " +
+       "empty frame with the transform's schema") {
+    // The r17 harness returns append-mode results as a lazy read of the
+    // parquet file sink. A run that emits NO rows leaves a sink dir
+    // with only the metadata log — schema inference would fail there,
+    // which is why runStreamN passes the transform's schema explicitly.
+    // Locked with a zero-row documents fixture through the public
+    // q_stream_quality entry (stateless append — one empty batch).
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_empty_stream_").toString
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.streaming.StreamOps.documentsSchema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.streaming.StreamOps
+      .queries("q_stream_quality")(spark, tmp)
+    assert(got.columns.toSeq == Seq("doc_id", "n_tokens", "verdict"))
+    assert(got.collect().isEmpty)
+    graft.streaming.StreamOps.clearStreamSinks()
+  }
+
   test("quality_classifier plan: map-only scoring — no join, 2 exchanges") {
     // The scale claim made in the scaladoc, locked structurally: the
     // literal weight table must stay an in-expression array lookup
