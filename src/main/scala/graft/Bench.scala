@@ -68,14 +68,12 @@ object Bench {
     // host ran at the same speed, so the JSON carries the yardstick
     // (start AND end of the run; the host can drift mid-run too).
     // Compare rounds on sec/calib, not sec.
-    def calibrate(): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
-    }
+    // median-of-3 over the ONE shared workload (graft.Yardstick): three
+    // spellings of the calibration had crept in across Bench/ScaleStress,
+    // and a retune of any one would silently break cross-round
+    // comparability of the others.
+    def calibrate(): Double =
+      (1 to 3).map(_ => Yardstick.calibQuick(spark)).sorted.apply(1)
     val calibStart = calibrate()
     // Local-iteration subset (comma-separated names); the driver never
     // sets it, so round artifacts always carry the full inventory.

@@ -35,10 +35,17 @@ object Yardstick {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Locale-pinned numeric formatting for artifact JSON: the f""
+    * interpolator uses the JVM default locale, which renders comma
+    * decimal separators (invalid JSON) on e.g. a de_DE JVM. */
+  def jnum(fmt: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+
   case class IoProbe(rereadMbps: Double, shmMbps: Double,
                      fsyncMs: Double) {
-    def js: String = f"""{"reread_mbps":$rereadMbps%.1f,""" +
-      f""""shm_mbps":$shmMbps%.1f,"fsync_ms":$fsyncMs%.2f}"""
+    def js: String = "{\"reread_mbps\":" + jnum("%.1f", rereadMbps) +
+      ",\"shm_mbps\":" + jnum("%.1f", shmMbps) +
+      ",\"fsync_ms\":" + jnum("%.2f", fsyncMs) + "}"
   }
 
   /** The largest parquet part under `sfDir`'s lineitem fixture — the

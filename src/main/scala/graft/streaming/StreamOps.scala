@@ -458,6 +458,15 @@ object StreamOps {
       val fileSinkDir =
         if (mode == "append") Some(mkScratchDir(s, "graft_sink_out_"))
         else None
+      // register the sink dir for cleanup IMMEDIATELY: a run that dies
+      // in start()/processAllAvailable() may already have committed
+      // micro-batches into it, and an unregistered dir on RAM-backed
+      // /dev/shm would leak past every clearStreamSinks() for the rest
+      // of the sweep
+      fileSinkDir.foreach { dir =>
+        dir.toFile.deleteOnExit()
+        sinkDirs.add(dir)
+      }
       val writer = sdf.writeStream.outputMode(mode)
         .option("checkpointLocation", ckptDir.toString)
       val q = (fileSinkDir match {
@@ -478,8 +487,6 @@ object StreamOps {
       }
       fileSinkDir match {
         case Some(dir) =>
-          dir.toFile.deleteOnExit()
-          sinkDirs.add(dir)
           // explicit schema: an empty result leaves no part files to
           // infer from, and the transform's schema is exact
           s.read.schema(sdf.schema).parquet(dir.toString)

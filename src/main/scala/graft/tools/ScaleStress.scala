@@ -37,6 +37,10 @@ object ScaleStress {
       "stream_state) while the watermark-evicted twin q_stream_dedup_wm " +
       "runs at full scale")))
 
+  /** Locale-pinned JSON number (see Yardstick.jnum). */
+  private def jstrNum(fmt: String, v: Double): String =
+    graft.Yardstick.jnum(fmt, v)
+
   /** JSON string literal; control chars (Spark errors carry newlines and
     * tabs) must be escaped or a recorded failure corrupts the artifact. */
   private def jstr(s: String): String = {
@@ -149,14 +153,8 @@ object ScaleStress {
     // Host-speed yardstick bracketing the sweep (the Bench calibration
     // workload): identical-code sweeps measured ~2× wall swings with
     // page-cache/host state — compare rounds on wall/calib, not wall.
-    def calibrate(): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(500000000L).selectExpr("sum(id * 2 + 1)").collect()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
-    }
+    def calibrate(): Double =
+      (1 to 3).map(_ => graft.Yardstick.calibQuick(spark)).sorted.apply(1)
     val calibStart = calibrate()
     // Per-QUERY yardstick pair (CPU calib + IO probe, graft.Yardstick):
     // the sweep's start/end bracket cannot attribute a single row's
@@ -199,10 +197,11 @@ object ScaleStress {
       graft.ops.JoinOps.clearHotKeyCache()
       graft.streaming.StreamOps.clearStreamSinks()
       spark.catalog.clearCache()
+      import graft.Yardstick.jnum
       val fields = Seq(
-        Some(f""""wall_s":$wall%.3f"""),
+        Some(s""""wall_s":${jnum("%.3f", wall)}"""),
         nRows.map(r => s""""rows":$r"""),
-        Some(f""""calib":$qCalib%.3f"""),
+        Some(s""""calib":${jnum("%.3f", qCalib)}"""),
         Some(s""""io":${qIo.js}"""),
         Some(s""""peak_cached_bytes":$peak"""),
         state.map { case (r, b) =>
@@ -227,8 +226,9 @@ object ScaleStress {
         s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
         s""""shuffle_partitions":64,""" +
         s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +
-        f""""total_s":$totalS%.1f,""" +
-        f""""calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,""" +
+        s""""total_s":${jstrNum("%.1f", totalS)},""" +
+        s""""calib_start":${jstrNum("%.3f", calibStart)},""" +
+        s""""calib_end":${jstrNum("%.3f", calibEnd)},""" +
         s""""n_queries":${rows.size},""" +
         s""""n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},""" +
         s""""queries":$qJs}"""
