@@ -6,6 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SessionDefaults.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness-only per-query stream teardown (StreamOps runStreamN)
+    spark.conf.set("spark.graft.stream.teardown", "true")
     // Warm the session: scheduler, codegen cache, parquet footer caches,
     // and the JIT on the common physical operators (scan, hash agg,
     // sort-merge join, window, generate/explode, sort) — so the first

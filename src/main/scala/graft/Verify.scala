@@ -11,6 +11,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SessionDefaults.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness-only per-query stream teardown (StreamOps runStreamN)
+    spark.conf.set("spark.graft.stream.teardown", "true")
     // Fixture-drift tripwire BEFORE any query runs: a regenerated fixture
     // with an unhandled physical type fails here with one diagnostic line
     // and a nonzero exit, instead of 150 opaque per-query failures (the

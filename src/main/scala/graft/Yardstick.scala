@@ -14,9 +14,15 @@ import org.apache.spark.sql.SparkSession
   *    disk, which is invisible to the range-sum and made a 41.9 s-vs-
   *    3.0 s bench row unattributable for a full round. Three
   *    sub-probes, each attributing a distinct degradation mode:
-  *      reread_mbps — 16 MiB sequential re-read of the largest fixture
-  *        part: RAM-speed (GB/s) while the page cache holds the
-  *        fixture, raw-disk speed when it was evicted/contended;
+  *      reread_mbps — 16 MiB sequential re-read of a DEDICATED scratch
+  *        file on the same tmp disk: RAM-speed (GB/s) while the page
+  *        cache holds it, raw-disk speed when memory pressure evicted
+  *        it or the disk is contended. Deliberately NOT a fixture
+  *        part: rereading the fixture immediately before a timed query
+  *        warms exactly the page-cache state the probe is meant to
+  *        attribute, biasing every timed row toward warm-cache reads
+  *        (ADVICE r17) — the scratch file sees the same eviction
+  *        pressure without touching what the queries read;
   *      shm_mbps — 32 MiB write+read in /dev/shm: RAM bandwidth and
   *        allocation contention (the stream scratch lives there);
   *      fsync_ms — 4 MiB durable write (FileChannel.force) on the tmp
@@ -48,15 +54,27 @@ object Yardstick {
       ",\"fsync_ms\":" + jnum("%.2f", fsyncMs) + "}"
   }
 
-  /** The largest parquet part under `sfDir`'s lineitem fixture — the
-    * re-read probe target (what the scans themselves re-read). */
-  def probeFileFor(sfDir: String): Option[java.io.File] = {
-    val f = new java.io.File(s"$sfDir/lineitem.parquet")
-    if (f.isFile) Some(f)
-    else Option(f.listFiles()).flatMap(
-      _.filter(_.getName.endsWith(".parquet")).sortBy(-_.length)
-        .headOption)
-  }
+  /** The re-read probe target: a dedicated 16 MiB scratch file on the
+    * tmp disk, created once per JVM and shared by every probe. Its page
+    * cache residency tracks the run's memory pressure the same way the
+    * fixture's does, but probing it never pre-warms the bytes the timed
+    * queries actually read (the r17 bias). `sfDir` is accepted for call
+    * compatibility and ignored — the probe measures the HOST, not a
+    * fixture. */
+  def probeFileFor(sfDir: String): Option[java.io.File] =
+    probeScratch
+
+  private lazy val probeScratch: Option[java.io.File] =
+    try {
+      val p = java.nio.file.Files.createTempFile("graft_ioprobe_", ".bin")
+      val buf = new Array[Byte](1 << 20)
+      // deterministic non-zero fill; content is irrelevant to the timing
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      val out = new java.io.FileOutputStream(p.toFile)
+      try (0 until 16).foreach(_ => out.write(buf)) finally out.close()
+      p.toFile.deleteOnExit()
+      Some(p.toFile)
+    } catch { case _: Throwable => None }
 
   def ioProbe(probeFile: Option[java.io.File]): IoProbe =
     try ioProbeUnsafe(probeFile) catch {

@@ -156,10 +156,23 @@ object StreamOps {
   private val sinkDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
+  // Crash-path cleanup: File.deleteOnExit only removes EMPTY directories,
+  // so a sink dir that received committed part files before the JVM died
+  // would stay on RAM-backed /dev/shm forever. A shutdown hook running
+  // the same recursive walk as clearStreamSinks covers every registered
+  // dir regardless of content. Registered once, when the object loads —
+  // which is before any sink dir can be created.
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => clearStreamSinks(), "graft-stream-sink-cleanup"))
+
   /** Delete all registered file-sink output directories. Only call once
     * every previously returned stream result has been consumed — the
-    * frames read these files lazily. */
+    * frames read these files lazily. A dir whose delete fails (e.g. a
+    * transient open handle on a file still referenced by a not-yet-GC'd
+    * frame) is RE-ENQUEUED so a later sweep retries it instead of
+    * silently leaking it for the rest of the run. */
   def clearStreamSinks(): Unit = {
+    val retry = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
     var dir = sinkDirs.poll()
     while (dir != null) {
       try {
@@ -167,9 +180,17 @@ object StreamOps {
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
+      } catch { case e: Exception =>
+        if (java.nio.file.Files.exists(dir)) {
+          retry += dir
+          Console.err.println(
+            s"[stream-sink] delete of $dir failed (${e.getClass.getName});" +
+            " re-enqueued for the next sweep")
+        }
+      }
       dir = sinkDirs.poll()
     }
+    retry.foreach(sinkDirs.add)
   }
 
   /** State-store telemetry of the most recent stream run: max over the
@@ -462,11 +483,10 @@ object StreamOps {
       // in start()/processAllAvailable() may already have committed
       // micro-batches into it, and an unregistered dir on RAM-backed
       // /dev/shm would leak past every clearStreamSinks() for the rest
-      // of the sweep
-      fileSinkDir.foreach { dir =>
-        dir.toFile.deleteOnExit()
-        sinkDirs.add(dir)
-      }
+      // of the sweep. Registration alone also covers the crash path:
+      // the object's shutdown hook walks this queue (deleteOnExit would
+      // not — it cannot remove a non-empty directory).
+      fileSinkDir.foreach(sinkDirs.add)
       val writer = sdf.writeStream.outputMode(mode)
         .option("checkpointLocation", ckptDir.toString)
       val q = (fileSinkDir match {
@@ -518,9 +538,20 @@ object StreamOps {
       //     still live (not ours — the harness runs synchronously, but a
       //     host application might keep its own streams) reloads from
       //     its checkpoint on that query's next batch.
-      try s.streams.resetTerminated() catch { case _: Exception => () }
-      try org.apache.spark.sql.graftshim.Shim.unloadAllStateStores()
-      catch { case _: Exception => () }
+      // HARNESS-ONLY, gated: resetTerminated also clears the session's
+      // awaitAnyTermination bookkeeping and unloadAll drops providers of
+      // any live queries a host application owns — correct (they reload
+      // from checkpoint) but a hidden reload cost plus a bookkeeping
+      // side effect no embedder asked for. The sweep harnesses (Bench,
+      // Verify, ScaleStress, the test sessions) opt in via
+      // spark.graft.stream.teardown=true; an embedding application that
+      // never sets it keeps Spark's default lifecycle untouched.
+      if (s.conf.getOption("spark.graft.stream.teardown")
+            .exists(_.toBoolean)) {
+        try s.streams.resetTerminated() catch { case _: Exception => () }
+        try org.apache.spark.sql.graftshim.Shim.unloadAllStateStores()
+        catch { case _: Exception => () }
+      }
       if (useRocks) {
         savedProvider match {
           case Some(p) =>

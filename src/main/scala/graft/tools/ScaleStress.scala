@@ -68,6 +68,8 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // harness-only per-query stream teardown (StreamOps runStreamN)
+    spark.conf.set("spark.graft.stream.teardown", "true")
 
     def shifted(name: String, keyCols: Map[String, Long],
                 nCopies: Int): DataFrame = {
@@ -162,8 +164,10 @@ object ScaleStress {
     // same-config runs whose brackets looked identical, and the r16
     // stream chunks carried a 64% same-config spread nobody could
     // pin to CPU vs page-cache vs disk. The probe costs ~0.3 s/query
-    // against multi-second 100× rows; the IO target is the SCALED
-    // fixture (what the queries actually re-read).
+    // against multi-second 100× rows; the IO target is a dedicated
+    // scratch file (same tmp disk, same eviction pressure) — probing
+    // the fixture itself pre-warmed exactly the page-cache state the
+    // probe was meant to attribute (ADVICE r17).
     val ioProbeFile = graft.Yardstick.probeFileFor(out)
     val sweepT0 = System.nanoTime()
     val rows = heavy.map { name =>

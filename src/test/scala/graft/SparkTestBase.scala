@@ -20,6 +20,10 @@ object SparkTestBase {
       }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The suites run many throwaway stream queries through one JVM-wide
+    // session — opt in to the harness-only per-query stream teardown
+    // (see StreamOps' runStreamN finally block).
+    s.conf.set("spark.graft.stream.teardown", "true")
     s
   }
 }
