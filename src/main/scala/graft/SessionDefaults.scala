@@ -7,7 +7,49 @@ import org.apache.spark.sql.SparkSession
   * builders already drifted once; a config added here is guaranteed to
   * apply to both the measured plan and the oracle-checked plan. */
 object SessionDefaults {
-  def builder(cpus: String): SparkSession.Builder =
+
+  /** RAM-backed `spark.local.dir` for the harness JVMs (Bench, Verify,
+    * ScaleStress), when /dev/shm is writable with ≥ 32 GiB headroom.
+    *
+    * Everything under spark.local.dir here is throwaway: shuffle files,
+    * broadcast spills, and — the round-17 variance source — the RocksDB
+    * state store's WORKING directories (Spark places them under the
+    * JVM's local dirs, not under checkpointLocation, which the stream
+    * harness already points at /dev/shm). The r17 postmortem pinned
+    * q_stream_session's 12.6–48.9 s same-config 100× spread on tmp-DISK
+    * writeback/compaction contention during RocksDB ingest bursts
+    * (152–169 ms fsync windows caught mid-run by the IO probes); moving
+    * the local dirs to RAM removes that disk from the measured path
+    * entirely. A production cluster sizes spark.local.dir to local SSDs
+    * in cluster conf — this default is harness tuning, not library API
+    * (library users build their own sessions). Kill switch:
+    * SPARK_GRAFT_RAM_LOCAL=0. Crash-path cleanup: Spark removes its own
+    * blockmgr/spark temp subdirs on stop; the shutdown hook removes the
+    * parent recursively even if a kill left debris. */
+  private lazy val ramLocalDir: Option[String] = try {
+    val enabled = sys.env.getOrElse("SPARK_GRAFT_RAM_LOCAL", "1") == "1"
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (enabled && java.nio.file.Files.isWritable(shm) &&
+        shm.toFile.getUsableSpace > 32L * (1L << 30)) {
+      val dir = java.nio.file.Files.createTempDirectory(shm, "graft_local_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }, "graft-ram-local-cleanup"))
+      Some(dir.toString)
+    } else None
+  } catch { case _: Throwable => None }
+
+  def builder(cpus: String): SparkSession.Builder = {
+    val base = baseBuilder(cpus)
+    ramLocalDir.fold(base)(d => base.config("spark.local.dir", d))
+  }
+
+  private def baseBuilder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -67,7 +67,11 @@ object DedupOps {
 
   private def memo(s: SparkSession, d: String, tag: String)
                   (build: => DataFrame): DataFrame =
-    pairsCache.getOrElseUpdate((s, d, tag), build)
+    // every build is ledgered (tag, self seconds, triggering query) and
+    // persisted frames are materialized INSIDE the charged window — see
+    // graft.MemoLog for why (the r17 official-bench attribution gap)
+    pairsCache.getOrElseUpdate((s, d, tag),
+      graft.MemoLog.built(s"dedup.$tag")(build))
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "jaccard")(buildJaccardPairs(s, d))
@@ -83,6 +87,38 @@ object DedupOps {
         try r.unpersist(blocking = false) catch { case _: Exception => () })
       cpRegistry.clear()
     }
+  }
+
+  /** Build + materialize every memoized frame that MORE THAN ONE suite
+    * query consumes, so a full-suite bench pass charges shared
+    * infrastructure to an explicit "shared_builds" step instead of to
+    * whichever consumer happens to run first (the r17 official-bench
+    * attribution gap: q_dedup_incremental read 11.5 s vs 2.7 s between
+    * same-code runs depending on which row paid the rep-shingle build).
+    * Gate-aware: only the active path's frames are built — exactly the
+    * set a full-suite run would build anyway, so total work is
+    * unchanged, only its attribution. Single-consumer frames (the
+    * chunk audit's chunks16, the per-nprobe sensitivity frames) stay
+    * with their query: moving them would hollow out that query's row.
+    * Memoized — safe to call repeatedly; each Bench pass calls it once
+    * after the between-pass cache release. */
+  def prebuildShared(s: SparkSession, d: String): Unit = {
+    val c = contracted(s, d) // reads (and builds) the persisted rawDoc2Rep
+    // the rep-level shingle frame is read on BOTH paths: the
+    // contamination probe and the incremental-ingest corpus prune
+    repHashedShingles(s, d)
+    if (c) {
+      repJaccardPairs(s, d); shingledD2r(s, d)
+      repBands(s, d); repBandPairsAll(s, d)
+      cappedRepShingles(s, d)
+      vec2content(s, d); canonEmbedPairs(s, d); selfCosContents(s, d)
+    } else {
+      hashedShingles(s, d); jaccardPairs(s, d)
+      minhashPairs(s, d); cappedShingles(s, d)
+    }
+    minhashDocClusters(s, d) // the CC fixpoint (clusters + canonical)
+    normedVecs(s, d); embedPairs(s, d)
+    ()
   }
 
   /** Contraction gate threshold: the content-contracted spellings run

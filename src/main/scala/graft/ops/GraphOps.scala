@@ -74,7 +74,8 @@ object GraphOps {
 
   private def messageBase(s: org.apache.spark.sql.SparkSession,
                           d: String): DataFrame =
-    baseCache.getOrElseUpdate((s, d, "pagerank_base"), {
+    baseCache.getOrElseUpdate((s, d, "pagerank_base"),
+      graft.MemoLog.built("graph.pagerank_base") {
       // The distinct edge set feeds BOTH branches of the symmetrizing
       // union, and Catalyst has no cross-branch subtree reuse — without
       // the persist the full-corpus scan+distinct runs twice (measured
@@ -159,7 +160,8 @@ object GraphOps {
       // two extra corpus-sized exchanges (distinct on a different key
       // than the join, then the join's own) — measured 121 s vs this
       // at the 100× sweep.
-      val e = baseCache.getOrElseUpdate((s, d, "copurchase_edges"), {
+      val e = baseCache.getOrElseUpdate((s, d, "copurchase_edges"),
+        graft.MemoLog.built("graph.copurchase_edges") {
         table(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
           .groupBy(col("ok")).agg(array_sort(collect_set(col("p")))
@@ -180,7 +182,8 @@ object GraphOps {
       // the directed edge frame is read three times (both wedge sides
       // plus the closing-edge probe) — memoize+persist it like e, or
       // each consumer re-runs the degree agg and both joins
-      val dirE = baseCache.getOrElseUpdate((s, d, "copurchase_dir"), {
+      val dirE = baseCache.getOrElseUpdate((s, d, "copurchase_dir"),
+        graft.MemoLog.built("graph.copurchase_dir") {
         e.join(deg.select(col("v").as("a"), col("deg").as("da")),
                Seq("a"))
           .join(deg.select(col("v").as("b"), col("deg").as("db")),

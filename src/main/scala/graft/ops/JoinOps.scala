@@ -148,7 +148,8 @@ object JoinOps {
       // top-64) run eagerly on every FRAME CONSTRUCTION, so without the
       // cache each bench pass / plan inspection re-paid them before the
       // measured query even started.
-      val hot = hotKeyCache.getOrElseUpdate((s, d), {
+      val hot = hotKeyCache.getOrElseUpdate((s, d),
+        graft.MemoLog.timed("join.hot_keys") {
         // count() over parquet is footer-stats-only; the per-key counts
         // map-side combine to one row per distinct key before the
         // top-64 heads driver-side.

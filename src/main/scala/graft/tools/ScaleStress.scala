@@ -175,6 +175,10 @@ object ScaleStress {
       val dir = cap.map(c => cappedDir(c._1)).getOrElse(out)
       val qCalib = graft.Yardstick.calibQuick(spark)
       val qIo = graft.Yardstick.ioProbe(ioProbeFile)
+      // ScaleStress clears every cache between queries, so each row pays
+      // its own shared-frame builds — the ledger itemizes them per row
+      graft.MemoLog.setContext(name)
+      graft.MemoLog.drain()
       val t0 = System.nanoTime()
       peakStorage = 0L
       val (nRows, err) =
@@ -202,11 +206,18 @@ object ScaleStress {
       graft.streaming.StreamOps.clearStreamSinks()
       spark.catalog.clearCache()
       import graft.Yardstick.jnum
+      val memo = graft.MemoLog.drain().filter(_.selfSec >= 0.05)
+      val memoJs =
+        if (memo.isEmpty) None
+        else Some("\"memo_builds\":" + memo.map(b =>
+          s"""{"tag":${jstr(b.tag)},"sec":${jnum("%.3f", b.selfSec)}}""")
+          .mkString("[", ",", "]"))
       val fields = Seq(
         Some(s""""wall_s":${jnum("%.3f", wall)}"""),
         nRows.map(r => s""""rows":$r"""),
         Some(s""""calib":${jnum("%.3f", qCalib)}"""),
         Some(s""""io":${qIo.js}"""),
+        memoJs,
         Some(s""""peak_cached_bytes":$peak"""),
         state.map { case (r, b) =>
           s""""stream_state":{"rows":$r,"bytes":$b}""" },
