@@ -76,6 +76,19 @@ object GraphOps {
                           d: String): DataFrame =
     baseCache.getOrElseUpdate((s, d, "pagerank_base"),
       graft.MemoLog.built("graph.pagerank_base") {
+      // Materialize the base with AQE OFF: AQE pays one logical
+      // re-optimization plus a scheduler round per exchange, and for
+      // this fixed-shape, skew-free build (distinct → symmetrize →
+      // degree agg → join → persist) that overhead IS the dominant cost
+      // at bench scale — measured ~0.3 s of a ~1.7 s build at sf0.1,
+      // with identical rows either way. Scoped: restored in the finally,
+      // so the CONSUMER rounds keep AQE (whose skew handling matters on
+      // a 100× graph). The count() inside this block is what runs under
+      // the override — by the time any later action sees the frame it
+      // reads the persisted blocks, not the plan.
+      val savedAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       // The distinct edge set feeds BOTH branches of the symmetrizing
       // union, and Catalyst has no cross-branch subtree reuse — without
       // the persist the full-corpus scan+distinct runs twice (measured
@@ -99,6 +112,7 @@ object GraphOps {
       base.count() // materialize before dropping the edge frame
       e0.unpersist()
       base
+      } finally s.conf.set("spark.sql.adaptive.enabled", savedAqe)
     })
 
   /** Drop the memoized message bases and release their storage. */
