@@ -34,6 +34,14 @@ object TextOps {
 
   private val qcWeightsSql = QcWeights.mkString("[", ", ", "]")
 
+  /** Bucket count of the production-geometry classifier variant — 2^21,
+    * fastText's real hashing-trick table size (Joulin et al. 2016). The
+    * per-bucket micro weight is 500000 + (bucket·2654435761) mod 1000001
+    * (max product < 2^53 — exact int64 in both engines): a deterministic
+    * stand-in for trained weights with mean ≈ 10⁶, so the 1.0-threshold
+    * split stays non-degenerate exactly like [[QcWeights]]'. */
+  private[graft] val QcBuckets2m = 2097152L
+
   /** doc_id, n_tokens, verdict — the quality gate as a plain frame
     * transform (no source, no sort), so the batch query and the
     * streaming twin in graft.streaming.StreamOps run the identical
@@ -259,6 +267,46 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The classifier at PRODUCTION GEOMETRY (VERDICT r17 task 7): same
+    // fastText-style hashed-feature scorer as q_quality_classifier, but
+    // the weight table is 2^21 = 2 097 152 buckets — fastText's real
+    // bucket count (Joulin et al. 2016 use 2 M–10 M) — so the weights
+    // can no longer ride a codegen literal array. They ride a BROADCAST
+    // HASH JOIN instead: the weight frame is derived (bucket → micro
+    // weight via one integer multiply-mod both engines execute
+    // bit-identically, standing in for trained weights shipped as a
+    // parquet side table), explicitly broadcast()-hinted (≈ 32 MB — above
+    // the auto threshold), and the feature explode probes it by bucket
+    // inside the scan stage. At 100 TB this is exactly how a trained
+    // 2 M-bucket model deploys on Spark: model table broadcast once per
+    // executor, zero shuffle added — the per-doc aggregation stays the
+    // only exchange, same as the literal-array variant. Plan shape
+    // (weights on the BUILD side of a BroadcastHashJoin) is locked by
+    // PlanShapeSpec; scorer-vs-brute-force law in R18OpsSpec.
+    "q_quality_classifier_2m" -> ((s, d) => {
+      val weights = s.range(QcBuckets2m).select(col("id").as("bucket"),
+        (lit(500000L) + pmod(col("id") * 2654435761L, lit(1000001L)))
+          .as("w"))
+      table(s, d, "documents")
+        .withColumn("tok", split(lower(col("text")), " "))
+        .withColumn("feats",
+          concat(col("tok"),
+            when(size(col("tok")) >= 2,
+              expr("""transform(sequence(1, size(tok) - 1),
+                        i -> concat(element_at(tok, i), ' ',
+                                    element_at(tok, i + 1)))"""))
+              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))))
+        .select(col("doc_id"), explode(col("feats")).as("f"))
+        .withColumn("bucket", pmod(md5hash32(col("f")), lit(QcBuckets2m)))
+        .join(broadcast(weights), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+             expr("sum(w) DIV count(1)").as("score_micro"))
+        .withColumn("label",
+          when(col("score_micro") >= 1000000L, "keep").otherwise("drop"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic position-weighted rolling fingerprint over tokens:
     // fp = Σ_i i * (31*len(tok_i) + ascii(tok_i[0])). Order-sensitive (a
     // permuted document fingerprints differently) yet exactly expressible
@@ -458,6 +506,32 @@ object TextOps {
                    $qcWeightsSql[
                      CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
                           % 64 AS INT) + 1] AS w
+            FROM feats)
+      SELECT doc_id, count(*) AS n_feats,
+             CAST(sum(w) // count(*) AS BIGINT) AS score_micro,
+             CASE WHEN sum(w) // count(*) >= 1000000
+                  THEN 'keep' ELSE 'drop' END AS label
+      FROM b
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    // Same scorer at the 2^21-bucket production geometry; the weight is
+    // computed per feature (bucket -> multiply-mod), which is exactly
+    // the join's value — DuckDB folds the 2M-row table away, Spark
+    // broadcasts it; both arrive at identical integer arithmetic.
+    "q_quality_classifier_2m" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok
+                 FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(tok) AS f FROM t
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tok)),
+                      i -> tok[i] || ' ' || tok[i + 1])) AS f
+        FROM t),
+      b AS (SELECT doc_id,
+                   500000 + ((CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                              % 2097152) * 2654435761) % 1000001 AS w
             FROM feats)
       SELECT doc_id, count(*) AS n_feats,
              CAST(sum(w) // count(*) AS BIGINT) AS score_micro,

@@ -661,6 +661,63 @@ object StreamOps {
           .agg(count(lit(1)).as("c"))
       }.orderBy("r", "b")),
 
+    // Streaming heavy-hitter SERVING view (VERDICT r17 task 8): the
+    // always-on top-k a monitoring pipeline reads, built so the STREAM
+    // side keeps O(sketch) state — never O(keys). Phase 1 is the same
+    // complete-mode Count-Min aggregation as q_stream_countmin (state =
+    // the 4×256 cell grid, bench telemetry shows ~1024 state rows at any
+    // stream length). Phase 2 — the view refresh — consumes the drained
+    // sketch as 4 literal 256-cell arrays inside whole-stage codegen
+    // (the bounded driver bracket: ≤ 1024 rows BY CONSTRUCTION): each
+    // event's key gets a sketch ESTIMATE, keys estimated below the
+    // heavy threshold are pruned BEFORE the exact count's shuffle, and
+    // the survivors are exactly counted and re-filtered. CM only ever
+    // OVERestimates, so the candidate set provably contains every true
+    // heavy hitter and the final exact filter restores the batch answer
+    // bit-for-bit — order-independent, replay-safe (the oracle IS the
+    // batch identity). "Heavy" = at least 1.2× the mean per-key rate,
+    // spelled all-integer in DECIMAL(38,0) (10·n·users ≥ 12·total) so
+    // both engines decide identically with no division. Scale posture:
+    // on this near-uniform fixture the estimate prune is vacuous (every
+    // key clears the bar the sketch can prove) — on the Zipf key
+    // distributions this view exists for, the prune is what shrinks the
+    // exact count's shuffle from O(all keys) to O(candidates); the mean
+    // threshold's exact countDistinct would ride the KMV sketch
+    // (q_agg_kmv_sketch) at 100 TB.
+    "q_stream_topk" -> ((s, d) => {
+      val sketch = runStream(s, d, "complete") { src =>
+        src.withColumn("hx", cmDigest(col("user_id")))
+          .select(posexplode(cmBuckets(col("hx"))))
+          .groupBy(col("pos").as("r"), col("col").as("b"))
+          .agg(count(lit(1)).as("c"))
+      }
+      val cells = Array.fill(4)(new Array[Long](256))
+      sketch.selectExpr("cast(r as int) r", "cast(b as int) b",
+                        "cast(c as long) c")
+        .collect()
+        .foreach(row => cells(row.getInt(0))(row.getInt(1)) = row.getLong(2))
+      val wArrs = (0 until 4).map(r => array(cells(r).map(lit): _*))
+      val est = least((0 until 4).map(r =>
+        element_at(wArrs(r),
+          element_at(col("bk"), r + 1).cast("int") + 1)): _*)
+      val ev = graft.ops.table(s, d, "events")
+      val tot = ev.agg(count(lit(1)).as("total"),
+                       countDistinct(col("user_id")).as("users"))
+      ev.select(col("user_id"),
+                cmBuckets(cmDigest(col("user_id"))).as("bk"))
+        .withColumn("est", est)
+        .crossJoin(broadcast(tot))
+        .filter(col("est").cast("decimal(38,0)") * col("users") * 10 >=
+                col("total").cast("decimal(38,0)") * 12)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n").cast("decimal(38,0)") * col("users") * 10 >=
+                col("total").cast("decimal(38,0)") * 12)
+        .select(col("user_id"), col("n"))
+        .orderBy(desc("n"), asc("user_id")).limit(10)
+    }),
+
     // Stream-stream interval join — views matched to the same user's
     // purchases within the following hour, both sides unbounded streams.
     // This is the stateful-join shape Spark requires watermarks for:
@@ -878,6 +935,21 @@ object StreamOps {
       SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value
       FROM events
       ORDER BY event_id""",
+
+    // The serving view's contract IS the batch identity: exact top-10
+    // among keys at ≥ 1.2× the mean per-key rate (all-integer compare).
+    // The sketch estimate only PRUNES (one-sided overestimate), so it
+    // never appears in the answer — and hence not in the oracle.
+    "q_stream_topk" -> """
+      WITH tot AS (SELECT count(*) AS total,
+                          count(DISTINCT user_id) AS users FROM events),
+      c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+      SELECT user_id, n
+      FROM c, tot
+      WHERE CAST(n AS DECIMAL(38,0)) * users * 10 >=
+            CAST(total AS DECIMAL(38,0)) * 12
+      ORDER BY n DESC, user_id
+      LIMIT 10""",
 
     "q_stream_join" -> """
       SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
