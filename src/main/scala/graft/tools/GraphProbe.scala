@@ -89,6 +89,50 @@ object GraphProbe {
       println(f"[graph-probe] $label run $i: $dt%.3f s " +
         f"(base $tBase%.3f) jobs=$jobs stages=$stages tasks=$tasks")
     }
+    // collect_set spelling: degrees come free from the per-node set
+    // (outdeg = size), no degree join, map-side-combined aggs; one
+    // explicit repartition(src) restores the partitioning the rounds'
+    // shuffle_hash join builds against
+    def buildBaseSet(aqe: Boolean): org.apache.spark.sql.DataFrame = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      val Off = 1000000000000L
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_partkey").as("p"), (col("l_suppkey") + Off).as("s"))
+      def half(a: String, b: String) =
+        li.groupBy(col(a)).agg(collect_set(col(b)).as("nb"))
+          .select(col(a).as("src"), explode(col("nb")).as("dst"),
+                  size(col("nb")).cast("long").as("outdeg"))
+      val base = half("p", "s").unionAll(half("s", "p"))
+        .repartition(32, col("src")).persist()
+      base.count()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      base
+    }
+    def variantSet(label: String, aqe: Boolean): Unit = (1 to 3).foreach { i =>
+      jobs = 0; stages = 0; tasks = 0
+      val t0 = System.nanoTime()
+      val base = buildBaseSet(aqe)
+      val tBase = (System.nanoTime() - t0) / 1e9
+      var pr = base.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        pr = base.join(pr.hint("shuffle_hash"), col("src") === col("node"))
+          .select(col("dst"), expr("pr DIV outdeg").as("c"))
+          .groupBy(col("dst"))
+          .agg(expr("150000 + (85 * sum(c)) DIV 100").as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      pr.select(col("node").as("node_id"), col("pr").as("pr_micro"))
+        .orderBy("node_id")
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      base.unpersist()
+      Thread.sleep(300)
+      println(f"[graph-probe] $label run $i: $dt%.3f s " +
+        f"(base $tBase%.3f) jobs=$jobs stages=$stages tasks=$tasks")
+    }
+    variantSet("v-setagg-noaqe ", aqe = false)
+    variantSet("v-setagg-aqe   ", aqe = true)
     variant("v-base-noaqe   ", baseAqe = false, qAqe = true, cpRounds = false)
     variant("v-all-noaqe    ", baseAqe = false, qAqe = false, cpRounds = false)
     variant("v-cp-rounds    ", baseAqe = false, qAqe = true, cpRounds = true)
