@@ -217,8 +217,7 @@ object Bench {
     val medFsync = median(allIo.map(_.fsyncMs).filter(_ > 0))
     val medReread = median(allIo.map(_.rereadMbps).filter(_ > 0))
     def ioFlagged(p: IoProbe): Boolean =
-      (medFsync > 0 && p.fsyncMs > 3 * medFsync) ||
-      (medReread > 0 && p.rereadMbps > 0 && p.rereadMbps < medReread / 3)
+      Yardstick.ioFlagged(p, medFsync, medReread)
     val ioWarmMap = ioWarmSeries.toMap
     val flaggedFams: Seq[(String, Seq[Int])] = famNames.map { f =>
       f -> ioWarmMap(f).zipWithIndex.collect {

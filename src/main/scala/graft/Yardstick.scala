@@ -76,6 +76,18 @@ object Yardstick {
       Some(p.toFile)
     } catch { case _: Throwable => None }
 
+  /** The bench IO-gate predicate: a probe window is flagged when its
+    * fsync latency is > 3× the run median (writeback/compaction
+    * contention) or its reread bandwidth is < ⅓ of the run median (page
+    * cache evicted / disk contended). Invalid sub-probes (≤ 0 — the
+    * degraded -1 fields) never flag: a probe that could not measure
+    * must not trigger a retry. Kept here (pure, beside the probe) so
+    * the thresholds are spec-locked instead of living inline in
+    * Bench's pass loop. */
+  def ioFlagged(p: IoProbe, medFsync: Double, medReread: Double): Boolean =
+    (medFsync > 0 && p.fsyncMs > 3 * medFsync) ||
+    (medReread > 0 && p.rereadMbps > 0 && p.rereadMbps < medReread / 3)
+
   def ioProbe(probeFile: Option[java.io.File]): IoProbe =
     try ioProbeUnsafe(probeFile) catch {
       case _: Throwable => IoProbe(-1.0, -1.0, -1.0)
