@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * collect_set degrees REJECTED (same base floor — exchange reuse
   * already made the degree join free); explode-symmetrize REJECTED
   * (recomputing the unpersisted sym subtree for agg + join loses to the
-  * e0 persist). Throwaway diagnostics, not part of the library. */
+  * e0 persist); 8-wide base shuffle REJECTED (no task-count or wall
+  * change — the ~1.4 s floor is scan+distinct+persist intrinsics, not
+  * shuffle width). Throwaway diagnostics, not part of the library. */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -163,6 +165,14 @@ object GraphProbe {
       base.count()
       base
     }
+    // narrow-shuffle base: same shipped spelling, but the throwaway
+    // materialization exchanges run 8-wide instead of the session's 32
+    def buildBaseNarrow(): DataFrame = {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try buildBase(false)
+      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+    variantOf("v-base-narrow8 ")(buildBaseNarrow())
     variantOf("v-setagg-noaqe ")(buildBaseSet(false))
     variantOf("v-setagg-aqe   ")(buildBaseSet(true))
     variantOf("v-explode-sym  ")(buildBaseExplode())
