@@ -61,6 +61,9 @@ object Bench {
       // ledger context: any memoized shared-frame build that fires inside
       // this run is attributed to this query in the artifact (MemoLog)
       MemoLog.setContext(name)
+      // reset BEFORE the try: a failed run's early return must not leave
+      // the previous sample's GC delta to be stamped on this one
+      lastRunGcMs = 0L
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -290,16 +293,27 @@ object Bench {
     // single-task scan latency the flagship is actually bound by (one
     // measured run: throughput calib got FASTER while the flagship got
     // slower). The gate fields use this tail.
-    def calibrateSingle(): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0, 60000000L, 1, 1).selectExpr("sum(id * 2 + 1)")
-          .collect()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
+    // ONE single-thread workload, two sampling policies: the bracket
+    // calibrations take the median of 3 reps, the per-sample tail
+    // mini-calibrations one rep — same yardstick by construction (a
+    // drifted copy of the body would silently break the normalization
+    // the gate depends on).
+    def calibSingleOne(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 60000000L, 1, 1).selectExpr("sum(id * 2 + 1)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    def calibrateSingle(): Double =
+      (1 to 3).map(_ => calibSingleOne()).sorted.apply(1)
     val flagshipFn = named.toMap.get("q_scan_flagship")
+    // Release the last warm pass's caches (kept through the io-gate
+    // retries above so retried rows measured queries, not rebuilds)
+    // BEFORE the tail: every prior round's gate samples ran against an
+    // empty block manager, and a heap full of persisted frames would
+    // shift the tail's GC regime — the 2× gate is compared round over
+    // round, so its measurement conditions must not drift.
+    releaseCaches()
     val calibSingleA = calibrateSingle()
     // Per-SAMPLE attribution (VERDICT r17 task 2): official tail samples
     // swung 0.27–0.46 s within one run whose bracket calibrations looked
@@ -309,12 +323,6 @@ object Bench {
     // outlier sample is attributable from the artifact alone: slow
     // calib → the host's window was slow; big gc_ms → the sample paid a
     // collection; neither → the spread is real and plan-side.
-    def calibSingleOne(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 60000000L, 1, 1).selectExpr("sum(id * 2 + 1)")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
     val flagshipTailDetail: Seq[(Double, Double, Long)] =
       flagshipFn.toSeq.flatMap(fn =>
         (1 to 7).map { _ =>
@@ -348,8 +356,7 @@ object Bench {
     // misattribution signal the r17 verdict asked the artifact to
     // expose (e.g. a frame the prebuild list misses).
     val memoBuilds = MemoLog.drain()
-    def jq(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jq(s: String): String = Yardstick.jstr(s)
     val memoJs = memoBuilds.map { b =>
       s"""{"tag":${jq(b.tag)},"sec":${Yardstick.jnum("%.3f", b.selfSec)}""" +
       s""","total_sec":${Yardstick.jnum("%.3f", b.totalSec)}""" +
@@ -363,10 +370,16 @@ object Bench {
         s"""${jq(f)}:{"flagged_passes":${passes.mkString("[", ",", "]")}""" +
         s""","probe":${probe.js},"times":${js(times.toSeq.sortBy(_._1))}}"""
     }.mkString("{", ",", "}")
+    // families_retried counts retried FAMILIES; passes_retried counts
+    // the (family, pass) WINDOWS whose samples the retry replaced — the
+    // substitution volume a reader audits (the first artifact conflated
+    // the two under one name).
     val ioGateJs =
       s"""{"med_fsync_ms":${Yardstick.jnum("%.2f", medFsync)}""" +
       s""","med_reread_mbps":${Yardstick.jnum("%.1f", medReread)}""" +
-      s""","passes_retried":${retries.size},"retried":$retriedJs}"""
+      s""","families_retried":${retries.size}""" +
+      s""","passes_retried":${retries.valuesIterator.map(_._1.size).sum}""" +
+      s""","retried":$retriedJs}"""
     val tailCalibJs = flagshipTailDetail.map(t => Yardstick.jnum("%.3f", t._2))
       .mkString("[", ",", "]")
     val tailGcJs = flagshipTailDetail.map(_._3).mkString("[", ",", "]")

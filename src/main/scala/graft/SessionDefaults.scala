@@ -32,14 +32,12 @@ object SessionDefaults {
     if (enabled && java.nio.file.Files.isWritable(shm) &&
         shm.toFile.getUsableSpace > 32L * (1L << 30)) {
       val dir = java.nio.file.Files.createTempDirectory(shm, "graft_local_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Exception => () }
-      }, "graft-ram-local-cleanup"))
+      // Scratch tolerates the race with Spark's own shutdown hooks
+      // deleting blockmgr/spark-* subtrees of this same root — a
+      // vanished entry must not abandon the rest of the cleanup.
+      Runtime.getRuntime.addShutdownHook(new Thread(
+        () => { Scratch.deleteRecursively(dir); () },
+        "graft-ram-local-cleanup"))
       Some(dir.toString)
     } else None
   } catch { case _: Throwable => None }

@@ -47,6 +47,24 @@ object Yardstick {
   def jnum(fmt: String, v: Double): String =
     String.format(java.util.Locale.ROOT, fmt, Double.box(v))
 
+  /** JSON string literal with full control-character escaping — the ONE
+    * escaper for every artifact writer (Bench, ScaleStress): two
+    * spellings had diverged, and the weaker one would have emitted raw
+    * control bytes the first time a tag or error text carried one. */
+  def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.append("\"").toString
+  }
+
   case class IoProbe(rereadMbps: Double, shmMbps: Double,
                      fsyncMs: Double) {
     def js: String = "{\"reread_mbps\":" + jnum("%.1f", rereadMbps) +

@@ -75,7 +75,11 @@ object GraphOps {
   private def messageBase(s: org.apache.spark.sql.SparkSession,
                           d: String): DataFrame =
     baseCache.getOrElseUpdate((s, d, "pagerank_base"),
-      graft.MemoLog.built("graph.pagerank_base") {
+      // timed, not built: this block counts the persisted base itself
+      // (it must — before e0.unpersist and under the AQE-off scope);
+      // built() would issue a second full cached scan in the charged
+      // window and inflate every ledgered build (r18 review)
+      graft.MemoLog.timed("graph.pagerank_base") {
       // Materialize the base with AQE OFF: AQE pays one logical
       // re-optimization plus a scheduler round per exchange, and for
       // this fixed-shape, skew-free build (distinct → symmetrize →

@@ -137,10 +137,7 @@ object StreamOps {
     * not at JVM exit). */
   def clearStagedFixtures(): Unit = {
     stagedCache.values.foreach { case (dir, _) =>
-      try {
-        dir.toFile.listFiles().foreach(_.delete())
-        java.nio.file.Files.deleteIfExists(dir)
-      } catch { case _: Exception => () }
+      graft.Scratch.deleteRecursively(dir)
     }
     stagedCache.clear()
     tsTypeCache.clear()
@@ -175,18 +172,10 @@ object StreamOps {
     val retry = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
     var dir = sinkDirs.poll()
     while (dir != null) {
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case e: Exception =>
-        if (java.nio.file.Files.exists(dir)) {
-          retry += dir
-          Console.err.println(
-            s"[stream-sink] delete of $dir failed (${e.getClass.getName});" +
-            " re-enqueued for the next sweep")
-        }
+      if (!graft.Scratch.deleteRecursively(dir)) {
+        retry += dir
+        Console.err.println(s"[stream-sink] delete of $dir incomplete; " +
+          "re-enqueued for the next sweep")
       }
       dir = sinkDirs.poll()
     }
@@ -571,12 +560,7 @@ object StreamOps {
         }
       }
       try s.catalog.dropTempView(qname) catch { case _: Exception => () }
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
+      graft.Scratch.deleteRecursively(ckptDir)
     }
   }
 

@@ -13,6 +13,10 @@ object PlanAudit {
     // (e.g. q_join_range_auto without RangeJoinBinning)
     val spark = graft.SessionDefaults.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // q_stream_* builders RUN their micro-batch harness on build — the
+    // gated per-query teardown keeps an all-queries audit from
+    // accumulating providers (StreamOps runStreamN)
+    spark.conf.set("spark.graft.stream.teardown", "true")
     val interesting = Seq("CartesianProduct", "SortMergeJoin",
       "BroadcastHashJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin",
       "Exchange", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

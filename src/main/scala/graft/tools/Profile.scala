@@ -14,6 +14,9 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionDefaults.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // repeated stream-query profiling in one JVM needs the gated
+    // per-query teardown (StreamOps runStreamN)
+    spark.conf.set("spark.graft.stream.teardown", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: " +

@@ -42,20 +42,9 @@ object ScaleStress {
     graft.Yardstick.jnum(fmt, v)
 
   /** JSON string literal; control chars (Spark errors carry newlines and
-    * tabs) must be escaped or a recorded failure corrupts the artifact. */
-  private def jstr(s: String): String = {
-    val b = new StringBuilder("\"")
-    s.foreach {
-      case '\\' => b.append("\\\\")
-      case '"'  => b.append("\\\"")
-      case '\n' => b.append("\\n")
-      case '\r' => b.append("\\r")
-      case '\t' => b.append("\\t")
-      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
-      case c    => b.append(c)
-    }
-    b.append("\"").toString
-  }
+    * tabs) must be escaped or a recorded failure corrupts the artifact.
+    * Shared with Bench via Yardstick (one escaper for one format). */
+  private def jstr(s: String): String = graft.Yardstick.jstr(s)
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

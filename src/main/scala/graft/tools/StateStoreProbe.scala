@@ -11,6 +11,12 @@ object StateStoreProbe {
       .config("spark.sql.shuffle.partitions", "64")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-query teardown is gated now (ADVICE r17) — this probe's
+    // whole point is isolated provider legs, so opt in like every other
+    // harness: without it the first leg's providers (COW maps or native
+    // RocksDB handles + block caches) stay loaded while the next leg is
+    // timed
+    spark.conf.set("spark.graft.stream.teardown", "true")
     for (provider <- Seq("default", "rocksdb", "rocksdb")) {
       // The bigState gate inside runStreamN would re-engage RocksDB on a
       // big staging regardless of providerClass — hold its kill switch

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-
 /** Laws for the round-18 additions: the production-geometry (2^21
   * buckets) classifier variant is re-derived by an in-memory brute
   * force on sf0.001 — independent of both the Spark plan and the DuckDB
@@ -73,19 +70,23 @@ class R18OpsSpec extends SparkTestBase {
 
   test("quality_classifier_2m's weight table rides a broadcast hash join") {
     val df = ops.TextOps.queries("q_quality_classifier_2m")(spark, sf0001)
-    // materialize so an AQE plan reports its FINAL join choice
-    df.write.format("noop").mode("overwrite").save()
-    def collectPhysical(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      Seq(p) ++ p.children.flatMap(collectPhysical) ++ (p match {
-        case a: AdaptiveSparkPlanExec => collectPhysical(a.executedPlan)
-        case _ => Nil
-      })
-    val nodes = collectPhysical(
-      df.queryExecution.executedPlan)
-    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty,
+    // collect() executes THIS Dataset's own queryExecution, so the
+    // AdaptiveSparkPlanExec below reports the join it actually RAN; a
+    // write would spawn a separate QueryExecution and leave this one
+    // holding only the initial (pre-runtime) plan (r18 review). The
+    // assertion reads the rendered plan because the final AQE tree
+    // wraps executed subtrees in leaf QueryStageExec nodes a children
+    // traversal does not descend into — the join sits inside a stage.
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    assert(plan.contains("BroadcastHashJoin"),
       "expected the 2M-bucket weight table on a BroadcastHashJoin; got:\n" +
-        df.queryExecution.executedPlan.toString.take(2000))
+        plan.take(4000))
+    // the weight join is the query's ONLY join — it must never shuffle
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("ShuffledHashJoin"),
+      "the weight join must not shuffle the feature explode:\n" +
+        plan.take(4000))
   }
 }
