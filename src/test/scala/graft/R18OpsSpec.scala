@@ -23,13 +23,14 @@ class R18OpsSpec extends SparkTestBase {
       .select($"doc_id".as[Long], $"text".as[String]).collect()
     val expect = docs.map { case (id, text) =>
       val tok = text.toLowerCase.split(" ", -1)
-      val feats = tok.toSeq ++
-        (if (tok.length >= 2) tok.sliding(2).map(_.mkString(" ")).toSeq
+      // Same fastText word-hash combination as the 64-bucket law
+      val hs = tok.toSeq.map(t =>
+        java.lang.Long.parseLong(md5hex(t).take(8), 16))
+      val buckets = hs.map(_ % nb) ++
+        (if (hs.length >= 2)
+           hs.sliding(2).map(p => (p(0) * 116049371L + p(1)) % nb).toSeq
          else Nil)
-      val ws = feats.map { f =>
-        val b = java.lang.Long.parseLong(md5hex(f).take(8), 16) % nb
-        500000L + (b * 2654435761L) % 1000001L
-      }
+      val ws = buckets.map(b => 500000L + (b * 2654435761L) % 1000001L)
       val score = ws.sum / ws.size // non-negative: truncate == floor
       (id, ws.size.toLong, score,
        if (score >= 1000000L) "keep" else "drop")
