@@ -123,6 +123,31 @@ object PipelineOps {
              r6(max(col("rate")).cast("double") / 1000).as("target_rate"))
         .orderBy("source")),
 
+    // Weighted (importance) sampling — select each document independently
+    // with probability proportional to its weight (n_chars: the
+    // length-proportional inclusion a token-budget subsample wants),
+    // targeting k = 100 expected picks. Deterministic PPS Bernoulli:
+    // per-doc micro-probability pm = w·k·10⁶ DIV total (integer, exact),
+    // selected iff md5-uniform(doc) mod 10⁶ < pm — no RNG state, exactly
+    // reproducible across engines/runs, and rebalances as docs change.
+    // Scale posture: pm's arithmetic is per-doc int64 (w·k·10⁶ never
+    // grows with the corpus; the corpus-sized total rides a certified
+    // 1-row broadcast), selection is a map-side filter — one scan, zero
+    // corpus-sized shuffles. Docs heavier than total/k get pm >= 10⁶,
+    // i.e. always selected — the natural PPS clamp.
+    "q_sample_weighted" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tot = docs.agg(sum(col("n_chars")).as("total"))
+      docs.crossJoin(broadcast(tot))
+        .withColumn("pm", expr("n_chars * 100000000 DIV total"))
+        .withColumn("u", pmod(md5hash32(
+          concat(lit("ws:"), col("doc_id").cast("string"))),
+          lit(1000000L)))
+        .filter(col("u") < col("pm"))
+        .select(col("doc_id"), col("n_chars"), col("pm"), col("u"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-based mixture reweighting — the multilingual-corpus
     // mixing step (alpha-sampling): a source's sampling weight is
     // proportional to n^(1/T) rather than n, boosting low-resource
@@ -345,6 +370,18 @@ object PipelineOps {
              round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
                    / len(grams), 6) AS rep_frac
       FROM g
+      ORDER BY doc_id""",
+
+    "q_sample_weighted" -> """
+      WITH tot AS (SELECT sum(n_chars) AS total FROM documents)
+      SELECT doc_id, n_chars,
+             n_chars * 100000000 // total AS pm,
+             CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1000000 AS u
+      FROM documents, tot
+      WHERE CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 1000000
+            < n_chars * 100000000 // total
       ORDER BY doc_id""",
 
     "q_split_assign" -> """

@@ -581,6 +581,34 @@ object SimOps {
       kmeansCells(s, d).groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"), dsum(col("dist")).as("inertia"))
         .orderBy("cid")),
+
+    // Embedding-space outlier report — the embedding-side quality gate of
+    // a curation pipeline (vectors far from the corpus centroid are
+    // OOD/noise candidates): per-dimension exact-decimal centroid, then
+    // top-20 vectors by squared L2 distance to it. Engine-exact like
+    // k-means: the centroid is the davg spelling per dimension, the
+    // distance is the codegen sq_l2 fold (same element-order double
+    // accumulation as the oracle's list_sum), r6-clamped with a vec_id
+    // tiebreak. Scale: the centroid is one (pos)-keyed map-side-combined
+    // aggregate (dim·tasks partial rows) collapsed to a SINGLE broadcast
+    // row; the distance pass is a linear scan against it; top-20 via
+    // TakeOrdered — zero corpus-sized shuffles.
+    "q_embed_outliers" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(davg(col("x")).as("cx"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)")
+          .as("c"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"),
+          r6(graft.functions.VectorFunctions.sq_l2(col("v"), col("c")))
+            .as("dist2"))
+        .orderBy(desc("dist2"), asc("vec_id"))
+        .limit(20)
+    }),
   )
 
   /** The converged (3-iteration) k-means assignment frame
@@ -792,6 +820,27 @@ object SimOps {
       SELECT cid, count(*) AS n_vecs,
              CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS inertia
       FROM a3 GROUP BY cid ORDER BY cid""",
+
+    "q_embed_outliers" -> """
+      WITH v AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE))
+                          AS v
+                 FROM embeddings),
+      e AS (SELECT unnest(v) AS x,
+                   unnest(range(1, len(v) + 1)) AS pos
+            FROM v),
+      cd AS (SELECT pos,
+                    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(x) AS cx
+             FROM e GROUP BY pos),
+      carr AS (SELECT list(cx ORDER BY pos) AS c FROM cd)
+      SELECT t.vec_id AS vec_id, t.label AS label,
+             round(list_sum(list_transform(range(1, len(t.v) + 1),
+                     i -> (t.v[i] - q.c[i]) * (t.v[i] - q.c[i]))), 6)
+               AS dist2
+      FROM v t, carr q
+      ORDER BY dist2 DESC, vec_id ASC
+      LIMIT 20""",
 
     "q_sim_search" -> s"""
       WITH $vectorsSql

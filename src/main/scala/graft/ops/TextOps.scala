@@ -171,6 +171,43 @@ object TextOps {
         .orderBy(desc("freq"), asc("token"))
         .limit(20)),
 
+    // Vocabulary coverage curve — the tokenizer-design question "how many
+    // top-frequency types cover p% of the token stream?" answered for
+    // p ∈ {50, 90, 99}. Scale shape: one token-keyed count (map-side
+    // combinable — the only corpus-sized exchange), then rank/cumsum
+    // windows over the VOCABULARY (Zipf-bounded, orders of magnitude
+    // smaller than the corpus; the single-partition window is over types,
+    // never tokens), a 1-row total broadcast, and a 3-row threshold frame.
+    // Integer-exact: the crossing test is cum·100 >= p·total (no ratio).
+    "q_text_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      // explicit ROWS frame (the (c, token) order key is unique, so RANGE
+      // would be value-identical — but ROWS is what the oracle spells)
+      val w = Window.orderBy(desc("c"), asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.orderBy(desc("c"), asc("token"))
+      val ranked = counts
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .withColumn("cum", sum(col("c")).over(w))
+      val total = counts.agg(sum(col("c")).as("total"))
+      // LocalRelation (maxRows = 3): the threshold probe's nested-loop
+      // build side stays structurally bounded for PlanShapeSpec.
+      val thresholds = {
+        import s.implicits._
+        Seq(50L, 90L, 99L).toDF("p_pct")
+      }
+      ranked.crossJoin(broadcast(total))
+        .join(broadcast(thresholds),
+          col("cum") * 100L >= col("p_pct") * col("total"))
+        .groupBy(col("p_pct"))
+        .agg(min(col("rnk")).as("types_needed"),
+             max(col("total")).as("total_tokens"))
+        .orderBy("p_pct")
+    }),
+
     // Unigram-LM surprisal scoring — the language-model quality signal of
     // a corpus pipeline, kept rational (score = mean over token instances
     // of N/freq, the inverse unigram probability) so it is bit-identical
@@ -477,6 +514,26 @@ object TextOps {
       GROUP BY token
       ORDER BY freq DESC, token ASC
       LIMIT 20""",
+
+    "q_text_coverage" -> """
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+      counts AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+      ranked AS (SELECT c,
+                        row_number() OVER w AS rnk,
+                        sum(c) OVER w AS cum
+                 FROM counts
+                 WINDOW w AS (ORDER BY c DESC, token ASC
+                              ROWS UNBOUNDED PRECEDING)),
+      tot AS (SELECT sum(c) AS total FROM counts),
+      th AS (SELECT unnest([50, 90, 99]) AS p_pct)
+      SELECT CAST(p_pct AS BIGINT) AS p_pct,
+             CAST(min(rnk) AS BIGINT) AS types_needed,
+             CAST(max(total) AS BIGINT) AS total_tokens
+      FROM ranked, tot, th
+      WHERE cum * 100 >= p_pct * total
+      GROUP BY p_pct
+      ORDER BY p_pct""",
 
     "q_text_surprisal" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

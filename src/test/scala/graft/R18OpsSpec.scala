@@ -69,6 +69,74 @@ class R18OpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "degenerate fixture: no heavy hitters")
   }
 
+  test("sample_weighted matches a brute-force PPS Bernoulli selection") {
+    val docs = ops.table(spark, sf0001, "documents")
+      .select($"doc_id".as[Long], $"n_chars".as[Long]).collect().toSeq
+    val total = docs.map(_._2).sum
+    val expect = docs.flatMap { case (id, nc) =>
+      val pm = nc * 100000000L / total
+      val u = java.lang.Long.parseLong(md5hex(s"ws:$id").take(8), 16) %
+        1000000L
+      if (u < pm) Some((id, nc, pm, u)) else None
+    }.sortBy(_._1)
+    val got = ops.PipelineOps.queries("q_sample_weighted")(spark, sf0001)
+      .select($"doc_id".as[Long], $"n_chars".as[Long],
+              $"pm".as[Long], $"u".as[Long]).collect().toSeq
+    assert(got == expect)
+    // selection is live: neither empty nor the whole corpus
+    assert(got.nonEmpty && got.size < docs.size,
+      s"degenerate selection: ${got.size} of ${docs.size}")
+  }
+
+  test("text_coverage matches a brute-force cumulative Zipf walk") {
+    val docs = ops.table(spark, sf0001, "documents")
+      .select($"text".as[String]).collect()
+    val counts = docs.flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val cums = counts.scanLeft(0L)(_ + _._2).drop(1)
+    val expect = Seq(50L, 90L, 99L).map { p =>
+      val idx = cums.indexWhere(c => c * 100 >= p * total)
+      (p, idx + 1L, total)
+    }
+    val got = ops.TextOps.queries("q_text_coverage")(spark, sf0001)
+      .select($"p_pct".as[Long], $"types_needed".as[Long],
+              $"total_tokens".as[Long]).collect().toSeq
+    assert(got == expect)
+    // the curve is non-trivial on this corpus
+    assert(expect.map(_._2).distinct.size > 1,
+      s"degenerate coverage curve: $expect")
+  }
+
+  test("embed_outliers matches a brute-force centroid-distance top-20") {
+    val vecs = ops.table(spark, sf0001, "embeddings")
+      .select($"vec_id".as[Long], $"label".as[Int],
+              $"embedding".as[Seq[Float]]).collect().toSeq
+    val n = vecs.size
+    val dim = vecs.head._3.length
+    val cent = (0 until dim).map { i =>
+      // dsum/davg replication: per-value HALF_UP decimal(·,6) cast,
+      // exact decimal sum, decimal->double, double / count
+      vecs.map(v => BigDecimal(v._3(i).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+    }
+    val expect = vecs.map { case (id, label, v) =>
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { // sq_l2's element-order double fold
+        val d = v(i).toDouble - cent(i); acc += d * d; i += 1
+      }
+      (id, label,
+       BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+         .toDouble)
+    }.sortBy { case (id, _, d2) => (-d2, id) }.take(20)
+    val got = ops.SimOps.queries("q_embed_outliers")(spark, sf0001)
+      .select($"vec_id".as[Long], $"label".as[Int], $"dist2".as[Double])
+      .collect().toSeq
+    assert(got == expect)
+  }
+
   test("quality_classifier_2m's weight table rides a broadcast hash join") {
     val df = ops.TextOps.queries("q_quality_classifier_2m")(spark, sf0001)
     // collect() executes THIS Dataset's own queryExecution, so the
