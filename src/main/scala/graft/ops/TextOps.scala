@@ -189,17 +189,24 @@ object TextOps {
       val w = Window.orderBy(desc("c"), asc("token"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wr = Window.orderBy(desc("c"), asc("token"))
+      // total from an UNBOUNDED frame on the same window sort — a separate
+      // counts.agg(sum) branch would re-run the corpus-sized explode+count
+      // subtree (Catalyst has no cross-branch reuse); this way all three
+      // window functions share one Window node over the already-tiny
+      // vocabulary frame and the corpus is scanned exactly once.
+      val wt = Window.orderBy(desc("c"), asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val ranked = counts
         .withColumn("rnk", row_number().over(wr).cast("long"))
         .withColumn("cum", sum(col("c")).over(w))
-      val total = counts.agg(sum(col("c")).as("total"))
+        .withColumn("total", sum(col("c")).over(wt))
       // LocalRelation (maxRows = 3): the threshold probe's nested-loop
       // build side stays structurally bounded for PlanShapeSpec.
       val thresholds = {
         import s.implicits._
         Seq(50L, 90L, 99L).toDF("p_pct")
       }
-      ranked.crossJoin(broadcast(total))
+      ranked
         .join(broadcast(thresholds),
           col("cum") * 100L >= col("p_pct") * col("total"))
         .groupBy(col("p_pct"))
@@ -521,16 +528,18 @@ object TextOps {
       counts AS (SELECT token, count(*) AS c FROM t GROUP BY token),
       ranked AS (SELECT c,
                         row_number() OVER w AS rnk,
-                        sum(c) OVER w AS cum
+                        sum(c) OVER w AS cum,
+                        sum(c) OVER (ORDER BY c DESC, token ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS total
                  FROM counts
                  WINDOW w AS (ORDER BY c DESC, token ASC
                               ROWS UNBOUNDED PRECEDING)),
-      tot AS (SELECT sum(c) AS total FROM counts),
       th AS (SELECT unnest([50, 90, 99]) AS p_pct)
       SELECT CAST(p_pct AS BIGINT) AS p_pct,
              CAST(min(rnk) AS BIGINT) AS types_needed,
              CAST(max(total) AS BIGINT) AS total_tokens
-      FROM ranked, tot, th
+      FROM ranked, th
       WHERE cum * 100 >= p_pct * total
       GROUP BY p_pct
       ORDER BY p_pct""",
