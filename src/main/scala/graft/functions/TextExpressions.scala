@@ -169,10 +169,76 @@ case class FastTextBuckets(child: Expression, nBuckets: Long)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Static kernel shared by [[CmBuckets]]'s interpreted and codegen paths. */
+object CmBucketsHelper {
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Count-Min row buckets for one key string: the md5 digest's 4
+    * disjoint 32-bit big-endian slices (hex chars r·8+1..r·8+8, i.e.
+    * bytes 4r..4r+3), each mod `cells` — byte-for-byte the oracle's
+    * CAST(('0x' || substr(md5(k), r*8+1, 8)) AS BIGINT) % cells and the
+    * HOF spelling in graft.ops.cmBuckets. */
+  def compute(key: org.apache.spark.unsafe.types.UTF8String,
+              cells: Int): ArrayData = {
+    val d = mdLocal.get().digest(key.getBytes)
+    val out = new Array[Long](4)
+    var r = 0
+    while (r < 4) {
+      val h = ((d(4 * r) & 0xffL) << 24) | ((d(4 * r + 1) & 0xffL) << 16) |
+              ((d(4 * r + 2) & 0xffL) << 8) | (d(4 * r + 3) & 0xffL)
+      out(r) = h % cells
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Count-Min sketch row buckets of a key string — see
+  * [[CmBucketsHelper.compute]]. Exists for the same reason as
+  * [[FastTextBuckets]]: the HOF spelling (transform over 4 interpreted
+  * conv(substr(digest)) lambdas per row) dominates the sketch build's
+  * scan at corpus scale; this is one digest + 4 shifts inside
+  * whole-stage codegen. The HOF form stays in graft.ops as the
+  * reference both the DuckDB oracle and CmBucketsSpec mirror. */
+case class CmBuckets(child: Expression, cells: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cm_buckets expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    CmBucketsHelper.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], cells)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.CmBucketsHelper.compute($a, $cells);
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextFunctions {
   /** 16-bit majority-vote SimHash of an array of token hashes. */
   def simhash16(hashes: Column): Column =
     Shim.toColumn(Simhash16(Shim.toExpression(hashes)))
+
+  /** Count-Min row buckets (4 md5 slices mod cells) of a key string. */
+  def cmBucketsNative(key: Column, cells: Int): Column =
+    Shim.toColumn(CmBuckets(Shim.toExpression(key), cells))
 
   /** fastText uni+bigram hash buckets of a token array (mod nBuckets). */
   def fasttextBuckets(tokens: Column, nBuckets: Long): Column =

@@ -477,22 +477,20 @@ object AggOps {
         .select(col("l_partkey").cast("long").as("k"))
       // All 4 row-hashes come from ONE md5 digest per key — its 32 hex
       // chars split into 4 disjoint 8-char (32-bit) slices, each an
-      // independent uniform hash (cmDigest/cmBuckets, shared with the
-      // streaming sketch whose oracle is the batch==stream identity).
-      // One digest per row instead of four is the difference between
-      // the sketch build being hash-bound and scan-bound at corpus
-      // scale; the digest column is computed before the transform so
-      // the lambda only slices (no per-slice re-hash).
-      def buckets = posexplode(cmBuckets(col("hx")))
+      // independent uniform hash (the native cmBucketsFast expression,
+      // shared with the streaming sketch whose oracle is the
+      // batch==stream identity; the HOF cmBuckets spelling stays as the
+      // reference CmBucketsSpec compares). One digest per row inside
+      // whole-stage codegen is the difference between the sketch build
+      // being hash-bound and scan-bound at corpus scale.
+      def buckets = posexplode(cmBucketsFast(col("k")))
       val cells = keys
-        .withColumn("hx", cmDigest(col("k")))
         .select(buckets)
         .select(col("pos").as("r"), col("col").as("b"))
         .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
       val top = keys.groupBy(col("k")).agg(count(lit(1)).as("c_true"))
         .orderBy(col("c_true").desc, col("k")).limit(20)
-      top.withColumn("hx", cmDigest(col("k")))
-        .select(col("k"), col("c_true"), buckets)
+      top.select(col("k"), col("c_true"), buckets)
         .select(col("k"), col("c_true"), col("pos").as("r"),
                 col("col").as("b"))
         .join(cells, Seq("r", "b"))

@@ -160,17 +160,25 @@ object EventOps {
         .select(col("event_type"), col("value"))
       // Exact median of `vc` per event_type via count-histogram rank walk:
       // klo/khi are the 0-based middle ranks; med = (vlo + vhi) / 2.
+      // The per-type total n rides a PARTITION-TOTAL window on the same
+      // histogram frame (a separate df.groupBy(type).count() branch would
+      // re-run the corpus-sized histogram subtree — no cross-branch
+      // reuse), so each median pass costs exactly ONE corpus scan; both
+      // windows share the type-keyed exchange, and the running sum's ROWS
+      // frame is value-identical to RANGE because v is distinct within a
+      // partition by construction.
       def histMedian(df: org.apache.spark.sql.DataFrame, vc: String,
                      out: String): org.apache.spark.sql.DataFrame = {
         val cw = Window.partitionBy(col("event_type")).orderBy(col("v"))
-        val hist = df.groupBy(col("event_type"), col(vc).as("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tw = Window.partitionBy(col("event_type"))
+        df.groupBy(col("event_type"), col(vc).as("v"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("cum_end", sum(col("cnt")).over(cw))
           .withColumn("cum_start", col("cum_end") - col("cnt"))
-        val n = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .withColumn("n", sum(col("cnt")).over(tw))
           .withColumn("klo", expr("(n - 1) DIV 2"))
           .withColumn("khi", expr("n DIV 2"))
-        hist.join(broadcast(n), "event_type")
           .groupBy(col("event_type"))
           .agg(((max(when(col("cum_start") <= col("klo") &&
                           col("klo") < col("cum_end"), col("v"))) +
@@ -286,29 +294,30 @@ object EventOps {
              FROM ev GROUP BY 1, 2),
       c1 AS (SELECT event_type, v, cnt,
                     sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
-                      AS cum_end
+                      AS cum_end,
+                    sum(cnt) OVER (PARTITION BY event_type) AS n
              FROM h1),
-      n1 AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
       m1 AS (SELECT c1.event_type,
                     (max(CASE WHEN cum_end - cnt <= (n - 1) // 2
                                AND (n - 1) // 2 < cum_end THEN v END) +
                      max(CASE WHEN cum_end - cnt <= n // 2
                                AND n // 2 < cum_end THEN v END)) / 2 AS med
-             FROM c1 JOIN n1 USING (event_type) GROUP BY 1),
+             FROM c1 GROUP BY 1),
       dv AS (SELECT ev.event_type, abs(ev.value - m1.med) AS dev, m1.med
              FROM ev JOIN m1 USING (event_type)),
       h2 AS (SELECT event_type, dev AS v, count(*) AS cnt
              FROM dv GROUP BY 1, 2),
       c2 AS (SELECT event_type, v, cnt,
                     sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
-                      AS cum_end
+                      AS cum_end,
+                    sum(cnt) OVER (PARTITION BY event_type) AS n
              FROM h2),
       m2 AS (SELECT c2.event_type,
                     (max(CASE WHEN cum_end - cnt <= (n - 1) // 2
                                AND (n - 1) // 2 < cum_end THEN v END) +
                      max(CASE WHEN cum_end - cnt <= n // 2
                                AND n // 2 < cum_end THEN v END)) / 2 AS mad
-             FROM c2 JOIN n1 USING (event_type) GROUP BY 1)
+             FROM c2 GROUP BY 1)
       SELECT dv.event_type, count(*) AS n,
              round(max(dv.med), 6) AS med,
              round(max(m2.mad), 6) AS mad,

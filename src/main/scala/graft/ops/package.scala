@@ -127,4 +127,15 @@ package object ops {
       r => pmod(conv(digest.substr(r * 8 + 1, lit(8)), 16, 10)
                   .cast("long"),
                 lit(256)))
+
+  /** Native codegen spelling of cmBuckets(cmDigest(key)) — what the
+    * PRODUCTION sketch builds (batch q_agg_countmin, the streaming
+    * sketches) use: the HOF form above evaluates 4 interpreted
+    * conv(substr(digest)) lambdas per row, which dominates the sketch
+    * build's scan at corpus scale; the expression is one digest + 4
+    * shifts inside whole-stage codegen. The HOF form stays as the
+    * reference spelling (it IS the oracle's arithmetic) that
+    * CmBucketsSpec proves bucket-identical. */
+  def cmBucketsFast(key: Column): Column =
+    graft.functions.TextFunctions.cmBucketsNative(key.cast("string"), 256)
 }

@@ -639,8 +639,7 @@ object StreamOps {
     // whole fixture equals the batch sketch — the oracle is that identity.
     "q_stream_countmin" -> ((s, d) =>
       runStream(s, d, "complete") { src =>
-        src.withColumn("hx", cmDigest(col("user_id")))
-          .select(posexplode(cmBuckets(col("hx"))))
+        src.select(posexplode(cmBucketsFast(col("user_id"))))
           .groupBy(col("pos").as("r"), col("col").as("b"))
           .agg(count(lit(1)).as("c"))
       }.orderBy("r", "b")),
@@ -670,8 +669,7 @@ object StreamOps {
     // (q_agg_kmv_sketch) at 100 TB.
     "q_stream_topk" -> ((s, d) => {
       val sketch = runStream(s, d, "complete") { src =>
-        src.withColumn("hx", cmDigest(col("user_id")))
-          .select(posexplode(cmBuckets(col("hx"))))
+        src.select(posexplode(cmBucketsFast(col("user_id"))))
           .groupBy(col("pos").as("r"), col("col").as("b"))
           .agg(count(lit(1)).as("c"))
       }
@@ -688,7 +686,7 @@ object StreamOps {
       val tot = ev.agg(count(lit(1)).as("total"),
                        countDistinct(col("user_id")).as("users"))
       ev.select(col("user_id"),
-                cmBuckets(cmDigest(col("user_id"))).as("bk"))
+                cmBucketsFast(col("user_id")).as("bk"))
         .withColumn("est", est)
         .crossJoin(broadcast(tot))
         .filter(col("est").cast("decimal(38,0)") * col("users") * 10 >=
