@@ -103,8 +103,14 @@ object FastTextBucketsHelper {
     * unigram bucket = h % nb; bigram bucket =
     * (h_i * 116049371 + h_{i+1}) % nb — fastText's computeNgrams word-
     * hash combination (Joulin et al. 2016), max product < 2^59.
-    * One thread-local digest reused across tokens; null elements hash
-    * as the empty string (split() never produces them). */
+    * One thread-local digest reused across tokens.
+    * CONTRACT: token arrays must come from split()-style tokenization,
+    * which never yields null elements. A null element hashes as the
+    * empty string here, which DIVERGES from the oracle's per-element
+    * NULL propagation (md5(NULL) -> NULL feature dropped by sum) — a
+    * caller feeding a null-bearing array (collect_list of a nullable
+    * column, array literals) is outside the contract and would break
+    * the cross-engine hash match. */
   def compute(tokens: ArrayData, nb: Long): ArrayData = {
     val md = mdLocal.get()
     val n = tokens.numElements()
@@ -179,7 +185,11 @@ object CmBucketsHelper {
     * disjoint 32-bit big-endian slices (hex chars r·8+1..r·8+8, i.e.
     * bytes 4r..4r+3), each mod `cells` — byte-for-byte the oracle's
     * CAST(('0x' || substr(md5(k), r*8+1, 8)) AS BIGINT) % cells and the
-    * HOF spelling in graft.ops.cmBuckets. */
+    * HOF spelling in graft.ops.cmBuckets, FOR NON-NULL KEYS. On a NULL
+    * key the expression is null-strict (NULL array -> explode drops the
+    * row) while the HOF/oracle spelling null-propagates per element
+    * (four (r, NULL) rows) — pinned in CmBucketsSpec; every production
+    * call site keys on a non-null fixture column. */
   def compute(key: org.apache.spark.unsafe.types.UTF8String,
               cells: Int): ArrayData = {
     val d = mdLocal.get().digest(key.getBytes)

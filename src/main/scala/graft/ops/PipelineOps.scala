@@ -132,9 +132,12 @@ object PipelineOps {
     // reproducible across engines/runs, and rebalances as docs change.
     // Scale posture: pm's arithmetic is per-doc int64 (w·k·10⁶ never
     // grows with the corpus; the corpus-sized total rides a certified
-    // 1-row broadcast), selection is a map-side filter — one scan, zero
-    // corpus-sized shuffles. Docs heavier than total/k get pm >= 10⁶,
-    // i.e. always selected — the natural PPS clamp.
+    // 1-row broadcast), selection is a map-side filter. TWO linear
+    // scans — the total pass, then the filter pass — which is inherent
+    // to PPS (the inclusion probability needs the total before any row
+    // can be decided); zero corpus-sized shuffles. Docs heavier than
+    // total/k get pm >= 10⁶, i.e. always selected — the natural PPS
+    // clamp.
     "q_sample_weighted" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val tot = docs.agg(sum(col("n_chars")).as("total"))

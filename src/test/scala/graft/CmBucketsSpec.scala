@@ -24,21 +24,45 @@ class CmBucketsSpec extends SparkTestBase {
   }
 
   test("cm_buckets survives interpreted (non-codegen) evaluation") {
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    // wholeStage=false alone is NOT enough: ProjectExec still compiles
+    // expressions via GenerateUnsafeProjection (factoryMode FALLBACK
+    // tries codegen first), so doGenCode would run and nullSafeEval
+    // never would. NO_CODEGEN forces the interpreted projection — the
+    // actual Janino-failure fallback path the test exists to cover.
+    val prevW = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevF = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val df = Seq(42L).toDF("k")
       val fast = df.select(cmBucketsFast($"k")).as[Seq[Long]].head()
       val slow = df.select(cmBuckets(cmDigest($"k"))).as[Seq[Long]].head()
       assert(fast == slow && fast.size == 4)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevW)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+    }
   }
 
-  test("cm_buckets null key yields null, matching the HOF form") {
+  test("cm_buckets null key: the DOCUMENTED divergence from the HOF form") {
+    // Contract (CmBuckets scaladoc): the native expression is
+    // null-strict (NULL key -> NULL array -> explode drops the row),
+    // while the HOF spelling null-propagates PER ELEMENT
+    // ([null, null, null, null] -> four (r, b=NULL) rows). The paths —
+    // and the oracle — only agree on NON-NULL keys, which is why every
+    // production call site keys on a non-null fixture column
+    // (l_partkey, user_id). This test pins the divergence so it can
+    // never be mistaken for agreement.
     val df = Seq(Some(7L), None).toDF("k")
-    val got = df.select($"k", cmBucketsFast($"k").as("b")).collect()
+    val native = df.select($"k", cmBucketsFast($"k").as("b")).collect()
       .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
         r.isNullAt(1)).toMap
-    assert(got == Map(Some(7L) -> false, None -> true))
+    assert(native == Map(Some(7L) -> false, None -> true))
+    val hof = df.filter($"k".isNull)
+      .select(cmBuckets(cmDigest($"k")).as("b")).collect().head
+    assert(!hof.isNullAt(0) &&
+           hof.getSeq[Any](0) == Seq(null, null, null, null),
+      "HOF form null-propagates per element — if this changed, " +
+        "revisit the CmBuckets null contract")
   }
 }

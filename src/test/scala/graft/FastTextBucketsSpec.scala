@@ -47,14 +47,22 @@ class FastTextBucketsSpec extends SparkTestBase {
   }
 
   test("fasttext_buckets survives interpreted (non-codegen) evaluation") {
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    // NO_CODEGEN forces the interpreted projection (wholeStage=false
+    // alone still codegens via GenerateUnsafeProjection's FALLBACK
+    // mode), so nullSafeEval is actually exercised — see CmBucketsSpec.
+    val prevW = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevF = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val tok = Seq("key", "agg", "row")
       val got = Seq(Tuple1(tok)).toDF("tok")
         .select(fasttextBuckets($"tok", 64L)).as[Seq[Long]].head()
       assert(got == ref(tok, 64L))
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevW)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+    }
   }
 
   test("fasttext_buckets edge cases: single token, empty array, null") {
