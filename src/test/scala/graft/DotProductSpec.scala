@@ -40,23 +40,39 @@ class DotProductSpec extends SparkTestBase {
   }
 
   test("sq_l2 survives interpreted (non-codegen) evaluation") {
+    // NO_CODEGEN forces the interpreted projection (wholeStage=false
+    // alone still codegens via GenerateUnsafeProjection's FALLBACK
+    // mode), so nullSafeEval is actually exercised — see CmBucketsSpec.
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevF = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 6.0f))).toDF("a", "b")
       val got = df.select(sq_l2($"a", $"b")).as[Double].head()
       assert(got == 20.0)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+    }
   }
 
   test("dot_product survives interpreted (non-codegen) evaluation") {
+    // NO_CODEGEN forces the interpreted projection (wholeStage=false
+    // alone still codegens via GenerateUnsafeProjection's FALLBACK
+    // mode), so nullSafeEval is actually exercised — see CmBucketsSpec.
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevF = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
       val got = df.select(dot_product($"a", $"b")).as[Double].head()
       assert(got == 11.0)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+    }
   }
 
   test("dot_product is null-safe and length-tolerant") {

@@ -29,14 +29,22 @@ class Simhash16Spec extends SparkTestBase {
   }
 
   test("simhash16 survives interpreted (non-codegen) evaluation") {
+    // NO_CODEGEN forces the interpreted projection (wholeStage=false
+    // alone still codegens via GenerateUnsafeProjection's FALLBACK
+    // mode), so nullSafeEval is actually exercised — see CmBucketsSpec.
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevF = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       // two of three tokens have bit0 set → majority → bit0 in output;
       // bit1 set in only one → not in output
       val df = Seq(Tuple1(Array(1L, 1L, 2L))).toDF("hs")
       assert(df.select(simhash16($"hs")).as[Long].head() == 1L)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+    }
   }
 
   test("simhash16 edge cases: empty array, null array, exact tie") {
