@@ -175,6 +175,92 @@ case class FastTextBuckets(child: Expression, nBuckets: Long)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Static kernel shared by [[WindowHash60]]'s interpreted and codegen
+  * paths. */
+object WindowHash60Helper {
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array(' '.toByte)
+
+  /** 60-bit rolling K-token window hashes of a token array: entry i is
+    * md5hash60 of tokens i..i+K-1 joined by single spaces — byte-for-
+    * byte the digest of concat_ws(" ", slice(tok, i+1, K)), whose first
+    * 15 hex chars equal the first 8 digest bytes read big-endian >>> 4
+    * (drop the 16th nibble). Token bytes are extracted once per row and
+    * streamed into one reused digest per window; empty output for
+    * n < K. Null elements are outside the contract (split() never
+    * yields them) and hash as empty strings. */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val md = mdLocal.get()
+    val n = tokens.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util
+      .GenericArrayData(Array.emptyLongArray)
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      tb(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(Space)
+        md.update(tb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val b64 =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(i) = b64 >>> 4
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Rolling K-token 60-bit window hashes — q_dedup_substring's window
+  * explode input. Exists for the same reason as [[FastTextBuckets]]:
+  * the transform(sequence(...), i -> md5hash60(concat_ws(...)))
+  * spelling runs md5 + the window-string concat on the interpreted
+  * lambda path per position; this kernel extracts token bytes once per
+  * document and streams them into one reused digest inside whole-stage
+  * codegen, materializing no window strings. Hash-identical to
+  * graft.ops.md5hash60 over the joined window (WindowHash60Spec). */
+case class WindowHash60(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"window_hash60 expects array<string>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WindowHash60Helper.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.WindowHash60Helper.compute($a, $k);
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Static kernel shared by [[CmBuckets]]'s interpreted and codegen paths. */
 object CmBucketsHelper {
   private val mdLocal =
@@ -249,6 +335,10 @@ object TextFunctions {
   /** Count-Min row buckets (4 md5 slices mod cells) of a key string. */
   def cmBucketsNative(key: Column, cells: Int): Column =
     Shim.toColumn(CmBuckets(Shim.toExpression(key), cells))
+
+  /** Rolling K-token 60-bit md5 window hashes of a token array. */
+  def windowHash60(tokens: Column, k: Int): Column =
+    Shim.toColumn(WindowHash60(Shim.toExpression(tokens), k))
 
   /** fastText uni+bigram hash buckets of a token array (mod nBuckets). */
   def fasttextBuckets(tokens: Column, nBuckets: Long): Column =

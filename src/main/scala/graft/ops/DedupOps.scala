@@ -1802,14 +1802,20 @@ object DedupOps {
     "q_dedup_substring" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val K = 8
+      // Window hashes via the native WindowHash60 kernel (token bytes
+      // extracted once per doc, one reused digest, no window-string
+      // materialization) — the transform(sequence, i -> md5hash60(
+      // concat_ws(slice))) spelling ran md5 AND the concat on the
+      // interpreted lambda path per position, the dominant cost of the
+      // whole query at 100×. Hash-identical (WindowHash60Spec) so the
+      // oracle below is untouched.
       val wins = table(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("tok", split(col("text"), " "))
         .filter(size(col("tok")) >= K)
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), size(col("tok")) - K),
-            i => md5hash60(concat_ws(" ",
-                   slice(col("tok"), i + 1, lit(K)))))))
+          posexplode(graft.functions.TextFunctions
+            .windowHash60(col("tok"), K)))
         .select(col("doc_id"), col("pos").cast("long").as("start"),
                 col("col").as("h"))
       // Occurrence count >= 2 marks a window duplicated anywhere in the
