@@ -25,31 +25,33 @@ object DedupOps {
   private val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
   private val B = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
 
-  /** doc_id → distinct 3-token shingles (docs with ≥3 tokens).
-    * The repartition spreads the explode+md5 work: the test corpus is one
-    * single-row-group parquet file (an unsplittable 1-task scan), and
-    * everything before the first shuffle would otherwise run on one core.
-    * Exchanging the 5000 raw docs costs ~nothing; hashing ~1.2M shingles
-    * single-threaded is what showed in the bench. At real scale the scan
-    * is already multi-partition and this is one cheap extra exchange. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(s, table(s, d, "documents"))
+  /** doc_id → 60-bit hashes of the doc's 3-token shingles (docs with
+    * ≥3 tokens), duplicates included — every consumer distincts on
+    * (doc_id, h) anyway, which is row-identical to the former
+    * per-doc array_distinct-on-strings + post-hash distinct (same
+    * collision budget: hash collisions were already accepted
+    * corpus-wide). The repartition spreads the explode+digest work:
+    * the test corpus is one single-row-group parquet file (an
+    * unsplittable 1-task scan), and everything before the first
+    * shuffle would otherwise run on one core; at real scale the scan
+    * is already multi-partition and this is one cheap extra exchange.
+    * Hashing rides the native WindowHash60 kernel (K=3) — the former
+    * transform(sequence, i -> concat_ws(element_at×3)) spelling built
+    * every shingle STRING on the interpreted lambda path before the
+    * codegen md5 could even see it. Hash-identical to
+    * md5hash60(concat_ws(" ", w1, w2, w3)) per WindowHash60Spec, so
+    * every oracle is untouched. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashesOf(s, table(s, d, "documents"))
 
-  /** 3-shingle explode over any (doc_id, text) frame. The repartition
-    * spreads the (often single-file) document scan across cores before
-    * the explode — at real scale the scan arrives multi-partition and
-    * the exchange moves a few MB of text. */
-  private def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame =
+  private def shingleHashesOf(s: SparkSession,
+                              docs: DataFrame): DataFrame =
     docs
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("tok", split(col("text"), " "))
       .filter(size(col("tok")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("tok")) - 2),
-          i => concat_ws(" ", element_at(col("tok"), i),
-                              element_at(col("tok"), i + 1),
-                              element_at(col("tok"), i + 2)))))
-        .as("shingle"))
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .windowHash60(col("tok"), 3)).as("h"))
 
   /** Exact n-gram Jaccard pairs (J >= 0.3) over hashed 3-shingles — feeds
     * both q_dedup_ngram and the cluster query. persist: the hashed-shingle
@@ -221,8 +223,7 @@ object DedupOps {
     * inside the error budget). */
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     memo(s, d, "jaccard_sh") {
-      shingles(s, d)
-        .select(col("doc_id"), md5hash60(col("shingle")).as("h"))
+      shingleHashes(s, d)
         .distinct()
         .persist()
     }
@@ -382,9 +383,8 @@ object DedupOps {
     memo(s, d, "rep_sh") {
       val reps = rawDoc2Rep(s, d)
         .filter(col("doc_id") === col("rep")).select("doc_id")
-      shinglesOf(s,
+      shingleHashesOf(s,
           table(s, d, "documents").join(reps, Seq("doc_id"), "semi"))
-        .select(col("doc_id"), md5hash60(col("shingle")).as("h"))
         .distinct()
         .persist()
     }
