@@ -524,7 +524,7 @@ object DedupOps {
     * identical text group) + the normalized-content key `nk` riding
     * along for the exact-dup signal. The contraction key is the raw
     * bytes, NOT trim(lower(...)): shingles are computed on the raw text
-    * (shingles(), :38), so only byte-equality guarantees equal
+    * (shingleHashesOf), so only byte-equality guarantees equal
     * signatures. Contracting on the normalized key would force case/
     * whitespace-variant docs — whose signatures genuinely differ —
     * into one signature class, silently merging clusters the

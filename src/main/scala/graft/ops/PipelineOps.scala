@@ -378,7 +378,7 @@ object PipelineOps {
     "q_sample_weighted" -> """
       WITH tot AS (SELECT sum(n_chars) AS total FROM documents)
       SELECT doc_id, n_chars,
-             n_chars * 100000000 // total AS pm,
+             CAST(n_chars * 100000000 // total AS BIGINT) AS pm,
              CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
                                   1, 8)) AS BIGINT) % 1000000 AS u
       FROM documents, tot

@@ -78,4 +78,23 @@ class FastTextBucketsSpec extends SparkTestBase {
     assert(got(2L) == Some(Seq.empty[Long]))
     assert(got(3L) == None)
   }
+
+  test("null ELEMENT hashes as empty string: the DOCUMENTED divergence") {
+    // Contract (FastTextBucketsHelper scaladoc): token arrays must come
+    // from split()-style tokenization, which never yields null elements.
+    // A null element hashes as the empty string, which DIVERGES from the
+    // oracle's per-element NULL propagation (md5(NULL) -> NULL feature
+    // dropped). This test pins the divergence — mirroring CmBucketsSpec's
+    // null-key test — so a future caller feeding collect_list of a
+    // nullable column can't mistake the behaviors for agreeing.
+    val tok: Seq[Option[String]] = Seq(Some("a"), None, Some("b"))
+    val got = Seq((1L, tok)).toDF("id", "tok")
+      .select(fasttextBuckets($"tok", 64L)).as[Seq[Long]].head()
+    assert(got == ref(Seq("a", "", "b"), 64L),
+      "null array elements must keep hashing as \"\" — if this changed, " +
+        "revisit the FastTextBuckets null-element contract")
+    assert(got != ref(Seq("a", "b"), 64L),
+      "a null element is NOT dropped (that would be the oracle's " +
+        "NULL-propagation shape, which this kernel does not implement)")
+  }
 }

@@ -77,4 +77,23 @@ class WindowHash60Spec extends SparkTestBase {
     assert(got(2L) == Some(ref(Seq("a", "b", "c"), 3)))
     assert(got(3L) == None)
   }
+
+  test("null ELEMENT hashes as empty string: the DOCUMENTED divergence") {
+    // Contract (WindowHash60 scaladoc / FastTextBucketsHelper): token
+    // arrays come from split()-style tokenization, which never yields
+    // null elements. A null element joins into the window as the empty
+    // string — DIVERGING from the oracle's concat_ws(NULL) semantics
+    // (concat_ws SKIPS nulls, shrinking the joined window). Pinned here,
+    // mirroring CmBucketsSpec's null-key test, so a caller feeding a
+    // null-bearing array can't mistake the behaviors for agreeing.
+    val tok: Seq[Option[String]] = Seq(Some("a"), None, Some("b"))
+    val got = Seq((1L, tok)).toDF("id", "tok")
+      .select(windowHash60($"tok", 3)).as[Seq[Long]].head()
+    assert(got == ref(Seq("a", "", "b"), 3),
+      "null array elements must keep hashing as \"\" — if this changed, " +
+        "revisit the WindowHash60 null-element contract")
+    assert(got != ref(Seq("a", "b"), 3) && got != ref(Seq("a b"), 3),
+      "a null element is NOT skipped (that would be concat_ws's " +
+        "NULL-skipping shape, which this kernel does not implement)")
+  }
 }

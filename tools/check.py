@@ -7,6 +7,7 @@ near-misses). Usage: check.py <sfDir> <verifyOutDir>"""
 import sys, os, json, math
 import decimal
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,6 +29,44 @@ def typeclass(v):
     if isinstance(v, float):
         return "float"
     return type(v).__name__
+
+def arrow_typeclass(t):
+    """Column-level type class from the Arrow schema. This is the gate the
+    r18 red row needed: DuckDB's fetchall() erases HUGEINT into Python int,
+    so a `sum(BIGINT) // x` oracle column (HUGEINT) compared equal to a
+    Spark BIGINT locally while the driver's type-sensitive hash said red.
+    Reading the DuckDB result THROUGH Arrow preserves HUGEINT as
+    decimal128(38,0), which this classifier keeps distinct from int.
+    Integer widths collapse (the driver canonicalizes values, not widths);
+    float widths likewise; decimal is its own class."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + arrow_typeclass(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+def typeclass_compat(a, b):
+    # An all-NULL column surfaces as Arrow null type on either side;
+    # nothing to distinguish, so it matches any class.
+    return a == b or a == "null" or b == "null"
 
 def cmp_cell(a, b):
     if a is None and b is None:
@@ -88,19 +127,34 @@ def main():
             results[name] = f"NO_ORACLE rows={len(spark_rows)}"
             continue
         try:
-            cur = con.execute(oracle[name])
-            duck_cols_raw = [d[0] for d in cur.description]
-            duck_all = cur.fetchall()
+            # Fetch via Arrow, NOT fetchall(): fetchall erases HUGEINT to
+            # int and DECIMAL scale info, hiding exactly the type-class
+            # mismatches the driver's hash gate catches (r18's
+            # q_sample_weighted red row shipped because of this).
+            duck_arrow = con.execute(oracle[name]).arrow()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
             continue
+        duck_cols_raw = duck_arrow.column_names
         duck_order = sorted(range(len(duck_cols_raw)),
                             key=lambda i: duck_cols_raw[i])
         duck_cols = [duck_cols_raw[i] for i in duck_order]
         if duck_cols != spark_cols:
             results[name] = f"COLS_MISMATCH spark={spark_cols} duck={duck_cols}"
             continue
-        duck_rows = [tuple(r[i] for i in duck_order) for r in duck_all]
+        type_bad = None
+        for c in spark_cols:
+            sc = arrow_typeclass(tbl.schema.field(c).type)
+            dc = arrow_typeclass(duck_arrow.schema.field(c).type)
+            if not typeclass_compat(sc, dc):
+                type_bad = (c, sc, dc)
+                break
+        if type_bad:
+            results[name] = (f"TYPE_MISMATCH col={type_bad[0]} "
+                             f"spark={type_bad[1]} duck={type_bad[2]}")
+            continue
+        duck_all = duck_arrow.to_pylist()
+        duck_rows = [tuple(r[c] for c in duck_cols) for r in duck_all]
         if len(duck_rows) != len(spark_rows):
             results[name] = (f"ROWCOUNT spark={len(spark_rows)} "
                              f"duck={len(duck_rows)}")
