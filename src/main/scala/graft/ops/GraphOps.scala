@@ -119,6 +119,57 @@ object GraphOps {
       } finally s.conf.set("spark.sql.adaptive.enabled", savedAqe)
     })
 
+  /** The ≥2-pruned part co-purchase edge set (a, b) — memoized +
+    * persisted like the pagerank base: the pruned edge set is tiny but
+    * feeds the degree agg, BOTH wedge sides, the closing-edge probe and
+    * the edge count — five consumers that would each re-run the
+    * lineitem self-join without it; released by [[clearMessageCache]]
+    * (Bench's between-pass hook).
+    * Edge build in TWO shuffles, not four: one groupBy(order) with a
+    * map-side-combining collect_set (subsuming the (order, part)
+    * distinct), then the i<j pairs generated IN-MEMORY per order (an
+    * order holds <= 7 parts, so the explode is bounded — never a
+    * hot-key self-join), then one groupBy(part, part) with map-side
+    * partial counts. The self-join spelling the oracle keeps costs
+    * two extra corpus-sized exchanges (distinct on a different key
+    * than the join, then the join's own) — measured 121 s vs this
+    * at the 100× sweep. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame =
+    baseCache.getOrElseUpdate((s, d, "copurchase_edges"),
+      graft.MemoLog.built("graph.copurchase_edges") {
+      table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .groupBy(col("ok")).agg(array_sort(collect_set(col("p")))
+          .as("pss"))
+        .select(explode(expr(
+          """flatten(transform(pss, (x, i) ->
+               transform(slice(pss, i + 2, size(pss)),
+                         y -> struct(x AS a, y AS b))))""")).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("a"), col("b"))
+        .persist()
+    })
+
+  /** Build + materialize the memoized graph bases more than one bench
+    * pass (or more than one consumer) reads — the
+    * [[graft.ops.DedupOps.prebuildShared]] pattern, added r19: Bench's
+    * releaseCaches() clears the graph bases between passes, so every
+    * warm q_graph_pagerank/q_graph_triangles row was paying its base
+    * rebuild (~1.4 s at sf0.1 — the per-pass ledger charge the r18
+    * verdict traced) on top of the query's own rounds/census. Building
+    * them in the shared_builds step makes the rows measure the QUERY
+    * against warm bases, with the build cost itemized in the artifact's
+    * shared_builds/memo ledger like the dedup and sim frames. */
+  def prebuildShared(s: org.apache.spark.sql.SparkSession,
+                     d: String): Unit = {
+    messageBase(s, d)
+    copurchaseEdges(s, d)
+    ()
+  }
+
   /** Drop the memoized message bases and release their storage. */
   def clearMessageCache(): Unit = {
     baseCache.values.foreach(df =>
@@ -164,36 +215,7 @@ object GraphOps {
     // >= 2-pruned affinity graph is ~10³ edges at fixture scales and
     // edge-bounded (not corpus-bounded) at 100 TB.
     "q_graph_triangles" -> ((s, d) => {
-      // memoized + persisted like the pagerank base: the pruned edge set
-      // is tiny but feeds the degree agg, BOTH wedge sides, the
-      // closing-edge probe and the edge count — five consumers that
-      // would each re-run the lineitem self-join without it; released by
-      // [[clearMessageCache]] (Bench's between-pass hook).
-      // Edge build in TWO shuffles, not four: one groupBy(order) with a
-      // map-side-combining collect_set (subsuming the (order, part)
-      // distinct), then the i<j pairs generated IN-MEMORY per order (an
-      // order holds <= 7 parts, so the explode is bounded — never a
-      // hot-key self-join), then one groupBy(part, part) with map-side
-      // partial counts. The self-join spelling the oracle keeps costs
-      // two extra corpus-sized exchanges (distinct on a different key
-      // than the join, then the join's own) — measured 121 s vs this
-      // at the 100× sweep.
-      val e = baseCache.getOrElseUpdate((s, d, "copurchase_edges"),
-        graft.MemoLog.built("graph.copurchase_edges") {
-        table(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .groupBy(col("ok")).agg(array_sort(collect_set(col("p")))
-            .as("pss"))
-          .select(explode(expr(
-            """flatten(transform(pss, (x, i) ->
-                 transform(slice(pss, i + 2, size(pss)),
-                           y -> struct(x AS a, y AS b))))""")).as("e"))
-          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-          .agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2)
-          .select(col("a"), col("b"))
-          .persist()
-      })
+      val e = copurchaseEdges(s, d)
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -206,27 +206,65 @@ object SimOps {
     pqRerank(s, d, short)
   }
 
-  /** The probed-cell candidate pool (vec_id, cid) the IVF+PQ search
-    * ranks — also counted by the recall audit and the nprobe
-    * sensitivity row. Memoized + persisted per probe width so the
-    * search, the audit's pool count and the sensitivity sweep share
-    * ONE frame per nprobe (the former spelling rebuilt it per
-    * consumer — ADVICE r15). */
-  private def ivfCandidates(s: SparkSession, d: String,
-                            nprobe: Int = pqNprobe): DataFrame =
-    simCache.getOrElseUpdate((s, d, s"ivf_cand_$nprobe"),
-      graft.MemoLog.built(s"sim.ivf_cand_$nprobe") {
+  /** Probe-width ceiling: the widest nprobe any consumer evaluates
+    * (the sensitivity sweep's {1, 2, 4}). The ranked candidate pool and
+    * its ADC scores are built ONCE at this width; every narrower probe
+    * derives by filtering crank — probe sets are nested by
+    * construction (top-np cells = the crank ≤ np rows). */
+  private val pqNprobeMax = 4
+
+  /** (vec_id, cid, crank): the ranked IVF candidate pool at the WIDEST
+    * probe — memoized + persisted once per (session, dir). Every probe
+    * width (the default search, the recall audit's pool count, all
+    * three sensitivity widths) derives from THIS frame by a crank
+    * filter instead of rebuilding a corpus-scale pool per width
+    * (VERDICT r18 #6: the per-width pool + ADC builds charged ~11.5 s
+    * of ledger to q_ann_sensitivity — more than the query's own
+    * body). The ≤ pqNprobeMax-row ranked probe rides a broadcast; the
+    * window that ranks it runs on those ≤ 8 centroid rows only. */
+  private def ivfCandRanked(s: SparkSession, d: String): DataFrame =
+    simCache.getOrElseUpdate((s, d, "ivf_cand_ranked"),
+      graft.MemoLog.built("sim.ivf_cand_ranked") {
       val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
         .select(transform(col("embedding"), x => x.cast("double"))
           .as("qv")).limit(1)
       val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
         .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
-        .orderBy(col("cdist"), col("cid")).limit(nprobe)
-        .select(col("cid"))
+        .orderBy(col("cdist"), col("cid")).limit(pqNprobeMax)
+        .withColumn("crank",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cdist"), col("cid"))))
+        .select(col("cid"), col("crank"))
       kmeansCells(s, d)
         .join(broadcast(probe), Seq("cid"))
         .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("cid"))
+        .select(col("vec_id"), col("cid"), col("crank"))
+        .persist()
+    })
+
+  /** The probed-cell candidate pool (vec_id, cid) at `nprobe` — a
+    * crank filter over [[ivfCandRanked]] (row-identical to the former
+    * per-width build: the probe ORDER BY (cdist, cid) is total, so the
+    * top-np cells are exactly the crank ≤ np rows). */
+  private def ivfCandidates(s: SparkSession, d: String,
+                            nprobe: Int = pqNprobe): DataFrame =
+    ivfCandRanked(s, d).filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+
+  /** (vec_id, cid, crank, adist): the ADC-scored widest candidate
+    * pool, memoized + persisted — ONE pass over the corpus-sized code
+    * frame serves every probe width (adist = Σ_m qd depends only on
+    * the vector's codes, never on the probe width, so a width's
+    * shortlist is a crank filter + top-k over this frame). */
+  private def adcScored(s: SparkSession, d: String): DataFrame =
+    simCache.getOrElseUpdate((s, d, "ivfpq_adc_scored"),
+      graft.MemoLog.built("sim.ivfpq_adc_scored") {
+      pqCodes(s, d)
+        .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
+        .join(ivfCandRanked(s, d), Seq("vec_id"))
+        .groupBy(col("vec_id"), col("cid"), col("crank"))
+        .agg(dsum(col("qd")).as("adist"))
         .persist()
     })
 
@@ -264,11 +302,8 @@ object SimOps {
 
   private def ivfpqSearchBuild(s: SparkSession, d: String,
                                nprobe: Int): DataFrame = {
-    val short = pqCodes(s, d)
-      .join(broadcast(pqQtab(s, d)), Seq("m", "cwid"))
-      .join(ivfCandidates(s, d, nprobe), Seq("vec_id"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(dsum(col("qd")).as("adist"))
+    val short = adcScored(s, d).filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("cid"), col("adist"))
       .orderBy(col("adist"), col("vec_id")).limit(pqIvfShortlist)
     pqRerank(s, d, short, Seq("cid"))
   }
@@ -647,15 +682,20 @@ object SimOps {
     * see there for the attribution rationale): the k-means cells
     * (q_cluster_kmeans, q_dedup_semantic, the IVF probes), the trained
     * PQ codebook + corpus codes (both PQ searches, the recall audit,
-    * the sensitivity sweep), the default-probe IVF candidate pool and
-    * IVF+PQ search frame (search + audit + sweep), and the brute-force
-    * top-10 ground truth (every recall audit). Per-nprobe sweep frames
-    * beyond the default stay with q_ann_sensitivity — the sweep IS that
-    * query's work. */
+    * the sensitivity sweep), the RANKED widest-probe IVF candidate
+    * pool and its ADC scores (one corpus-scale build each, from which
+    * every probe width — search, audit pool count, all three
+    * sensitivity widths — derives by a crank filter), the default
+    * IVF+PQ search frame, and the brute-force top-10 ground truth
+    * (every recall audit). After the r19 width-independent
+    * restructure, the only per-width work left with q_ann_sensitivity
+    * is a filter + 100-row shortlist + 10-row re-rank per probe
+    * width — bounded, not corpus-scale. */
   def prebuildShared(s: SparkSession, d: String): Unit = {
     kmeansCells(s, d)
     pqCodebook(s, d); pqCodes(s, d)
-    ivfCandidates(s, d); annExact10(s, d); ivfpqSearch(s, d)
+    ivfCandRanked(s, d); adcScored(s, d)
+    annExact10(s, d); ivfpqSearch(s, d)
     ()
   }
 

@@ -101,4 +101,90 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stepTimeout)
   }
+
+  // ---- Arbitrary per-key state machine: per-user SESSION FUNNEL ----
+  // (q_stream_funnel_state, r19 — the one Structured-Streaming surface
+  // still undeclared after r18: a custom per-key automaton with
+  // event-time TIMEOUT emission, not just a built-in windowed agg.)
+  //
+  // Within each 30-min-gap session, a 4-state automaton tracks ordered
+  // funnel progress view → click → purchase: an event advances the
+  // stage iff it is the NEXT step (a purchase before any view advances
+  // nothing). Processing order inside a batch is the total order
+  // (tsUs, eventId) — the same order the batch oracle's row_number
+  // takes — and the sequential automaton computes exactly the greedy
+  // earliest-match subsequence the oracle's three chained mins spell
+  // (standard subsequence-matching equivalence: each event advances at
+  // most one stage, and greedy matching is optimal for subsequence
+  // containment). Sessions close EITHER in-function (a same-user event
+  // arrives past the gap) OR by event-time timeout (the watermark
+  // passes end + gap) — the production emission path for idle users;
+  // state is removed on both paths, so live state is O(open sessions
+  // inside the watermark horizon).
+  final case class FunnelEvent(userId: Long, eventId: Long,
+                               eventType: String, tsUs: Long,
+                               eventTime: java.sql.Timestamp)
+  final case class OpenFunnel(start: Long, end: Long, n: Long, stage: Int)
+  final case class FunnelSession(user_id: Long, session_start: Long,
+                                 session_end: Long, n_events: Long,
+                                 stage: Int)
+
+  private def advance(stage: Int, eventType: String): Int =
+    if (stage == 0 && eventType == "view") 1
+    else if (stage == 1 && eventType == "click") 2
+    else if (stage == 2 && eventType == "purchase") 3
+    else stage
+
+  private def funnelStep(userId: Long, events: Iterator[FunnelEvent],
+                         state: GroupState[OpenFunnel])
+      : Iterator[FunnelSession] = {
+    if (state.hasTimedOut) {
+      // Watermark passed end + gap with no new events: nothing can ever
+      // extend or re-rank this session — emit and reclaim the state.
+      val s = state.get
+      state.remove()
+      Iterator.single(FunnelSession(userId, s.start, s.end, s.n, s.stage))
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      var open = state.getOption
+      val closed = Seq.newBuilder[FunnelSession]
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.tsUs - s.end <= gapUs =>
+            open = Some(OpenFunnel(s.start, e.tsUs max s.end, s.n + 1,
+                                   advance(s.stage, e.eventType)))
+          case Some(s) =>
+            closed += FunnelSession(userId, s.start, s.end, s.n, s.stage)
+            open = Some(OpenFunnel(e.tsUs, e.tsUs, 1,
+                                   advance(0, e.eventType)))
+          case None =>
+            open = Some(OpenFunnel(e.tsUs, e.tsUs, 1,
+                                   advance(0, e.eventType)))
+        }
+      }
+      open.foreach { o =>
+        state.update(o)
+        // ceil to ms (see stepTimeout): truncation would arm the timeout
+        // up to ~1 ms early and close a session a boundary event could
+        // still extend.
+        state.setTimeoutTimestamp((o.end + gapUs + 999) / 1000)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** Append-mode per-user session-funnel automaton with event-time
+    * timeout emission. `delay` is the watermark lateness bound on
+    * `eventTime`. */
+  def funnel(events: Dataset[FunnelEvent],
+             delay: String = "1 hour"): Dataset[FunnelSession] = {
+    implicit val fs = Encoders.product[FunnelSession]
+    implicit val of = Encoders.product[OpenFunnel]
+    implicit val le = Encoders.scalaLong
+    events
+      .withWatermark("eventTime", delay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(funnelStep)
+  }
 }

@@ -852,6 +852,39 @@ object StreamOps {
                 col("n"), col("total"))
         .orderBy("bucket")),
 
+    // ARBITRARY per-key stateful streaming (r19): a custom 4-state
+    // session-funnel automaton per user via flatMapGroupsWithState with
+    // EVENT-TIME TIMEOUT emission — the Structured-Streaming surface the
+    // built-in windowed aggregations cannot express (per-event state
+    // transitions + programmatic timeout-driven output). Sessions close
+    // in-function when a same-user event arrives past the 30-min gap;
+    // the LAST open session per user closes by state timeout when the
+    // sentinel-advanced watermark passes end + gap — so this query
+    // exercises BOTH emission paths against one oracle. Oracle = batch
+    // replay identity: the q_sessionize lag/running-sum CTE plus the
+    // ordered-funnel greedy-min chain (see Sessionize.funnelStep for the
+    // automaton↔greedy equivalence argument). State is O(open sessions
+    // in the watermark horizon) — one small fixed-width row per user
+    // with ACTIVE state, removed on every emission path (telemetry in
+    // the bench artifact); the per-user key space shards across any
+    // executor count at 100 TB.
+    "q_stream_funnel_state" -> ((s, d) =>
+      runStreamN(s, d, "append", copies = 1, tableName = "events",
+                 schema = None, nSources = 1,
+                 // 2100-01-01 in ns — later than any fixture event
+                 sentinelNs = Some(4102444800000000000L)) {
+        case Seq(src) =>
+          import s.implicits._
+          Sessionize.funnel(
+            src.select(col("user_id").as("userId"),
+                       col("event_id").as("eventId"),
+                       col("event_type").as("eventType"),
+                       unix_micros(col("ts")).as("tsUs"),
+                       col("ts").as("eventTime"))
+              .as[Sessionize.FunnelEvent]).toDF()
+      }.filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")),
+
     // Sessionization (30-min inactivity gap), batch-expressible form: the
     // lag → new-session flag → running session id pattern. The stateful
     // streaming twin (flatMapGroupsWithState) lives in Sessionize and is
@@ -1024,6 +1057,54 @@ object StreamOps {
       FROM b
       GROUP BY bucket
       ORDER BY bucket""",
+
+    // Batch replay identity for the stateful funnel automaton: sessions
+    // via the q_sessionize CTE chain (same gap, same (tsu, event_id)
+    // total order), then the ordered funnel as a greedy chained-min
+    // subsequence match over the per-session row_number — vk = first
+    // view, ck = first click after vk, pk = first purchase after ck;
+    // stage = how deep the chain got. Append-mode emission (in-function
+    // close + state-timeout close) must not change the answer, only
+    // when it appears.
+    "q_stream_funnel_state" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) AS tsu FROM events),
+      l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+                                     ORDER BY tsu, event_id) AS prev
+            FROM e),
+      f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sid AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+              FROM f),
+      o AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY tsu, event_id) AS rn
+            FROM sid),
+      s1 AS (SELECT user_id, session_id,
+                    min(tsu) AS session_start, max(tsu) AS session_end,
+                    count(*) AS n_events,
+                    min(CASE WHEN event_type = 'view' THEN rn END) AS vk
+             FROM o GROUP BY user_id, session_id),
+      s2 AS (SELECT o.user_id, o.session_id,
+                    min(CASE WHEN o.event_type = 'click'
+                             AND o.rn > s1.vk THEN o.rn END) AS ck
+             FROM o JOIN s1 USING (user_id, session_id)
+             GROUP BY o.user_id, o.session_id),
+      s3 AS (SELECT o.user_id, o.session_id,
+                    min(CASE WHEN o.event_type = 'purchase'
+                             AND o.rn > s2.ck THEN o.rn END) AS pk
+             FROM o JOIN s2 USING (user_id, session_id)
+             GROUP BY o.user_id, o.session_id)
+      SELECT s1.user_id, s1.session_start, s1.session_end,
+             CAST(s1.n_events AS BIGINT) AS n_events,
+             CAST((vk IS NOT NULL)::INT + (ck IS NOT NULL)::INT
+                  + (pk IS NOT NULL)::INT AS INT) AS stage
+      FROM s1 JOIN s2 USING (user_id, session_id)
+              JOIN s3 USING (user_id, session_id)
+      ORDER BY user_id, session_start""",
 
     "q_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
