@@ -228,14 +228,26 @@ object SimOps {
       val q = table(s, d, "embeddings").filter(col("vec_id") === 0)
         .select(transform(col("embedding"), x => x.cast("double"))
           .as("qv")).limit(1)
-      val probe = q.crossJoin(broadcast(kmeansCents(s, d)))
+      // The ranked probe is ≤ pqNprobeMax rows by construction: collect
+      // it (a bounded driver control frame — the percentile-bracket /
+      // codebook idiom) and inline (cid, crank) literals, instead of a
+      // no-partition Window whose single-partition exec warns on every
+      // build. The orderBy+limit collect returns rows in sorted order,
+      // so crank is the probe rank by (cdist, cid).
+      val probeDf = q.crossJoin(broadcast(kmeansCents(s, d)))
         .select(col("cid"), sqd(col("qv"), col("c")).as("cdist"))
         .orderBy(col("cdist"), col("cid")).limit(pqNprobeMax)
-        .withColumn("crank",
-          org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("cdist"), col("cid"))))
-        .select(col("cid"), col("crank"))
+      val probeRows = probeDf.collect()
+      val probe = s.createDataFrame(
+        s.sparkContext.parallelize(
+          probeRows.toSeq.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row(r.get(0), i + 1)
+          }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            probeDf.schema("cid").dataType, nullable = false),
+          org.apache.spark.sql.types.StructField("crank",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
       kmeansCells(s, d)
         .join(broadcast(probe), Seq("cid"))
         .filter(col("vec_id") =!= 0)
