@@ -187,4 +187,99 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(funnelStep)
   }
+
+  /** The SAME automaton on the transformWithState API (Spark 4's
+    * arbitrary-state successor to flatMapGroupsWithState): typed
+    * ValueState for the open session, an explicit event-time TIMER per
+    * key for the timeout emission (re-armed on every extension, stale
+    * timers deleted — and handleExpiredTimer double-checks the expiry
+    * against the session it would close, so a stale timer that slipped
+    * through can never emit an open session early). Requires the
+    * RocksDB state-store provider (virtual column families back the
+    * state + timer keyspaces). One oracle covers both APIs:
+    * q_stream_funnel_tws must equal q_stream_funnel_state must equal
+    * the batch greedy chained-min replay. */
+  final class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, FunnelSession] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[OpenFunnel] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      open = getHandle.getValueState[OpenFunnel]("open",
+        Encoders.product[OpenFunnel],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def timerFor(o: OpenFunnel): Long = (o.end + gapUs + 999) / 1000
+
+    override def handleInputRows(userId: Long,
+        events: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelSession] = {
+      val sorted = events.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      var cur = if (open.exists()) Some(open.get()) else None
+      val closed = Seq.newBuilder[FunnelSession]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsUs - s.end <= gapUs =>
+            cur = Some(OpenFunnel(s.start, e.tsUs max s.end, s.n + 1,
+                                  advance(s.stage, e.eventType)))
+          case Some(s) =>
+            closed += FunnelSession(userId, s.start, s.end, s.n, s.stage)
+            cur = Some(OpenFunnel(e.tsUs, e.tsUs, 1,
+                                  advance(0, e.eventType)))
+          case None =>
+            cur = Some(OpenFunnel(e.tsUs, e.tsUs, 1,
+                                  advance(0, e.eventType)))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        // one live timer per key: the session's end moved, so the old
+        // timer is stale — delete anything not matching the new expiry
+        // (timers are (key, expiry) pairs; an undeleted stale one would
+        // fire at the OLD end + gap).
+        val want = timerFor(o)
+        getHandle.listTimers().foreach { t =>
+          val ts = t.asInstanceOf[Long]
+          if (ts != want) getHandle.deleteTimer(ts)
+        }
+        getHandle.registerTimer(want)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[FunnelSession] = {
+      if (open.exists()) {
+        val s = open.get()
+        // emit ONLY if this timer is the one armed for the current
+        // session — a stale expiry must not close a live session early
+        if (expiredTimerInfo.getExpiryTimeInMs == timerFor(s)) {
+          open.clear()
+          Iterator.single(FunnelSession(userId, s.start, s.end, s.n,
+                                        s.stage))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** [[funnel]] on transformWithState — same watermark, same automaton,
+    * same output; the state lives in typed ValueState and the timeout
+    * in an explicit per-key event-time timer. */
+  def funnelTws(events: Dataset[FunnelEvent],
+                delay: String = "1 hour"): Dataset[FunnelSession] = {
+    implicit val fs = Encoders.product[FunnelSession]
+    implicit val le = Encoders.scalaLong
+    events
+      .withWatermark("eventTime", delay)
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
 }

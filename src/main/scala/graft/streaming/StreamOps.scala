@@ -294,7 +294,15 @@ object StreamOps {
                          copies: Int, tableName: String,
                          schema: Option[StructType],
                          nSources: Int, sentinelNs: Option[Long],
-                         bigState: Boolean = false)
+                         bigState: Boolean = false,
+                         // transformWithState REQUIRES the RocksDB
+                         // provider (its state + timer keyspaces are
+                         // virtual column families the COW provider
+                         // cannot host) — forceRocks bypasses the
+                         // adaptive size gate AND the rocksdb kill
+                         // switch, because there is no COW fallback for
+                         // the operator at any scale.
+                         forceRocks: Boolean = false)
                         (transform: Seq[DataFrame] => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // events: read schema follows the fixture's physical ts type (footer
@@ -410,9 +418,9 @@ object StreamOps {
     // source ≈ 4 M events ≈ the point where COW snapshots reach GBs).
     val savedProvider =
       s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val useRocks = bigState &&
+    val useRocks = forceRocks || (bigState &&
       s.conf.getOption("spark.graft.stream.rocksdb").forall(_.toBoolean) &&
-      stagedBytes >= rocksMin
+      stagedBytes >= rocksMin)
     if (useRocks) Console.err.println("[stream-state] rocksdb engaged " +
       s"(staged source $stagedBytes ≥ $rocksMin bytes)")
     val savedChangelog = s.conf.getOption(
@@ -885,6 +893,30 @@ object StreamOps {
       }.filter(col("user_id") >= 0)
         .orderBy("user_id", "session_start")),
 
+    // The SAME automaton on transformWithState — Spark 4's
+    // arbitrary-state API (typed ValueState + explicit per-key
+    // event-time TIMERS instead of GroupState + setTimeoutTimestamp).
+    // Runs on the RocksDB provider by requirement (state and timers are
+    // virtual column families). One oracle pins all three spellings to
+    // each other: this result ≡ q_stream_funnel_state ≡ the batch
+    // greedy chained-min replay.
+    "q_stream_funnel_tws" -> ((s, d) =>
+      runStreamN(s, d, "append", copies = 1, tableName = "events",
+                 schema = None, nSources = 1,
+                 sentinelNs = Some(4102444800000000000L),
+                 forceRocks = true) {
+        case Seq(src) =>
+          import s.implicits._
+          Sessionize.funnelTws(
+            src.select(col("user_id").as("userId"),
+                       col("event_id").as("eventId"),
+                       col("event_type").as("eventType"),
+                       unix_micros(col("ts")).as("tsUs"),
+                       col("ts").as("eventTime"))
+              .as[Sessionize.FunnelEvent]).toDF()
+      }.filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")),
+
     // Sessionization (30-min inactivity gap), batch-expressible form: the
     // lag → new-session flag → running session id pattern. The stateful
     // streaming twin (flatMapGroupsWithState) lives in Sessionize and is
@@ -907,6 +939,50 @@ object StreamOps {
         .orderBy("user_id", "session_id")
     }),
   )
+
+  /** One oracle for both funnel-automaton spellings
+    * (flatMapGroupsWithState and transformWithState): the batch
+    * replay identity — q_sessionize's session assignment plus the
+    * greedy chained-min ordered-funnel match. */
+  private val funnelOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(ts) AS tsu FROM events),
+      l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+                                     ORDER BY tsu, event_id) AS prev
+            FROM e),
+      f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+            FROM l),
+      sid AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+              FROM f),
+      o AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY tsu, event_id) AS rn
+            FROM sid),
+      s1 AS (SELECT user_id, session_id,
+                    min(tsu) AS session_start, max(tsu) AS session_end,
+                    count(*) AS n_events,
+                    min(CASE WHEN event_type = 'view' THEN rn END) AS vk
+             FROM o GROUP BY user_id, session_id),
+      s2 AS (SELECT o.user_id, o.session_id,
+                    min(CASE WHEN o.event_type = 'click'
+                             AND o.rn > s1.vk THEN o.rn END) AS ck
+             FROM o JOIN s1 USING (user_id, session_id)
+             GROUP BY o.user_id, o.session_id),
+      s3 AS (SELECT o.user_id, o.session_id,
+                    min(CASE WHEN o.event_type = 'purchase'
+                             AND o.rn > s2.ck THEN o.rn END) AS pk
+             FROM o JOIN s2 USING (user_id, session_id)
+             GROUP BY o.user_id, o.session_id)
+      SELECT s1.user_id, s1.session_start, s1.session_end,
+             CAST(s1.n_events AS BIGINT) AS n_events,
+             CAST((vk IS NOT NULL)::INT + (ck IS NOT NULL)::INT
+                  + (pk IS NOT NULL)::INT AS INT) AS stage
+      FROM s1 JOIN s2 USING (user_id, session_id)
+              JOIN s3 USING (user_id, session_id)
+      ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
     // Same oracle as the batch tumbling window — that is the point.
@@ -1066,45 +1142,11 @@ object StreamOps {
     // stage = how deep the chain got. Append-mode emission (in-function
     // close + state-timeout close) must not change the answer, only
     // when it appears.
-    "q_stream_funnel_state" -> """
-      WITH e AS (SELECT user_id, event_id, event_type,
-                        epoch_us(ts) AS tsu FROM events),
-      l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
-                                     ORDER BY tsu, event_id) AS prev
-            FROM e),
-      f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
-                           THEN 1 ELSE 0 END AS is_new
-            FROM l),
-      sid AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                ORDER BY tsu, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS session_id
-              FROM f),
-      o AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
-                                         ORDER BY tsu, event_id) AS rn
-            FROM sid),
-      s1 AS (SELECT user_id, session_id,
-                    min(tsu) AS session_start, max(tsu) AS session_end,
-                    count(*) AS n_events,
-                    min(CASE WHEN event_type = 'view' THEN rn END) AS vk
-             FROM o GROUP BY user_id, session_id),
-      s2 AS (SELECT o.user_id, o.session_id,
-                    min(CASE WHEN o.event_type = 'click'
-                             AND o.rn > s1.vk THEN o.rn END) AS ck
-             FROM o JOIN s1 USING (user_id, session_id)
-             GROUP BY o.user_id, o.session_id),
-      s3 AS (SELECT o.user_id, o.session_id,
-                    min(CASE WHEN o.event_type = 'purchase'
-                             AND o.rn > s2.ck THEN o.rn END) AS pk
-             FROM o JOIN s2 USING (user_id, session_id)
-             GROUP BY o.user_id, o.session_id)
-      SELECT s1.user_id, s1.session_start, s1.session_end,
-             CAST(s1.n_events AS BIGINT) AS n_events,
-             CAST((vk IS NOT NULL)::INT + (ck IS NOT NULL)::INT
-                  + (pk IS NOT NULL)::INT AS INT) AS stage
-      FROM s1 JOIN s2 USING (user_id, session_id)
-              JOIN s3 USING (user_id, session_id)
-      ORDER BY user_id, session_start""",
+    // the transformWithState twin answers to the SAME oracle — the API
+    // is an execution detail, the automaton's contract is one
+    "q_stream_funnel_tws" -> funnelOracleSql,
+
+    "q_stream_funnel_state" -> funnelOracleSql,
 
     "q_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

@@ -127,4 +127,16 @@ class FunnelStateSpec extends SparkTestBase {
       s"stream (${got.size} rows) != batch (${want.size} rows)")
     assert(got.nonEmpty)
   }
+
+  test("transformWithState twin is row-identical to flatMapGroupsWithState") {
+    // Same automaton, two arbitrary-state APIs (GroupState + timeout vs
+    // typed ValueState + explicit event-time timers on RocksDB): the API
+    // is an execution detail, so the outputs must be bit-identical.
+    val fmg = StreamOps.queries("q_stream_funnel_state")(spark, sf0001)
+      .collect().toSeq
+    val tws = StreamOps.queries("q_stream_funnel_tws")(spark, sf0001)
+      .collect().toSeq
+    assert(tws == fmg, s"tws ${tws.size} rows vs fmg ${fmg.size} rows")
+    assert(tws.nonEmpty)
+  }
 }
