@@ -137,6 +137,17 @@ object GraphOps {
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
     baseCache.getOrElseUpdate((s, d, "copurchase_edges"),
+      // The per-order collect_set runs in ObjectHashAggregate, whose
+      // sort-based fallback triggers after 128 in-memory groups
+      // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+      // i.e. at the 100× sweep's 15 M orders this aggregation runs
+      // sort-based. MEASURED as the better shape, not an oversight:
+      // an in-JVM alternating A/B over the 100× fixture
+      // (tools/EdgeAggProbe) read 15.7 s warm for the default fallback
+      // vs 25–32 s with the threshold raised to 16 M — millions of
+      // tiny per-order array buffers in one object hash map are GC
+      // poison, while the sort-based path streams sorted runs. Keep
+      // Spark's default.
       graft.MemoLog.built("graph.copurchase_edges") {
       table(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
