@@ -151,6 +151,39 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Repeat-factor UPSAMPLING (epochs-per-source) — the data-mixing
+    // inverse of q_mix_weighted: a high-quality source is replayed for
+    // more than one epoch (the Llama/DoReMi-style mix where wikipedia
+    // sees ~3 epochs while crawl sees <1). Per-source epoch target in
+    // micro-units (0.75 / 1.5 / 2.25 / 3.0, derived from the source id
+    // so the oracle reproduces it): every doc emits floor(epochs)
+    // full copies plus one more iff its md5-uniform < the fractional
+    // part — deterministic fractional epochs, no RNG state, exactly
+    // reproducible across engines/runs/retries. Output is the
+    // materialized replay plan (doc_id, source, copy_id).
+    // Scale posture: ONE map-side projection + a bounded in-row
+    // explode (≤ ceil(max epochs) copies per doc) — zero shuffles at
+    // any corpus size; the epoch table itself is O(sources) and rides
+    // the expression, not a join. A doc's copies land in the same
+    // input split, which is what a downstream packing/shuffle step
+    // wants to randomize anyway (q_split_assign's hash-bucket idiom).
+    "q_mix_epochs" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("srcnum",
+          regexp_extract(col("source"), "[0-9]+", 0).cast("int"))
+        .withColumn("em", (pmod(col("srcnum"), lit(4)) + 1).cast("long")
+          * lit(750000L))
+        .withColumn("u", pmod(md5hash32(
+          concat(lit("ep:"), col("source"), lit(":"),
+                 col("doc_id").cast("string"))),
+          lit(1000000L)))
+        .withColumn("n_copies", expr(
+          "em DIV 1000000 + CASE WHEN u < em % 1000000 THEN 1 ELSE 0 END"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+        .orderBy("doc_id", "copy_id")),
+
     // Temperature-based mixture reweighting — the multilingual-corpus
     // mixing step (alpha-sampling): a source's sampling weight is
     // proportional to n^(1/T) rather than n, boosting low-resource
@@ -374,6 +407,24 @@ object PipelineOps {
                    / len(grams), 6) AS rep_frac
       FROM g
       ORDER BY doc_id""",
+
+    "q_mix_epochs" -> """
+      WITH b AS (SELECT doc_id, source,
+                   CAST((CAST(regexp_extract(source, '[0-9]+') AS INT) % 4
+                         + 1) AS BIGINT) * 750000 AS em,
+                   CAST(('0x' || substr(md5('ep:' || source || ':'
+                           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 1000000 AS u
+                 FROM documents),
+      c AS (SELECT doc_id, source,
+                   em // 1000000
+                   + CASE WHEN u < em % 1000000 THEN 1 ELSE 0 END
+                     AS n_copies
+            FROM b)
+      SELECT doc_id, source,
+             CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id
+      FROM c WHERE n_copies > 0
+      ORDER BY doc_id, copy_id""",
 
     "q_sample_weighted" -> """
       WITH tot AS (SELECT sum(n_chars) AS total FROM documents)
