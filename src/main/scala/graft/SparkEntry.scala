@@ -29,8 +29,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_agg_approx_distinct, q_mm_decode) → driver records a weaker
-    * rows-only check. */
+    * (q_mm_decode — the decode stub is engine-local by design) → driver
+    * records a weaker rows-only check. Deterministic-but-engine-specific
+    * results (q_sample_seeded, q_agg_approx_distinct) carry GOLDEN pins
+    * instead (graft.ops.GoldenOracles): the exact sf0.01 rows as a
+    * VALUES oracle, upgrading them to full hash checks. */
   def oracleSql: Map[String, String] =
     ScanFilterOps.oracles ++ JoinOps.oracles ++ AggOps.oracles ++
       WindowOps.oracles ++ SortSetOps.oracles ++ FuncOps.oracles ++

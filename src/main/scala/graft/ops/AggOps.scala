@@ -642,6 +642,10 @@ object AggOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Golden pin (not a derivation — see GoldenOracles): HLL++ is
+    // partitioning-independent, so the sf0.01 estimates are stable.
+    "q_agg_approx_distinct" -> GoldenOracles.approxDistinctSql,
+
     "q_agg_global" -> """
       SELECT count(*) AS n,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

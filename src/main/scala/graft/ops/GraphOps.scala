@@ -266,6 +266,39 @@ object GraphOps {
           expr("(3 * n_triangles * 1000000) DIV n_wedges")
             .as("transitivity_micro"))
     }),
+
+    // Connected components of the part co-purchase affinity graph
+    // (round 20 — the graph family's third declared query): every node
+    // labeled with its component's minimum node id, plus the component
+    // size — the "which affinity islands exist and how big are they"
+    // report a co-occurrence pipeline reads before mining within
+    // components. The kernel is the SAME pointer-doubling min-label
+    // fixpoint the dedup clustering family runs
+    // ([[graft.ops.DedupOps.propagateMinLabels]] — O(log diameter)
+    // rounds, per-round cost one join + one grouped min, stress-tested
+    // on a 10k-diameter chain in DedupSimSpec), so its 100 TB posture
+    // is already adjudicated: edge-bounded state, label frame
+    // checkpointed per round, finished rounds released. The oracle is
+    // the recursive-CTE min-reachable closure (the q_dedup_clusters
+    // spelling) over the same ≥2-pruned edge set — a fixpoint is
+    // oracle-expressible where a fixed unroll would under-iterate on a
+    // long-diameter component.
+    "q_graph_cc" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val (labels, _) = graft.ops.DedupOps.propagateMinLabels(sym)
+      val lab = labels.select(col("doc_id").as("node_id"),
+                              col("cluster").as("component"))
+      // component sizes are a component-keyed aggregate of the (tiny
+      // relative to corpus) label frame; the join back is on the same
+      // key, so AQE broadcast-plans it when sizes allow
+      val sizes = lab.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      lab.join(sizes, "component")
+        .select(col("node_id"), col("component"), col("csize"))
+        .orderBy("node_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -309,5 +342,26 @@ object GraphOps {
              t AS n_triangles,
              (3 * t * 1000000) // w AS transitivity_micro
       FROM wed, tri""",
+
+    "q_graph_cc" -> """
+      WITH RECURSIVE l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                           FROM lineitem),
+      e0 AS (SELECT x.p AS a, y.p AS b
+             FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+             GROUP BY x.p, y.p HAVING count(*) >= 2),
+      e AS (SELECT a AS src, b AS dst FROM e0
+            UNION ALL SELECT b, a FROM e0),
+      n AS (SELECT DISTINCT src AS v FROM e),
+      reach(v, lab) AS (
+        SELECT v, v FROM n
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.v),
+      comp AS (SELECT v AS node_id, min(lab) AS component
+               FROM reach GROUP BY v),
+      cs AS (SELECT component, count(*) AS csize
+             FROM comp GROUP BY component)
+      SELECT c.node_id, c.component, cs.csize
+      FROM comp c JOIN cs USING (component)
+      ORDER BY node_id""",
   )
 }

@@ -113,6 +113,10 @@ object ScanFilterOps {
   val oracles: Map[String, String] = Map(
     "q_scan_count" -> "SELECT count(*) AS n FROM lineitem",
 
+    // Golden pin (not a derivation — see GoldenOracles): the exact
+    // seed-42 sample Spark produces on the sf0.01 driver fixture.
+    "q_sample_seeded" -> GoldenOracles.sampleSeededSql,
+
     "q_scan_flagship" -> """
       SELECT min(l_orderkey) AS vid, min(l_quantity) AS x,
              min(l_discount) AS y, min(l_tax) AS z,

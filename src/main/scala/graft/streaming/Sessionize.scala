@@ -116,7 +116,22 @@ object Sessionize {
   // earliest-match subsequence the oracle's three chained mins spell
   // (standard subsequence-matching equivalence: each event advances at
   // most one stage, and greedy matching is optimal for subsequence
-  // containment). Sessions close EITHER in-function (a same-user event
+  // containment).
+  //
+  // CROSS-BATCH ORDERING ASSUMPTION (ADVICE r19): the (tsUs, eventId)
+  // sort holds only WITHIN a micro-batch. A late-but-within-watermark
+  // event that lands in a LATER batch than a newer same-user event is
+  // folded in arrival order: the session start is never min-updated and
+  // stage transitions replay as they arrive, so the automaton matches
+  // the batch oracle only under per-key in-order arrival ACROSS batches.
+  // The exercised fixtures satisfy it by construction: both funnel
+  // queries replay with copies=1, so every real event arrives in ONE
+  // data batch (StreamOps.stageFixture packs fixture parts + first
+  // sentinel into a single trigger) and only the sentinel-driven flush
+  // batches follow. A production deployment feeding out-of-order keys
+  // would need per-key buffering to the watermark before the automaton
+  // (state O(horizon·key-rate)) to keep this equivalence.
+  // Sessions close EITHER in-function (a same-user event
   // arrives past the gap) OR by event-time timeout (the watermark
   // passes end + gap) — the production emission path for idle users;
   // state is removed on both paths, so live state is O(open sessions

@@ -421,8 +421,12 @@ object StreamOps {
     val useRocks = forceRocks || (bigState &&
       s.conf.getOption("spark.graft.stream.rocksdb").forall(_.toBoolean) &&
       stagedBytes >= rocksMin)
+    // Log the rationale that actually drove the decision: printing the
+    // size gate when forceRocks bypassed it misled bench-log readers
+    // (ADVICE r19).
     if (useRocks) Console.err.println("[stream-state] rocksdb engaged " +
-      s"(staged source $stagedBytes ≥ $rocksMin bytes)")
+      (if (forceRocks) "(forced: transformWithState requires it)"
+       else s"(staged source $stagedBytes ≥ $rocksMin bytes)"))
     val savedChangelog = s.conf.getOption(
       "spark.sql.streaming.stateStore.rocksdb." +
       "changelogCheckpointing.enabled")

@@ -46,4 +46,36 @@ class GraphOpsSpec extends SparkTestBase {
     val (supp, part) = out.partition(_._1 >= 1000000000000L)
     assert(part.length == nParts && supp.length == nSupps)
   }
+
+  test("q_graph_cc: component labels are a valid CC labeling") {
+    val out = ops.GraphOps.queries("q_graph_cc")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val label = out.map(r => r._1 -> r._2).toMap
+    // component label is the component's minimum member, and csize
+    // counts its members exactly
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp,
+        s"component $comp label is not its min member")
+      assert(members.forall(_._3 == members.length),
+        s"component $comp csize mismatch")
+    }
+    // endpoints of every >=2-co-purchase edge share a label (edge
+    // consistency — rebuilt here from lineitem independently)
+    val l = ops.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = l.as("x").join(l.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) splits components")
+    }
+    // every edge endpoint is labeled, and only edge endpoints are
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(label.keySet == nodes)
+  }
 }

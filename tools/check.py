@@ -136,6 +136,12 @@ def main():
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
             continue
         duck_cols_raw = duck_arrow.column_names
+        # Rows are rebuilt by name lookup below; duplicate oracle column
+        # names would silently collapse to one value per name and could
+        # only be caught if the sorted name lists diverged (ADVICE r19).
+        if len(set(duck_cols_raw)) != len(duck_cols_raw):
+            results[name] = f"DUP_COLS duck={sorted(duck_cols_raw)}"
+            continue
         duck_order = sorted(range(len(duck_cols_raw)),
                             key=lambda i: duck_cols_raw[i])
         duck_cols = [duck_cols_raw[i] for i in duck_order]
