@@ -179,11 +179,18 @@ object SimOps {
           .mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
       for (_ <- 1 to pqIters) {
         val assigned = trRows.map { case (_, m, sv) =>
-          var bd = Double.PositiveInfinity; var bid = Long.MaxValue
+          // Double.compare, not < : the row_number window this replaces
+          // ordered NaN LAST with the cwid tiebreak (Spark sort
+          // semantics), so an all-NaN row must still take the min-cwid
+          // codeword — a plain < would leave it unassigned and inject a
+          // phantom codeword id (r20 review). Distances are sums of
+          // squares, so -0.0 never arises.
+          var bd = Double.NaN; var bid = Long.MaxValue; var first = true
           cb(m).foreach { case (cwid, cw) =>
             val dist = sqdLocal(sv, cw)
-            if (dist < bd || (dist == bd && cwid < bid)) {
-              bd = dist; bid = cwid
+            val c = java.lang.Double.compare(dist, bd)
+            if (first || c < 0 || (c == 0 && cwid < bid)) {
+              bd = dist; bid = cwid; first = false
             }
           }
           (m, bid, sv)
@@ -796,6 +803,14 @@ object SimOps {
     pqCodebook(s, d); pqCodes(s, d)
     ivfCandRanked(s, d); adcScored(s, d)
     annExact10(s, d); ivfpqSearch(s, d)
+    // pqSearch is SHARED (q_sim_search_pq + q_ann_eval_pq): without the
+    // prebuild, alphabetical order would charge its corpus ADC scan to
+    // q_ann_eval_pq's row every pass while q_sim_search_pq's row read a
+    // cached 10-row frame (r20 review — the exact r17 #1 misattribution
+    // this step exists to prevent). q_ann_eval's scored frame stays OUT
+    // deliberately: it has exactly one consumer, so that query's own
+    // row honestly carrying its build is the correct attribution.
+    pqSearch(s, d)
     ()
   }
 

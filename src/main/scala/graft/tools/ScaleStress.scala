@@ -262,13 +262,16 @@ object ScaleStress {
     }.toMap
     val rows = firstRuns.map { case (n, r0) =>
       retried.get(n) match {
-        // The retry replaces the headline row only if ITS OWN pre-probe
-        // (taken inside runRow, after the verification sleep churn) is
-        // still clean — a window that turned dirty between verification
-        // and the run could make the retry WORSE than the first run
-        // (ADVICE r19). Both runs stay in the artifact either way.
+        // The retry replaces the headline row only if it SUCCEEDED and
+        // ITS OWN pre-probe (taken inside runRow, after the
+        // verification sleep churn) is still clean — a window that
+        // turned dirty between verification and the run could make the
+        // retry WORSE than the first run, and a crashed retry must
+        // never displace a successful measurement (ADVICE r19 + r20
+        // review). Both runs stay in the artifact either way.
         case Some(r1)
-            if !graft.Yardstick.ioFlagged(r1.pre, medFsync, medReread) =>
+            if !r1.failed &&
+              !graft.Yardstick.ioFlagged(r1.pre, medFsync, medReread) =>
           (n, s"{${r1.fields},\"io_retry\":{\"first_wall_s\":" +
             jstrNum("%.3f", r0.wall) + s",\"first_io\":${r0.pre.js}}}")
         case Some(r1) =>
@@ -279,6 +282,10 @@ object ScaleStress {
         case None => (n, s"{${r0.fields}}")
       }
     }
+    // total_s stays SWEEP-ONLY (measured before the funnel identity
+    // check below) so it remains comparable with prior rounds' sweeps;
+    // the check's own cost rides in its JSON block.
+    val totalS = (System.nanoTime() - sweepT0) / 1e9
     // Cross-API funnel identity AT SCALE (VERDICT r19 #8): the three
     // funnel spellings (batch greedy chain, flatMapGroupsWithState,
     // transformWithState) are pinned to one oracle at test scale; this
@@ -286,31 +293,40 @@ object ScaleStress {
     // their result rows directly, so the tws path's RocksDB timer
     // behavior is exercised and cross-checked at the sweep's session
     // count too — a row-identity measured, not asserted. Runs only when
-    // the sweep included both queries (i.e. "all").
+    // the sweep included both queries (i.e. "all"). Cleanup sits in a
+    // finally: a thrown stream run must not leak persisted frames,
+    // sink dirs or stale state metrics into calib_end (r20 review).
     val funnelIdJs: Option[String] =
       if (Seq("q_stream_funnel_state", "q_stream_funnel_tws")
             .forall(heavy.contains)) {
         println("[stress] funnel cross-API identity check")
+        val t0 = System.nanoTime()
+        var frames: Seq[DataFrame] = Nil
         try {
           val a = graft.SparkEntry.queries("q_stream_funnel_state")(
             spark, out).persist()
+          frames :+= a
           val b = graft.SparkEntry.queries("q_stream_funnel_tws")(
             spark, out).persist()
+          frames :+= b
           val na = a.count()
           val onlyA = a.exceptAll(b).count()
           val onlyB = b.exceptAll(a).count()
-          a.unpersist(); b.unpersist()
-          graft.streaming.StreamOps.takeStateMetrics()
-          graft.streaming.StreamOps.clearStreamSinks()
-          spark.catalog.clearCache()
+          val sec = (System.nanoTime() - t0) / 1e9
           Some(s""""funnel_xapi":{"rows":$na,"only_state":$onlyA,""" +
-            s""""only_tws":$onlyB,"identical":${onlyA == 0 && onlyB == 0}}""")
+            s""""only_tws":$onlyB,"identical":${onlyA == 0 && onlyB == 0},""" +
+            s""""check_s":${jstrNum("%.1f", sec)}}""")
         } catch { case e: Throwable =>
           Some(s""""funnel_xapi":{"error":${jstr(
             Option(e.getMessage).getOrElse(e.getClass.getName).take(160))}}""")
+        } finally {
+          frames.foreach(f =>
+            try f.unpersist() catch { case _: Exception => () })
+          graft.streaming.StreamOps.takeStateMetrics()
+          graft.streaming.StreamOps.clearStreamSinks()
+          spark.catalog.clearCache()
         }
       } else None
-    val totalS = (System.nanoTime() - sweepT0) / 1e9
     val calibEnd = calibrate()
     sampling = false
 

@@ -60,7 +60,8 @@ object GoldenOracles {{
     """SELECT CAST(col0 AS BIGINT) AS l_orderkey,
               CAST(col1 AS INTEGER) AS l_linenumber
        FROM (VALUES {vals}) v
-       WHERE (SELECT count(*) FROM lineitem) = {n_li}"""
+       WHERE (SELECT count(*) FROM lineitem) = {n_li}
+       ORDER BY l_orderkey, l_linenumber"""
 
   val approxDistinctSql: String =
     """SELECT col0 AS event_type, CAST(col1 AS BIGINT) AS approx_users
