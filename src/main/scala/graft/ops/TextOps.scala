@@ -433,6 +433,111 @@ object TextOps {
         .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
         .limit(50)
     }),
+
+    // BM25 retrieval (round 20) — score every document against a fixed
+    // 3-term query and return the top 20: the ranked-retrieval primitive
+    // a pipeline uses for contamination probes ("which training docs
+    // score highest against this eval question?") and quality-by-
+    // retrieval audits. Kept RATIONAL like the surprisal score: the
+    // textbook BM25 idf is a log, which would hinge on libm rounding
+    // cross-engine, so this uses Robertson's raw idf ratio
+    // (N − df + ½)/(df + ½) in integer micro-units — the same monotone
+    // ranking signal with exact integer arithmetic both engines compute
+    // bit-identically. With k1 = 1.2, b = 0.75 and avgdl = T/N the term
+    // factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) clears denominators as
+    //   tfn_micro = 22·tf·T·10⁶ DIV (10·tf·T + 3·T + 9·dl·N).
+    // Scale shape at 100 TB: per-doc tf for the ≤3 query terms is a
+    // pure array filter in the scan (no explode, no shuffle); df and
+    // the (N, T) totals are one global agg broadcast back (3-row and
+    // 1-row frames); the score is a map; TakeOrdered ships 20 rows per
+    // partition. Headroom: the widest product 22·tf·T·10⁶ stays in
+    // int64 through T ≈ 4·10⁹ corpus tokens at tf ≤ 100, and
+    // idf_micro·tfn_micro ≤ (2N+1)·10⁶·2.2·10⁶ needs N ≲ 2·10⁶ — past
+    // those the PMI two-step DECIMAL(38,0) spelling applies verbatim.
+    "q_text_bm25" -> ((s, d) => {
+      val terms = Seq("table", "spark", "query")
+      val docs = table(s, d, "documents")
+        .withColumn("tok", split(col("text"), " "))
+        .withColumn("dl", size(col("tok")).cast("long"))
+      val totals = docs.agg(count(lit(1)).as("n_docs"),
+                            sum(col("dl")).as("t_tokens"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"),
+          explode(array(terms.map(t => struct(
+            lit(t).as("term"),
+            size(filter(col("tok"), x => x === lit(t))).cast("long")
+              .as("tf"))): _*)).as("p"))
+        .select(col("doc_id"), col("dl"), col("p.term").as("term"),
+                col("p.tf").as("tf"))
+        .filter(col("tf") > 0)
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfr), "term")
+        .crossJoin(broadcast(totals))
+        .withColumn("idf_micro",
+          expr("((2 * n_docs - 2 * df + 1) * 1000000) DIV (2 * df + 1)"))
+        .withColumn("tfn_micro",
+          expr("""(22 * tf * t_tokens * 1000000)
+                  DIV (10 * tf * t_tokens + 3 * t_tokens
+                       + 9 * dl * n_docs)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+             sum(expr("(idf_micro * tfn_micro) DIV 1000000"))
+               .as("bm25_micro"))
+        .orderBy(desc("bm25_micro"), asc("doc_id"))
+        .limit(20)
+    }),
+
+    // BPE merge induction (round 20) — the tokenizer-training step of an
+    // LLM data pipeline: learn the first 3 byte-pair merges from corpus
+    // word frequencies. The DISTRIBUTED part is the corpus-sized work —
+    // one token-keyed count (map-side combinable), capped to the top
+    // 4096 types by (freq desc, word) — and the merge rounds run on the
+    // driver over that BOUNDED table, exactly how production BPE
+    // trainers work (the type table fits in memory; the corpus never
+    // does) and exactly the bounded-collect precedent of the k-means /
+    // PQ-codebook training. Pair counting enumerates EVERY adjacent
+    // symbol position (so "aaa" holds (a,a) twice); merge application is
+    // left-to-right non-overlapping — the same pair picked at "aaa"
+    // merges the first two a's and leaves the third. Argmax tiebreak is
+    // total: (count desc, left, right). All counts are exact int64 —
+    // bit-identical to the oracle's unrolled-CTE spelling, whose
+    // string-level replace(' l r ', ' lr ') is the same left-to-right
+    // non-overlapping scan. Fixture corpus is single-byte lowercase
+    // ASCII, so Scala per-char and the oracle's regexp '(.)' agree on
+    // symbol boundaries.
+    "q_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val wf = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("w")).limit(4096)
+        .as[(String, Long)].collect()
+      val freq = wf.toMap
+      var syms: Map[String, Vector[String]] =
+        wf.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to 3) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, sy) <- syms; i <- 0 until sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq(w)
+        }
+        val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((r.toLong, l, rr, c))
+        syms = syms.map { case (w, sy) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == rr) {
+              out += (l + rr); i += 2
+            } else { out += sy(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+      merges.result().toDF("merge_round", "lft", "rgt", "pair_count")
+        .orderBy("merge_round")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -663,5 +768,93 @@ object TextOps {
              JOIN uni u2 ON b.w2 = u2.w, tot
       ORDER BY lift_micro DESC, w1, w2
       LIMIT 50""",
+
+    // Rational BM25 (see the builder comment): Robertson idf ratio and
+    // the cleared-denominator term factor in integer micro-units; every
+    // division is a positive-integer floor both engines share. The
+    // per-doc sum is CAST back to BIGINT (DuckDB widens sum(BIGINT) to
+    // HUGEINT silently; Spark's long sum is the contract).
+    "q_text_bm25" -> """
+      WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+      tot AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS t_tokens FROM d2),
+      tf AS (SELECT doc_id, dl, q.term,
+                    CAST(len(list_filter(tok, x -> x = q.term)) AS BIGINT)
+                      AS tf
+             FROM d2, (VALUES ('table'), ('spark'), ('query')) AS q(term)
+             WHERE len(list_filter(tok, x -> x = q.term)) > 0),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (SELECT f.doc_id,
+                    ((2 * n_docs - 2 * df + 1) * 1000000)
+                      // (2 * df + 1) AS idf_micro,
+                    (22 * f.tf * t_tokens * 1000000)
+                      // (10 * f.tf * t_tokens + 3 * t_tokens
+                          + 9 * f.dl * n_docs) AS tfn_micro
+             FROM tf f JOIN dfr ON f.term = dfr.term, tot)
+      SELECT doc_id, count(*) AS n_terms,
+             CAST(sum((idf_micro * tfn_micro) // 1000000) AS BIGINT)
+               AS bm25_micro
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id
+      LIMIT 20""",
+
+    // BPE merge induction, 3 rounds unrolled (see the builder comment).
+    // Symbolization spaces every char (' t a b l e '); pair enumeration
+    // indexes every adjacent position via unnest(range); the merge is
+    // the string-level replace(' l r ' → ' lr '), a left-to-right
+    // non-overlapping scan in both engines.
+    "q_bpe_merges" -> """
+      WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+      wf AS (SELECT w, count(*) AS freq FROM w0 GROUP BY w
+             ORDER BY freq DESC, w LIMIT 4096),
+      v0 AS (SELECT w, freq,
+                    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
+             FROM wf),
+      p1 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                    CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
+                          unnest(range(1, len(string_split(trim(sym), ' '))))
+                            AS i
+                   FROM v0) q1
+             GROUP BY 1, 2),
+      b1 AS (SELECT lft, rgt, pair_count FROM p1
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+      v1 AS (SELECT w, freq,
+                    replace(sym, ' ' || b1.lft || ' ' || b1.rgt || ' ',
+                                 ' ' || b1.lft || b1.rgt || ' ') AS sym
+             FROM v0, b1),
+      p2 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                    CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
+                          unnest(range(1, len(string_split(trim(sym), ' '))))
+                            AS i
+                   FROM v1) q2
+             GROUP BY 1, 2),
+      b2 AS (SELECT lft, rgt, pair_count FROM p2
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+      v2 AS (SELECT w, freq,
+                    replace(sym, ' ' || b2.lft || ' ' || b2.rgt || ' ',
+                                 ' ' || b2.lft || b2.rgt || ' ') AS sym
+             FROM v1, b2),
+      p3 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                    CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
+                          unnest(range(1, len(string_split(trim(sym), ' '))))
+                            AS i
+                   FROM v2) q3
+             GROUP BY 1, 2),
+      b3 AS (SELECT lft, rgt, pair_count FROM p3
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_round, lft, rgt, pair_count
+        FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), lft, rgt, pair_count FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), lft, rgt, pair_count FROM b3)
+      ORDER BY merge_round""",
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-20 additions: rational BM25 retrieval, BPE merge
+  * induction, and neighbor-Jaccard node similarity. Each query is
+  * re-derived here from the raw fixture with an INDEPENDENT driver-side
+  * spelling (plain Scala over collected sf0.001 rows — small enough to
+  * hold), so the laws catch builder drift without touching the DuckDB
+  * oracle path the driver runs.
+  */
+class R20OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+
+  test("q_text_bm25 matches an independent driver-side recomputation") {
+    val out = ops.TextOps.queries("q_text_bm25")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.length <= 20)
+
+    val docs = ops.table(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val terms = Seq("table", "spark", "query")
+    val n = docs.length.toLong
+    val tTok = docs.map(_._2.length.toLong).sum
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.flatMap { case (id, tok) =>
+      val dl = tok.length.toLong
+      val parts = terms.flatMap { t =>
+        val tf = tok.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = floorDiv((2 * n - 2 * df(t) + 1) * 1000000L,
+                             2 * df(t) + 1)
+          val tfn = floorDiv(22 * tf * tTok * 1000000L,
+                             10 * tf * tTok + 3 * tTok + 9 * dl * n)
+          Some(floorDiv(idf * tfn, 1000000L))
+        }
+      }
+      if (parts.isEmpty) None
+      else Some((id, parts.length.toLong, parts.sum))
+    }
+    val expect = scored.sortBy { case (id, _, s) => (-s, id) }.take(20).toSeq
+    assert(out == expect,
+      s"bm25 mismatch:\n got    $out\n expect $expect")
+  }
+
+  test("q_bpe_merges: round-1 argmax matches raw pair counts; counts are " +
+       "non-increasing across rounds") {
+    val out = ops.TextOps.queries("q_bpe_merges")(spark, sf0001)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    // best-merge counts cannot increase: a new pair born from merge r
+    // occurs at most count_r times, and every untouched pair was already
+    // <= the round-r argmax
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse)
+
+    // independent round-1 recount: adjacent char pairs weighted by word
+    // frequency, every position counted (overlaps included)
+    val words = ops.table(spark, sf0001, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((w, f) <- words; i <- 0 until w.length - 1) {
+      val k = (w(i).toString, w(i + 1).toString)
+      counts(k) = counts.getOrElse(k, 0L) + f
+    }
+    val (bl, br, bc) = counts.toSeq
+      .map { case ((a, b), c) => (a, b, c) }
+      .minBy { case (a, b, c) => (-c, a, b) }
+    assert((out.head._2, out.head._3, out.head._4) == ((bl, br, bc)))
+  }
+
+  test("q_graph_jaccard matches an independent driver-side recomputation") {
+    val out = ops.GraphOps.queries("q_graph_jaccard")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.length <= 20)
+    // jaccard is a ratio in (0, 1] — micro units
+    assert(out.forall(r => r._4 > 0 && r._4 <= 1000000L))
+
+    // adjacency rebuilt independently from lineitem (the GraphOpsSpec cc
+    // pattern), then exact top-20 by (jaccard desc, a, b)
+    val l = ops.table(spark, sf0001, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      .distinct()
+    val edges = l.as("x").join(l.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select("a", "b").as[(Long, Long)].collect()
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { nbrs(a) = nbrs(a) + b; nbrs(b) = nbrs(b) + a }
+    val nodes = nbrs.keys.toSeq.sorted
+    val expect = (for {
+      a <- nodes; b <- nodes if a < b
+      c = (nbrs(a) & nbrs(b)).size.toLong if c > 0
+    } yield {
+      val u = nbrs(a).size.toLong + nbrs(b).size.toLong - c
+      (a, b, c, floorDiv(c * 1000000L, u))
+    }).sortBy { case (a, b, _, j) => (-j, a, b) }.take(20).toSeq
+    assert(out == expect,
+      s"jaccard mismatch:\n got    $out\n expect $expect")
+  }
+}
