@@ -200,9 +200,57 @@ object EventOps {
                .otherwise(0L)).as("n_outliers"))
         .orderBy("event_type")
     }),
+
+    // Event-type transition matrix (round 20) — the first-order Markov
+    // model of user behavior (and the trajectory-statistics shape an
+    // agent-log pipeline runs over action sequences): per user timeline,
+    // each consecutive (current → next) event-type pair, aggregated to
+    // transition counts and row-normalized probabilities in integer
+    // micro. Ordering is total and CROSS-ENGINE SAFE: (user_id, ts) is
+    // µs-unique in the fixture (checked at every SF) and ns→µs
+    // truncation is monotone, so Spark's µs order and DuckDB's ns order
+    // agree; event_id tiebreaks identically in both as belt-and-braces.
+    // Scale shape at 100 TB: ONE user-keyed exchange for the lead()
+    // window, then the pair count collapses onto the tiny |types|² key
+    // space (map-side combinable) and the row totals are a broadcast of
+    // ≤ |types| rows. Output ≤ |types|² rows at any corpus size.
+    "q_events_markov" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = tr.groupBy(col("cur_type"))
+        .agg(sum(col("n_trans")).as("n_out"))
+      tr.join(broadcast(tot), "cur_type")
+        .select(col("cur_type"), col("next_type"), col("n_trans"),
+          expr("(n_trans * 1000000) DIV n_out").as("p_micro"))
+        .orderBy("cur_type", "next_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_markov" -> """
+      WITH o AS (SELECT event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                          AS next_type
+                 FROM events),
+      tr AS (SELECT event_type AS cur_type, next_type,
+                    count(*) AS n_trans
+             FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT cur_type, CAST(sum(n_trans) AS BIGINT) AS n_out
+              FROM tr GROUP BY 1)
+      SELECT tr.cur_type, tr.next_type,
+             CAST(tr.n_trans AS BIGINT) AS n_trans,
+             (tr.n_trans * 1000000) // tot.n_out AS p_micro
+      FROM tr JOIN tot USING (cur_type)
+      ORDER BY cur_type, next_type""",
+
     "q_funnel" -> """
       WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
                   WHERE event_type = 'signup' GROUP BY user_id),

@@ -331,6 +331,34 @@ object GraphOps {
         .orderBy(desc("jaccard_micro"), asc("node_a"), asc("node_b"))
         .limit(20)
     }),
+
+    // 2-hop neighborhood census (round 20): per node, the direct-degree
+    // and the count of nodes at EXACTLY distance 2 (2-hop reachable,
+    // minus self, minus direct neighbors) — the expansion profile a
+    // graph pipeline reads to size frontier growth before running
+    // BFS-shaped work. Shape: one wedge join through the shared
+    // neighbor (the census's Σ deg(v)² bound under the ≥2 prune), a
+    // distinct on the (v, w) candidate pairs, an anti-join against the
+    // direct edges, then node-keyed counts — every join key is an
+    // equi-key, and the result is node-bounded, not corpus-bounded.
+    "q_graph_khop" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val sym = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("n_1hop"))
+      val two = sym.as("x").join(sym.as("y"),
+          col("x.n") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.n").as("w"))
+        .filter(col("v") =!= col("w"))
+        .distinct()
+        .join(sym.select(col("v"), col("n").as("w")), Seq("v", "w"),
+              "left_anti")
+        .groupBy(col("v")).agg(count(lit(1)).as("n_2hop"))
+      deg.join(two, Seq("v"), "left")
+        .select(col("v").as("node_id"), col("n_1hop"),
+                coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+        .orderBy("node_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -415,5 +443,26 @@ object GraphOps {
       FROM c JOIN deg da ON da.v = c.na JOIN deg db ON db.v = c.nb
       ORDER BY jaccard_micro DESC, node_a, node_b
       LIMIT 20""",
+
+    "q_graph_khop" -> """
+      WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem),
+      e AS (SELECT x.p AS a, y.p AS b
+            FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+            GROUP BY x.p, y.p HAVING count(*) >= 2),
+      sym AS (SELECT a AS v, b AS n FROM e
+              UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT v, count(*) AS n_1hop FROM sym GROUP BY v),
+      two AS (SELECT t.v, count(*) AS n_2hop FROM (
+                SELECT DISTINCT x.v, y.n AS w
+                FROM sym x JOIN sym y ON x.n = y.v
+                WHERE x.v <> y.n
+                  AND NOT EXISTS (SELECT 1 FROM sym s
+                                  WHERE s.v = x.v AND s.n = y.n)
+              ) t GROUP BY t.v)
+      SELECT deg.v AS node_id, CAST(deg.n_1hop AS BIGINT) AS n_1hop,
+             CAST(coalesce(two.n_2hop, 0) AS BIGINT) AS n_2hop
+      FROM deg LEFT JOIN two ON two.v = deg.v
+      ORDER BY node_id""",
   )
 }

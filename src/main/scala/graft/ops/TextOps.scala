@@ -507,38 +507,83 @@ object TextOps {
     // symbol boundaries.
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      val wf = table(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .orderBy(desc("freq"), asc("w")).limit(4096)
-        .as[(String, Long)].collect()
-      val freq = wf.toMap
-      var syms: Map[String, Vector[String]] =
-        wf.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (r <- 1 to 3) {
-        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-        for ((w, sy) <- syms; i <- 0 until sy.length - 1) {
-          val k = (sy(i), sy(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + freq(w)
-        }
-        val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-        merges += ((r.toLong, l, rr, c))
-        syms = syms.map { case (w, sy) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < sy.length) {
-            if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == rr) {
-              out += (l + rr); i += 2
-            } else { out += sy(i); i += 1 }
-          }
-          w -> out.result()
-        }
-      }
-      merges.result().toDF("merge_round", "lft", "rgt", "pair_count")
+      bpeTrain(s, d).toDF("merge_round", "lft", "rgt", "pair_count")
         .orderBy("merge_round")
     }),
+
+    // BPE tokenization (round 20) — APPLY the 3 learned merges to the
+    // whole corpus and report each document's subword count plus its
+    // chars-per-subword compression in micro-units: the train→tokenize
+    // pair every LLM pipeline runs (q_bpe_merges is the trainer; this
+    // is the corpus-scale encoder). Shape at 100 TB: after the bounded
+    // trainer collect, encoding is ONE pure per-row map — symbolize the
+    // text (every char spaced), chain 3 literal token-boundary replaces
+    // (inter-word gaps widen to ≥2 spaces, so a single-space-delimited
+    // ' l r ' pattern can never match across words — merges stay
+    // word-local exactly like the trainer's per-word scan), count
+    // symbols by splitting on runs of spaces. Zero shuffles before the
+    // output sort. The oracle re-derives the same merges in its own
+    // unrolled CTEs (proven equal by q_bpe_merges) and applies the same
+    // replaces, so the equality is end-to-end: train AND encode.
+    "q_bpe_apply" -> ((s, d) => {
+      val merges = bpeTrain(s, d).map { case (_, l, r, _) => (l, r) }
+      val spaced = concat(lit(" "),
+        regexp_replace(col("text"), "(.)", "$1 "))
+      // merge symbols are [a-z]+ (capped-vocab chars), safe as literals
+      val applied = merges.foldLeft(spaced) { case (c, (l, r)) =>
+        replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(trim(applied), " +")).cast("long").as("n_subwords"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("n_sym"))
+        .select(col("doc_id"), col("n_subwords"),
+          expr("(n_subwords * 1000000) DIV GREATEST(n_sym, 1)")
+            .as("compress_micro"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** The BPE trainer shared by q_bpe_merges (reports the merge table)
+    * and q_bpe_apply (encodes the corpus with it): corpus-sized
+    * token-keyed count capped to the top-4096 types, then 3 driver-side
+    * merge rounds over that bounded table — see the q_bpe_merges
+    * builder comment for the counting/merge/tiebreak contract. Returns
+    * (round, left, right, weighted pair count). */
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+                              d: String): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
+    val wf = table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("w")).limit(4096)
+      .as[(String, Long)].collect()
+    val freq = wf.toMap
+    var syms: Map[String, Vector[String]] =
+      wf.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to 3) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, sy) <- syms; i <- 0 until sy.length - 1) {
+        val k = (sy(i), sy(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + freq(w)
+      }
+      val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((r.toLong, l, rr, c))
+      syms = syms.map { case (w, sy) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == rr) {
+            out += (l + rr); i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    merges.result()
+  }
 
   val oracles: Map[String, String] = Map(
     // The splitting regex sticks to a dialect-safe subset (a character
@@ -856,5 +901,78 @@ object TextOps {
         UNION ALL
         SELECT CAST(3 AS BIGINT), lft, rgt, pair_count FROM b3)
       ORDER BY merge_round""",
+
+    // BPE encode: the q_bpe_merges trainer CTEs re-derive the same 3
+    // merges, then the corpus is symbolized and the merges applied as
+    // the same literal token-boundary replaces; subwords counted by
+    // splitting on runs of spaces (inter-word gaps are ≥2 spaces and
+    // never merge across).
+    "q_bpe_apply" -> """
+      WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+      wf AS (SELECT w, count(*) AS freq FROM w0 GROUP BY w
+             ORDER BY freq DESC, w LIMIT 4096),
+      v0 AS (SELECT w, freq,
+                    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
+             FROM wf),
+      p1 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                    CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
+                          unnest(range(1, len(string_split(trim(sym), ' '))))
+                            AS i
+                   FROM v0) q1
+             GROUP BY 1, 2),
+      b1 AS (SELECT lft, rgt, pair_count FROM p1
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+      v1 AS (SELECT w, freq,
+                    replace(sym, ' ' || b1.lft || ' ' || b1.rgt || ' ',
+                                 ' ' || b1.lft || b1.rgt || ' ') AS sym
+             FROM v0, b1),
+      p2 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                    CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
+                          unnest(range(1, len(string_split(trim(sym), ' '))))
+                            AS i
+                   FROM v1) q2
+             GROUP BY 1, 2),
+      b2 AS (SELECT lft, rgt, pair_count FROM p2
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+      v2 AS (SELECT w, freq,
+                    replace(sym, ' ' || b2.lft || ' ' || b2.rgt || ' ',
+                                 ' ' || b2.lft || b2.rgt || ' ') AS sym
+             FROM v1, b2),
+      p3 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                    CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
+                          unnest(range(1, len(string_split(trim(sym), ' '))))
+                            AS i
+                   FROM v2) q3
+             GROUP BY 1, 2),
+      b3 AS (SELECT lft, rgt, pair_count FROM p3
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+      ap AS (SELECT doc_id, text,
+                    ' ' || regexp_replace(text, '(.)', '\1 ', 'g') AS s0
+             FROM documents),
+      a1 AS (SELECT doc_id, text,
+                    replace(s0, ' ' || b1.lft || ' ' || b1.rgt || ' ',
+                                ' ' || b1.lft || b1.rgt || ' ') AS s1
+             FROM ap, b1),
+      a2 AS (SELECT doc_id, text,
+                    replace(s1, ' ' || b2.lft || ' ' || b2.rgt || ' ',
+                                ' ' || b2.lft || b2.rgt || ' ') AS s2
+             FROM a1, b2),
+      a3 AS (SELECT doc_id, text,
+                    replace(s2, ' ' || b3.lft || ' ' || b3.rgt || ' ',
+                                ' ' || b3.lft || b3.rgt || ' ') AS s3
+             FROM a2, b3)
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(s3), ' +')) AS BIGINT)
+               AS n_subwords,
+             (CAST(len(string_split_regex(trim(s3), ' +')) AS BIGINT)
+                * 1000000)
+               // greatest(CAST(length(replace(text, ' ', '')) AS BIGINT), 1)
+               AS compress_micro
+      FROM a3
+      ORDER BY doc_id""",
   )
 }

@@ -104,4 +104,73 @@ class R20OpsSpec extends SparkTestBase {
     assert(out == expect,
       s"jaccard mismatch:\n got    $out\n expect $expect")
   }
+
+  test("q_bpe_apply matches a driver-side re-encode with the trained merges") {
+    val out = ops.TextOps.queries("q_bpe_apply")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val merges = ops.TextOps.bpeTrain(spark, sf0001)
+      .map { case (_, l, r, _) => (l, r) }
+    def encode(word: String): Int = {
+      var sy = word.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        sy = out.result()
+      }
+      sy.length
+    }
+    val expect = ops.table(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val n = t.split(" ", -1).map(encode).sum.toLong
+        val chars = t.count(_ != ' ').toLong
+        (id, n, floorDiv(n * 1000000L, Math.max(chars, 1L)))
+      }.sortBy(_._1).toSeq
+    assert(out == expect)
+    // merging strictly compresses: fewer subwords than symbols
+    assert(out.forall(_._3 < 1000000L))
+  }
+
+  test("q_events_markov: rows normalize to ~1e6 and transitions conserve") {
+    val out = ops.EventOps.queries("q_events_markov")(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // per-row floor(p) sums: within (1e6 - row_count, 1e6]
+    out.groupBy(_._1).foreach { case (cur, rows) =>
+      val pSum = rows.map(_._4).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rows.length,
+        s"$cur: p_micro sum $pSum over ${rows.length} rows")
+    }
+    // conservation: total transitions = total events - users with events
+    val ev = ops.table(spark, sf0001, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == nEvents - nUsers)
+  }
+
+  test("q_graph_khop matches a driver-side 2-hop BFS") {
+    val out = ops.GraphOps.queries("q_graph_khop")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val l = ops.table(spark, sf0001, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      .distinct()
+    val edges = l.as("x").join(l.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select("a", "b").as[(Long, Long)].collect()
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { nbrs(a) = nbrs(a) + b; nbrs(b) = nbrs(b) + a }
+    val expect = nbrs.keys.toSeq.sorted.map { v =>
+      val two = nbrs(v).flatMap(nbrs) -- nbrs(v) - v
+      (v, nbrs(v).size.toLong, two.size.toLong)
+    }
+    assert(out == expect)
+  }
 }
