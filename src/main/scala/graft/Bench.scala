@@ -238,6 +238,7 @@ object Bench {
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
       graft.ops.SimOps.clearSimCaches()
+      graft.ops.TextOps.clearBpeCache()
       graft.ops.JoinOps.clearHotKeyCache()
       // completed stream runs leave their file-sink output dirs in RAM-
       // backed scratch (the results were consumed by once()'s noop write)

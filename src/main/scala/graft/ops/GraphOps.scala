@@ -192,6 +192,17 @@ object GraphOps {
     * above any key the 10×/100× shifted fixtures produce). */
   private val Off = 1000000000000L
 
+  /** Symmetrized (v, n) adjacency of an a<b edge list — shared by the
+    * jaccard and k-hop wedge queries (each consumer re-derived it
+    * inline before round 20's review pass). */
+  private def symAdj(e: DataFrame): DataFrame =
+    e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+
+  /** Per-node degree of a symmetrized adjacency, aliased per caller. */
+  private def degreeOf(sym: DataFrame, as: String): DataFrame =
+    sym.groupBy(col("v")).agg(count(lit(1)).as(as))
+
   val queries: Map[String, QB] = Map(
     // PageRank over the part–supplier fulfillment graph: which parts and
     // suppliers sit most centrally in the supply network. Nodes = parts ∪
@@ -313,10 +324,8 @@ object GraphOps {
     // lineitem work is shared with the census and CC rows. Union is
     // by inclusion–exclusion (da + db − common), never materialized.
     "q_graph_jaccard" -> ((s, d) => {
-      val e = copurchaseEdges(s, d)
-      val sym = e.select(col("a").as("v"), col("b").as("n"))
-        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val sym = symAdj(copurchaseEdges(s, d))
+      val deg = degreeOf(sym, "deg")
       val common = sym.as("x").join(sym.as("y"),
           col("x.n") === col("y.n") && col("x.v") < col("y.v"))
         .groupBy(col("x.v").as("na"), col("y.v").as("nb"))
@@ -342,10 +351,8 @@ object GraphOps {
     // direct edges, then node-keyed counts — every join key is an
     // equi-key, and the result is node-bounded, not corpus-bounded.
     "q_graph_khop" -> ((s, d) => {
-      val e = copurchaseEdges(s, d)
-      val sym = e.select(col("a").as("v"), col("b").as("n"))
-        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("n_1hop"))
+      val sym = symAdj(copurchaseEdges(s, d))
+      val deg = degreeOf(sym, "n_1hop")
       val two = sym.as("x").join(sym.as("y"),
           col("x.n") === col("y.v"))
         .select(col("x.v").as("v"), col("y.n").as("w"))

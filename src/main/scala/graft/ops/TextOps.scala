@@ -501,10 +501,12 @@ object TextOps {
     // merges the first two a's and leaves the third. Argmax tiebreak is
     // total: (count desc, left, right). All counts are exact int64 —
     // bit-identical to the oracle's unrolled-CTE spelling, whose
-    // string-level replace(' l r ', ' lr ') is the same left-to-right
-    // non-overlapping scan. Fixture corpus is single-byte lowercase
-    // ASCII, so Scala per-char and the oracle's regexp '(.)' agree on
-    // symbol boundaries.
+    // DOUBLE-space replace(' l  r ', ' lr ') is provably the same
+    // greedy left-to-right scan (see the q_bpe_apply comment: a
+    // single-space pattern would consume the shared boundary and skip
+    // back-to-back occurrences). Fixture corpus is single-byte
+    // lowercase ASCII, so Scala per-char and the oracle's regexp '(.)'
+    // agree on symbol boundaries.
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
       bpeTrain(s, d).toDF("merge_round", "lft", "rgt", "pair_count")
@@ -517,25 +519,29 @@ object TextOps {
     // pair every LLM pipeline runs (q_bpe_merges is the trainer; this
     // is the corpus-scale encoder). Shape at 100 TB: after the bounded
     // trainer collect, encoding is ONE pure per-row map — symbolize the
-    // text (every char spaced), chain 3 literal token-boundary replaces
-    // (inter-word gaps widen to ≥2 spaces, so a single-space-delimited
-    // ' l r ' pattern can never match across words — merges stay
-    // word-local exactly like the trainer's per-word scan), count
-    // symbols by splitting on runs of spaces. Zero shuffles before the
-    // output sort. The oracle re-derives the same merges in its own
-    // unrolled CTEs (proven equal by q_bpe_merges) and applies the same
-    // replaces, so the equality is end-to-end: train AND encode.
+    // text with DOUBLE-space separators, chain 3 literal token-boundary
+    // replaces, count symbols by splitting on runs of spaces. Zero
+    // shuffles before the output sort. Double-space separators are what
+    // make the string scan EQUAL the trainer's greedy left-to-right
+    // walk: a single-space replace(' l r ', ' lr ') consumes the shared
+    // boundary, so back-to-back occurrences ("nana" with merge (n,a))
+    // skip the second merge; with 2-space separators the pattern
+    // ' l  r ' consumes one space of each flanking pair and the
+    // leftover single + the replacement's own single reassemble to a
+    // 2-space boundary — consecutive occurrences merge exactly like
+    // greedy BPE (verified on nana/aaaaa/banana/ababab and on
+    // round-2 merges of merged tokens, in both engines). Inter-word
+    // gaps are ≥3 spaces (the literal space char symbolizes too), so
+    // no pattern can match across words. The oracle re-derives the
+    // same merges in its own unrolled CTEs (proven equal by
+    // q_bpe_merges) and applies the same replaces, so the equality is
+    // end-to-end: train AND encode.
     "q_bpe_apply" -> ((s, d) => {
       val merges = bpeTrain(s, d).map { case (_, l, r, _) => (l, r) }
-      val spaced = concat(lit(" "),
-        regexp_replace(col("text"), "(.)", "$1 "))
-      // merge symbols are [a-z]+ (capped-vocab chars), safe as literals
-      val applied = merges.foldLeft(spaced) { case (c, (l, r)) =>
-        replace(c, lit(s" $l $r "), lit(s" $l$r "))
-      }
       table(s, d, "documents")
         .select(col("doc_id"),
-          size(split(trim(applied), " +")).cast("long").as("n_subwords"),
+          size(bpeEncodedSymbols(col("text"), merges)).cast("long")
+            .as("n_subwords"),
           length(regexp_replace(col("text"), " ", "")).cast("long")
             .as("n_sym"))
         .select(col("doc_id"), col("n_subwords"),
@@ -545,6 +551,38 @@ object TextOps {
     }),
   )
 
+  /** The BPE encode as a pure column expression: double-space
+    * symbolization, the merge replaces in rank order, split on space
+    * runs → the subword array. Factored out of q_bpe_apply so the
+    * greedy-equivalence on adversarial words (back-to-back pair
+    * occurrences — "nana", "aaaaa") is unit-locked in R20OpsSpec
+    * against a driver-side greedy walk, not just exercised on the
+    * fixture corpus (whose vocabulary happens to contain none). */
+  private[graft] def bpeEncodedSymbols(
+      text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val spaced = concat(lit(" "), regexp_replace(text, "(.)", "$1  "))
+    // merge symbols are [a-z]+ (capped-vocab chars), safe as literals
+    val applied = merges.foldLeft(spaced) { case (c, (l, r)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    split(trim(applied), " +")
+  }
+
+  /** Memoized trainer results per (session, dir) — the corpus-sized
+    * word count + bounded collect runs ONCE for the q_bpe_merges /
+    * q_bpe_apply pair (and any suite that drives both), the
+    * GraphOps.baseCache pattern; driver-side Seq only, no storage to
+    * unpersist. Released by [[clearBpeCache]] (Bench/ScaleStress
+    * between-pass hooks) so warm bench rows keep measuring the
+    * trainer's true cost. */
+  private val bpeCache =
+    new scala.collection.concurrent.TrieMap[
+      (org.apache.spark.sql.SparkSession, String),
+      Seq[(Long, String, String, Long)]]
+
+  def clearBpeCache(): Unit = bpeCache.clear()
+
   /** The BPE trainer shared by q_bpe_merges (reports the merge table)
     * and q_bpe_apply (encodes the corpus with it): corpus-sized
     * token-keyed count capped to the top-4096 types, then 3 driver-side
@@ -552,7 +590,12 @@ object TextOps {
     * builder comment for the counting/merge/tiebreak contract. Returns
     * (round, left, right, weighted pair count). */
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
-                              d: String): Seq[(Long, String, String, Long)] = {
+                              d: String): Seq[(Long, String, String, Long)] =
+    bpeCache.getOrElseUpdate((s, d),
+      graft.MemoLog.timed("text.bpe_train") { bpeTrainUncached(s, d) })
+
+  private def bpeTrainUncached(s: org.apache.spark.sql.SparkSession,
+                               d: String): Seq[(Long, String, String, Long)] = {
     import s.implicits._
     val wf = table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -846,48 +889,52 @@ object TextOps {
       LIMIT 20""",
 
     // BPE merge induction, 3 rounds unrolled (see the builder comment).
-    // Symbolization spaces every char (' t a b l e '); pair enumeration
-    // indexes every adjacent position via unnest(range); the merge is
-    // the string-level replace(' l r ' → ' lr '), a left-to-right
-    // non-overlapping scan in both engines.
+    // Symbolization DOUBLE-spaces every char (' t  a  b  l  e  '); pair
+    // enumeration indexes every adjacent position via unnest(range);
+    // the merge is the string-level replace(' l  r ' → ' lr '), which
+    // with 2-space separators IS the greedy left-to-right BPE walk —
+    // the leftover flanking single spaces plus the replacement's own
+    // singles reassemble every boundary to 2 spaces, so back-to-back
+    // occurrences merge exactly like the trainer (see q_bpe_apply's
+    // builder comment for the boundary-consumption proof).
     "q_bpe_merges" -> """
       WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents),
       wf AS (SELECT w, count(*) AS freq FROM w0 GROUP BY w
              ORDER BY freq DESC, w LIMIT 4096),
       v0 AS (SELECT w, freq,
-                    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
+                    ' ' || regexp_replace(w, '(.)', '\1  ', 'g') AS sym
              FROM wf),
       p1 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
                     CAST(sum(freq) AS BIGINT) AS pair_count
-             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
-                          unnest(range(1, len(string_split(trim(sym), ' '))))
+             FROM (SELECT freq, string_split_regex(trim(sym), ' +') AS sy,
+                          unnest(range(1, len(string_split_regex(trim(sym), ' +'))))
                             AS i
                    FROM v0) q1
              GROUP BY 1, 2),
       b1 AS (SELECT lft, rgt, pair_count FROM p1
              ORDER BY pair_count DESC, lft, rgt LIMIT 1),
       v1 AS (SELECT w, freq,
-                    replace(sym, ' ' || b1.lft || ' ' || b1.rgt || ' ',
+                    replace(sym, ' ' || b1.lft || '  ' || b1.rgt || ' ',
                                  ' ' || b1.lft || b1.rgt || ' ') AS sym
              FROM v0, b1),
       p2 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
                     CAST(sum(freq) AS BIGINT) AS pair_count
-             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
-                          unnest(range(1, len(string_split(trim(sym), ' '))))
+             FROM (SELECT freq, string_split_regex(trim(sym), ' +') AS sy,
+                          unnest(range(1, len(string_split_regex(trim(sym), ' +'))))
                             AS i
                    FROM v1) q2
              GROUP BY 1, 2),
       b2 AS (SELECT lft, rgt, pair_count FROM p2
              ORDER BY pair_count DESC, lft, rgt LIMIT 1),
       v2 AS (SELECT w, freq,
-                    replace(sym, ' ' || b2.lft || ' ' || b2.rgt || ' ',
+                    replace(sym, ' ' || b2.lft || '  ' || b2.rgt || ' ',
                                  ' ' || b2.lft || b2.rgt || ' ') AS sym
              FROM v1, b2),
       p3 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
                     CAST(sum(freq) AS BIGINT) AS pair_count
-             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
-                          unnest(range(1, len(string_split(trim(sym), ' '))))
+             FROM (SELECT freq, string_split_regex(trim(sym), ' +') AS sy,
+                          unnest(range(1, len(string_split_regex(trim(sym), ' +'))))
                             AS i
                    FROM v2) q3
              GROUP BY 1, 2),
@@ -903,66 +950,67 @@ object TextOps {
       ORDER BY merge_round""",
 
     // BPE encode: the q_bpe_merges trainer CTEs re-derive the same 3
-    // merges, then the corpus is symbolized and the merges applied as
-    // the same literal token-boundary replaces; subwords counted by
-    // splitting on runs of spaces (inter-word gaps are ≥2 spaces and
-    // never merge across).
+    // merges, then the corpus is symbolized with the same DOUBLE-space
+    // separators and the merges applied as the same greedy
+    // boundary-reassembling replaces; subwords counted by splitting on
+    // runs of spaces (inter-word gaps are ≥3 spaces — the literal space
+    // char symbolizes too — and never merge across).
     "q_bpe_apply" -> """
       WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents),
       wf AS (SELECT w, count(*) AS freq FROM w0 GROUP BY w
              ORDER BY freq DESC, w LIMIT 4096),
       v0 AS (SELECT w, freq,
-                    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
+                    ' ' || regexp_replace(w, '(.)', '\1  ', 'g') AS sym
              FROM wf),
       p1 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
                     CAST(sum(freq) AS BIGINT) AS pair_count
-             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
-                          unnest(range(1, len(string_split(trim(sym), ' '))))
+             FROM (SELECT freq, string_split_regex(trim(sym), ' +') AS sy,
+                          unnest(range(1, len(string_split_regex(trim(sym), ' +'))))
                             AS i
                    FROM v0) q1
              GROUP BY 1, 2),
       b1 AS (SELECT lft, rgt, pair_count FROM p1
              ORDER BY pair_count DESC, lft, rgt LIMIT 1),
       v1 AS (SELECT w, freq,
-                    replace(sym, ' ' || b1.lft || ' ' || b1.rgt || ' ',
+                    replace(sym, ' ' || b1.lft || '  ' || b1.rgt || ' ',
                                  ' ' || b1.lft || b1.rgt || ' ') AS sym
              FROM v0, b1),
       p2 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
                     CAST(sum(freq) AS BIGINT) AS pair_count
-             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
-                          unnest(range(1, len(string_split(trim(sym), ' '))))
+             FROM (SELECT freq, string_split_regex(trim(sym), ' +') AS sy,
+                          unnest(range(1, len(string_split_regex(trim(sym), ' +'))))
                             AS i
                    FROM v1) q2
              GROUP BY 1, 2),
       b2 AS (SELECT lft, rgt, pair_count FROM p2
              ORDER BY pair_count DESC, lft, rgt LIMIT 1),
       v2 AS (SELECT w, freq,
-                    replace(sym, ' ' || b2.lft || ' ' || b2.rgt || ' ',
+                    replace(sym, ' ' || b2.lft || '  ' || b2.rgt || ' ',
                                  ' ' || b2.lft || b2.rgt || ' ') AS sym
              FROM v1, b2),
       p3 AS (SELECT sy[i] AS lft, sy[i + 1] AS rgt,
                     CAST(sum(freq) AS BIGINT) AS pair_count
-             FROM (SELECT freq, string_split(trim(sym), ' ') AS sy,
-                          unnest(range(1, len(string_split(trim(sym), ' '))))
+             FROM (SELECT freq, string_split_regex(trim(sym), ' +') AS sy,
+                          unnest(range(1, len(string_split_regex(trim(sym), ' +'))))
                             AS i
                    FROM v2) q3
              GROUP BY 1, 2),
       b3 AS (SELECT lft, rgt, pair_count FROM p3
              ORDER BY pair_count DESC, lft, rgt LIMIT 1),
       ap AS (SELECT doc_id, text,
-                    ' ' || regexp_replace(text, '(.)', '\1 ', 'g') AS s0
+                    ' ' || regexp_replace(text, '(.)', '\1  ', 'g') AS s0
              FROM documents),
       a1 AS (SELECT doc_id, text,
-                    replace(s0, ' ' || b1.lft || ' ' || b1.rgt || ' ',
+                    replace(s0, ' ' || b1.lft || '  ' || b1.rgt || ' ',
                                 ' ' || b1.lft || b1.rgt || ' ') AS s1
              FROM ap, b1),
       a2 AS (SELECT doc_id, text,
-                    replace(s1, ' ' || b2.lft || ' ' || b2.rgt || ' ',
+                    replace(s1, ' ' || b2.lft || '  ' || b2.rgt || ' ',
                                 ' ' || b2.lft || b2.rgt || ' ') AS s2
              FROM a1, b2),
       a3 AS (SELECT doc_id, text,
-                    replace(s2, ' ' || b3.lft || ' ' || b3.rgt || ' ',
+                    replace(s2, ' ' || b3.lft || '  ' || b3.rgt || ' ',
                                 ' ' || b3.lft || b3.rgt || ' ') AS s3
              FROM a2, b3)
       SELECT doc_id,

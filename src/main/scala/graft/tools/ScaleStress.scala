@@ -199,6 +199,7 @@ object ScaleStress {
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.GraphOps.clearMessageCache()
       graft.ops.SimOps.clearSimCaches()
+      graft.ops.TextOps.clearBpeCache()
       graft.ops.JoinOps.clearHotKeyCache()
       graft.streaming.StreamOps.clearStreamSinks()
       spark.catalog.clearCache()

@@ -57,11 +57,15 @@ class R20OpsSpec extends SparkTestBase {
     assert(out.map(_._4) == out.map(_._4).sorted.reverse)
 
     // independent round-1 recount: adjacent char pairs weighted by word
-    // frequency, every position counted (overlaps included)
+    // frequency, every position counted (overlaps included) — over the
+    // SAME top-4096-type cap the trainer applies (inert on today's
+    // 31-type fixture, but the recount must track the implemented
+    // semantics if the corpus is ever regenerated with a wide vocab)
     val words = ops.table(spark, sf0001, "documents")
       .select(explode(split($"text", " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)].collect()
+      .sortBy { case (w, f) => (-f, w) }.take(4096)
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
     for ((w, f) <- words; i <- 0 until w.length - 1) {
       val k = (w(i).toString, w(i + 1).toString)
@@ -132,8 +136,47 @@ class R20OpsSpec extends SparkTestBase {
         (id, n, floorDiv(n * 1000000L, Math.max(chars, 1L)))
       }.sortBy(_._1).toSeq
     assert(out == expect)
-    // merging strictly compresses: fewer subwords than symbols
-    assert(out.forall(_._3 < 1000000L))
+    // merging never expands (a doc with no learned bigram sits exactly
+    // at 1e6), and the corpus as a whole compresses strictly
+    assert(out.forall(_._3 <= 1000000L))
+    assert(out.exists(_._3 < 1000000L))
+  }
+
+  test("bpe string encode equals the greedy walk on back-to-back pairs") {
+    // The words the fixture vocabulary happens not to contain: a
+    // single-space replace would skip the second of two back-to-back
+    // occurrences ("nana" -> [na, n, a]); the double-space spelling
+    // must reproduce the greedy left-to-right walk exactly, including
+    // round-2 merges of merged tokens.
+    def greedy(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var sy: Vector[String] = word.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        sy = out.result()
+      }
+      sy
+    }
+    val cases = Seq(
+      ("nana", Seq(("n", "a"))),
+      ("aaaaa", Seq(("a", "a"))),
+      ("banana", Seq(("a", "n"))),
+      ("ababab", Seq(("a", "b"))),
+      ("nanana", Seq(("n", "a"), ("na", "na"))),
+      ("aaaa", Seq(("a", "a"), ("aa", "aa"))),
+      ("nana banana", Seq(("n", "a"))))
+    for ((txt, merges) <- cases) {
+      val got = Seq(Tuple1(txt)).toDF("text")
+        .select(ops.TextOps.bpeEncodedSymbols($"text", merges).as("sy"))
+        .as[Seq[String]].head()
+      val expect = txt.split(" ", -1).toSeq.flatMap(w => greedy(w, merges))
+      assert(got == expect, s"'$txt' x $merges: got $got, expect $expect")
+    }
   }
 
   test("q_events_markov: rows normalize to ~1e6 and transitions conserve") {
