@@ -176,6 +176,7 @@ object Bench {
           graft.ops.DedupOps.prebuildShared(spark, sfDir)
           graft.ops.SimOps.prebuildShared(spark, sfDir)
           graft.ops.GraphOps.prebuildShared(spark, sfDir)
+          graft.ops.TextOps.prebuildShared(spark, sfDir)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] shared prebuild failed: " +
             Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -573,15 +573,27 @@ object TextOps {
     * word count + bounded collect runs ONCE for the q_bpe_merges /
     * q_bpe_apply pair (and any suite that drives both), the
     * GraphOps.baseCache pattern; driver-side Seq only, no storage to
-    * unpersist. Released by [[clearBpeCache]] (Bench/ScaleStress
-    * between-pass hooks) so warm bench rows keep measuring the
-    * trainer's true cost. */
+    * unpersist. Bench builds it in the shared-prebuild step
+    * ([[prebuildShared]]) so BOTH consumers' official rows measure the
+    * query against a warm trainer with the build cost itemized in the
+    * shared_builds/memo ledger — without the prebuild, alphabetical
+    * order would make q_bpe_apply absorb the trainer while
+    * q_bpe_merges benched a cache hit. Released by [[clearBpeCache]]
+    * (Bench between-pass / ScaleStress+Profile per-run hooks; the
+    * sweep's per-query isolation therefore charges each row the full
+    * trainer, like the graph rows and their shared edge base). */
   private val bpeCache =
     new scala.collection.concurrent.TrieMap[
       (org.apache.spark.sql.SparkSession, String),
       Seq[(Long, String, String, Long)]]
 
   def clearBpeCache(): Unit = bpeCache.clear()
+
+  /** Build the memoized trainer result ahead of the per-query rows —
+    * the Bench shared-prebuild hook (the GraphOps.prebuildShared
+    * pattern). */
+  def prebuildShared(s: org.apache.spark.sql.SparkSession,
+                     d: String): Unit = { bpeTrain(s, d); () }
 
   /** The BPE trainer shared by q_bpe_merges (reports the merge table)
     * and q_bpe_apply (encodes the corpus with it): corpus-sized

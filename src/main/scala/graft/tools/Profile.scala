@@ -24,6 +24,8 @@ object Profile {
     (1 to n).foreach { i =>
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.SimOps.clearSimCaches()
+      graft.ops.GraphOps.clearMessageCache()
+      graft.ops.TextOps.clearBpeCache()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -40,6 +42,8 @@ object Profile {
     if (sys.env.get("PROFILE_MS_STAGES").contains("1")) {
       graft.ops.DedupOps.clearPairsCache()
       graft.ops.SimOps.clearSimCaches()
+      graft.ops.GraphOps.clearMessageCache()
+      graft.ops.TextOps.clearBpeCache()
       spark.catalog.clearCache()
       graft.ops.DedupOps.profileMultiSignalStages(spark, sfDir)
     }

@@ -109,29 +109,35 @@ class R20OpsSpec extends SparkTestBase {
       s"jaccard mismatch:\n got    $out\n expect $expect")
   }
 
+  /** The greedy left-to-right BPE merge walk — THE reference semantics
+    * both bpe tests compare against (one copy; the production twin is
+    * the trainer's inner walk in TextOps.bpeTrainUncached). */
+  private def greedyBpe(word: String,
+                        merges: Seq[(String, String)]): Seq[String] = {
+    var sy: Vector[String] = word.map(_.toString).toVector
+    for ((l, r) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += sy(i); i += 1 }
+      }
+      sy = out.result()
+    }
+    sy
+  }
+
   test("q_bpe_apply matches a driver-side re-encode with the trained merges") {
     val out = ops.TextOps.queries("q_bpe_apply")(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSeq
     val merges = ops.TextOps.bpeTrain(spark, sf0001)
       .map { case (_, l, r, _) => (l, r) }
-    def encode(word: String): Int = {
-      var sy = word.map(_.toString).toVector
-      for ((l, r) <- merges) {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < sy.length) {
-          if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
-            out += (l + r); i += 2
-          } else { out += sy(i); i += 1 }
-        }
-        sy = out.result()
-      }
-      sy.length
-    }
     val expect = ops.table(spark, sf0001, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
       .map { case (id, t) =>
-        val n = t.split(" ", -1).map(encode).sum.toLong
+        val n = t.split(" ", -1).map(w => greedyBpe(w, merges).length)
+          .sum.toLong
         val chars = t.count(_ != ' ').toLong
         (id, n, floorDiv(n * 1000000L, Math.max(chars, 1L)))
       }.sortBy(_._1).toSeq
@@ -148,20 +154,6 @@ class R20OpsSpec extends SparkTestBase {
     // occurrences ("nana" -> [na, n, a]); the double-space spelling
     // must reproduce the greedy left-to-right walk exactly, including
     // round-2 merges of merged tokens.
-    def greedy(word: String, merges: Seq[(String, String)]): Seq[String] = {
-      var sy: Vector[String] = word.map(_.toString).toVector
-      for ((l, r) <- merges) {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < sy.length) {
-          if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
-            out += (l + r); i += 2
-          } else { out += sy(i); i += 1 }
-        }
-        sy = out.result()
-      }
-      sy
-    }
     val cases = Seq(
       ("nana", Seq(("n", "a"))),
       ("aaaaa", Seq(("a", "a"))),
@@ -174,7 +166,8 @@ class R20OpsSpec extends SparkTestBase {
       val got = Seq(Tuple1(txt)).toDF("text")
         .select(ops.TextOps.bpeEncodedSymbols($"text", merges).as("sy"))
         .as[Seq[String]].head()
-      val expect = txt.split(" ", -1).toSeq.flatMap(w => greedy(w, merges))
+      val expect = txt.split(" ", -1).toSeq
+        .flatMap(w => greedyBpe(w, merges))
       assert(got == expect, s"'$txt' x $merges: got $got, expect $expect")
     }
   }
