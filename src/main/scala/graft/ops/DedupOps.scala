@@ -930,6 +930,63 @@ object DedupOps {
     // truncated lineage and never reads them).
     val sym = sym0.localCheckpoint(eager = true)
     val symRdd = org.apache.spark.sql.graftshim.Shim.checkpointRdd(sym)
+    // Size-gated driver union-find (round 21, guide §1.2/§5): the
+    // distributed fixpoint's cost is ~all fixed per-round job overhead
+    // once the edge set is small — at sf0.1 each 5-exchange round costs
+    // 0.4–1.6 s against graphs of a few thousand edges, and SIX queries
+    // run a fixpoint per bench pass. Below the gate the edge list is
+    // collected ONCE off the already-materialized checkpoint blocks
+    // (bounded: ≤ localMaxEdges × 16 B — the same bounded-collect
+    // contract as the PQ codebook build) and resolved with union-find
+    // on the driver; the result is exactly the per-component minimum
+    // label the fixpoint converges to, returned as a local relation.
+    // Above the gate (the true 100 TB dup graph) the distributed loop
+    // below runs unchanged. Gate conf: spark.graft.cc.localMaxEdges
+    // (default 4M edges ≈ 64 MB; 0 forces the distributed path — the
+    // convergence specs use it).
+    val localMax = sym.sparkSession.conf
+      .get("spark.graft.cc.localMaxEdges", "4000000").toLong
+    val nEdges = sym.count()
+    if (nEdges <= localMax) {
+      val edges = sym.select(col("src"), col("dst")).collect()
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { // path halving
+          val gp = parent.get(p)
+          parent.put(x, gp); x = gp; p = parent.get(x)
+        }
+        x
+      }
+      edges.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by min id: the root IS the component minimum so far
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new Array[org.apache.spark.sql.Row](parent.size)
+      val it = parent.keySet.iterator; var i = 0
+      while (it.hasNext) {
+        val v = it.next()
+        out(i) = org.apache.spark.sql.Row(v, find(v)); i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = sym.sparkSession.createDataFrame(
+        java.util.Arrays.asList(out: _*), schema)
+      symRdd.foreach(r => try r.unpersist(blocking = false)
+                          catch { case _: Exception => () })
+      System.err.println(s"[propagateMinLabels] local union-find: " +
+        s"$nEdges edges, ${parent.size} vertices (gate $localMax)")
+      return (labels, 0)
+    }
     // Only vertices that appear in an edge can ever change label — the
     // propagation loop runs over that (much smaller) set; every other
     // doc is its own cluster and joins back in one final pass. At

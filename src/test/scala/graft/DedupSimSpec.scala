@@ -34,12 +34,47 @@ class DedupSimSpec extends SparkTestBase {
       .select($"id".as("src"), ($"id" + 1).as("dst"))
     val sym = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
       .persist()
-    val (labels, rounds) = ops.DedupOps.propagateMinLabels(sym, maxIter = 50)
+    // force the DISTRIBUTED fixpoint: this test certifies the at-scale
+    // convergence bound, which the size-gated driver union-find would
+    // otherwise short-circuit on a 20k-edge graph
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val (labels, rounds) =
+      try ops.DedupOps.propagateMinLabels(sym, maxIter = 50)
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
     val wrong = labels.filter($"cluster" =!= 0L).count()
     sym.unpersist()
     assert(wrong == 0, s"$wrong vertices missed the component minimum")
     val bound = math.ceil(math.log(d.toDouble) / math.log(2)).toInt + 3
     assert(rounds <= bound, s"$rounds rounds for diameter $d (bound $bound)")
+  }
+
+  test("local union-find labels == distributed fixpoint labels") {
+    // The size-gated driver path (round 21) must be row-identical to
+    // the distributed fixpoint on any graph: chains, a star, an
+    // isolated 2-cycle, and a multi-component mix.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain, min 1
+      (10L, 11L), (11L, 12L),                // chain, min 10
+      (20L, 21L), (20L, 22L), (20L, 23L),    // star, min 20
+      (30L, 31L), (31L, 30L)                 // parallel edges
+    ).toDF("src", "dst")
+    val sym = edges.unionAll(
+      edges.select($"dst".as("src"), $"src".as("dst"))).persist()
+    val (local, lr) = ops.DedupOps.propagateMinLabels(sym)
+    assert(lr == 0, "expected the local union-find path under the gate")
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val (dist, dr) =
+      try ops.DedupOps.propagateMinLabels(sym)
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    assert(dr > 0, "expected the distributed path when the gate is 0")
+    val a = local.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val b = dist.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    sym.unpersist()
+    assert(a == b, s"local $a != distributed $b")
+    assert(a == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L))
   }
 
   test("pointer doubling: 10k-leaf star converges in a constant round count") {
@@ -48,7 +83,10 @@ class DedupSimSpec extends SparkTestBase {
       .select(lit(0L).as("src"), $"id".as("dst"))
     val sym = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
       .persist()
-    val (labels, rounds) = ops.DedupOps.propagateMinLabels(sym, maxIter = 10)
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val (labels, rounds) =
+      try ops.DedupOps.propagateMinLabels(sym, maxIter = 10)
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
     val wrong = labels.filter($"cluster" =!= 0L).count()
     sym.unpersist()
     assert(wrong == 0, s"$wrong vertices missed the hub label")
