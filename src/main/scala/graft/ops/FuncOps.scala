@@ -46,7 +46,7 @@ object FuncOps {
     // Wide→long reshaping via unpivot/melt; oracle is the UNION ALL
     // equivalent (identical semantics, no dialect risk).
     "q_unpivot" -> ((s, d) =>
-      table(s, d, "lineitem")
+      spreadTable(s, d, "lineitem", col("l_orderkey"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
                 "l_tax")
         .unpivot(
@@ -128,7 +128,7 @@ object FuncOps {
         .orderBy("doc_id", "pos")),
 
     "q_json_funcs" -> ((s, d) =>
-      table(s, d, "events")
+      spreadTable(s, d, "events", col("event_id"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
@@ -143,7 +143,7 @@ object FuncOps {
     // the whole map on one non-integer value while the oracle CASTs per
     // key (the events fixture is integer-valued by construction).
     "q_map_funcs" -> ((s, d) =>
-      table(s, d, "events")
+      spreadTable(s, d, "events", col("event_id"))
         .withColumn("m", from_json(col("props"),
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,

@@ -51,7 +51,7 @@ object PipelineOps {
     // Repeated-bigram fraction (the Gopher/C4-style repetition quality
     // signal): 1 - distinct_bigrams/total_bigrams, per doc with ≥2 tokens.
     "q_text_repetition" -> ((s, d) =>
-      table(s, d, "documents")
+      spreadTable(s, d, "documents", col("doc_id"))
         .withColumn("tok", split(col("text"), " "))
         .filter(size(col("tok")) >= 2)
         .withColumn("grams", expr(

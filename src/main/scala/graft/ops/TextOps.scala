@@ -76,7 +76,7 @@ object TextOps {
     // Per-document quality signals: tokens, chars/token, stopword ratio,
     // type-token ratio.
     "q_text_quality" -> ((s, d) =>
-      table(s, d, "documents")
+      spreadTable(s, d, "documents", col("doc_id"))
         .withColumn("tok", split(col("text"), " "))
         .select(col("doc_id"),
           size(col("tok")).cast("long").as("n_tokens"),
@@ -105,7 +105,7 @@ object TextOps {
     // pattern stays in the dialect-safe regex subset (single character
     // class); DuckDB needs the 'g' flag to match Spark's replace-all.
     "q_text_scrub" -> ((s, d) =>
-      table(s, d, "documents")
+      spreadTable(s, d, "documents", col("doc_id"))
         .select(col("doc_id"),
           regexp_replace(col("text"), "[0-9]", "#").as("masked"),
           (length(col("text")) -
@@ -119,7 +119,7 @@ object TextOps {
     // the regex subset Java and RE2 agree on (one character class + '+'),
     // with empties filtered on both sides — see the oracle's note.
     "q_text_tokenize_regex" -> ((s, d) =>
-      table(s, d, "documents")
+      spreadTable(s, d, "documents", col("doc_id"))
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("ws_tokens"),
           size(filter(split(col("text"), "[^a-z0-9]+"),
@@ -139,7 +139,7 @@ object TextOps {
     // only broadcast is the 1-row ndocs scalar), one window.
     "q_text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = table(s, d, "documents")
+      val docs = spreadTable(s, d, "documents", col("doc_id"))
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("doc_id"), col("token"))
@@ -268,7 +268,7 @@ object TextOps {
     // streaming twin (q_stream_quality) — one code path, so batch/stream
     // parity is by construction.
     "q_quality_filter" -> ((s, d) =>
-      qualityVerdict(table(s, d, "documents")).orderBy("doc_id")),
+      qualityVerdict(spreadTable(s, d, "documents", col("doc_id"))).orderBy("doc_id")),
 
     // Linear text-quality classifier — the fastText-style public shape
     // (Joulin et al. 2016, arXiv:1607.01759): hashed unigram + bigram
@@ -356,7 +356,7 @@ object TextOps {
     // permuted document fingerprints differently) yet exactly expressible
     // in both engines with integer math only.
     "q_text_fingerprint" -> ((s, d) =>
-      table(s, d, "documents")
+      spreadTable(s, d, "documents", col("doc_id"))
         .withColumn("tok", split(col("text"), " "))
         .select(col("doc_id"),
           aggregate(
@@ -456,7 +456,7 @@ object TextOps {
     // those the PMI two-step DECIMAL(38,0) spelling applies verbatim.
     "q_text_bm25" -> ((s, d) => {
       val terms = Seq("table", "spark", "query")
-      val docs = table(s, d, "documents")
+      val docs = spreadTable(s, d, "documents", col("doc_id"))
         .withColumn("tok", split(col("text"), " "))
         .withColumn("dl", size(col("tok")).cast("long"))
       val totals = docs.agg(count(lit(1)).as("n_docs"),
@@ -538,7 +538,7 @@ object TextOps {
     // end-to-end: train AND encode.
     "q_bpe_apply" -> ((s, d) => {
       val merges = bpeTrain(s, d).map { case (_, l, r, _) => (l, r) }
-      table(s, d, "documents")
+      spreadTable(s, d, "documents", col("doc_id"))
         .select(col("doc_id"),
           size(bpeEncodedSymbols(col("text"), merges)).cast("long")
             .as("n_subwords"),

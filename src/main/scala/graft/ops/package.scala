@@ -50,6 +50,57 @@ package object ops {
     }
   }
 
+  /** Size-gated post-scan spread (round 21; guide §2.5 "input skew" /
+    * §1.2 step 1): the bench fixtures are single-row-group parquet
+    * files — an unsplittable one-task scan — so everything before a
+    * query's first exchange (projection, filters, string/JSON kernels,
+    * the partial aggregate, the first join's shuffle write) serializes
+    * on one core while the rest idle. Below the gate (input under
+    * spark.graft.spread.maxBytes, default 256 MiB; 0 disables) one
+    * round-robin exchange of the PRUNED columns (Catalyst pushes
+    * column pruning through Repartition) spreads that work across the
+    * cores; above the gate the scan is already multi-split and this is
+    * the identity — at 100 TB no extra exchange exists. Results are
+    * partition-layout-independent for every consumer: no query uses
+    * partition-sensitive expressions (monotonically_increasing_id,
+    * spark_partition_id, input_file_name — audited r21), and
+    * q_sample_seeded (per-partition Bernoulli RNG) deliberately keeps
+    * the bare [[table]] read. Round-robin repartition is
+    * retry-deterministic via Spark's sort-before-repartition default.
+    * Applied per query where the pre-exchange work measurably
+    * dominates — NOT inside [[table]] — so light scans keep their
+    * exchange-free plans (see graft.plans.TinyAggSingularize for the
+    * opposite trade on cheap aggregates). */
+  def spreadTable(s: SparkSession, dir: String, name: String,
+                  key: Column): DataFrame = {
+    val df = table(s, dir, name)
+    val maxB = s.conf.get("spark.graft.spread.maxBytes",
+      String.valueOf(256L << 20)).toLong
+    if (maxB > 0 && inputBytes(s"$dir/$name.parquet") <= maxB &&
+        s.sparkContext.defaultParallelism > 1)
+      // HASH repartition on a caller-named high-cardinality content
+      // key — NOT round-robin: repartition(n) pays a full local sort
+      // of the input inside the single scan task
+      // (spark.sql.execution.sortBeforeRepartition, required there for
+      // retry determinism), which A/B-measured strictly worse than no
+      // spread at all on 14/18 agg queries. A content-hash partition
+      // is retry-deterministic by construction and skips the sort.
+      df.repartition(s.sparkContext.defaultParallelism, key)
+    else df
+  }
+
+  /** On-disk bytes of a parquet path (file or one-level directory);
+    * Long.MaxValue when unreadable so the caller's gate fails closed
+    * (no spread) rather than shuffling an unknown-size input. */
+  private def inputBytes(path: String): Long = try {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length
+    else if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(_.length).sum)
+        .getOrElse(Long.MaxValue)
+    else Long.MaxValue
+  } catch { case _: Exception => Long.MaxValue }
+
   /** Normalize one time column to session-TZ TimestampType (µs), whatever
     * physical representation the fixture carried. Shared by the batch
     * reader above and the streaming staging (StreamOps). */
