@@ -398,6 +398,28 @@ object Bench {
       val all = kept ++ famTimes ++ calibTimes
       n -> (if (all.exists(_ >= 0)) median(all) else median(samples))
     }
+    // Machine-readable dirty-median tagging (VERDICT r20 #2): a hot row
+    // whose calib gate found dirty samples but NO clean retry window
+    // keeps the contaminated median as official (above) — r20's
+    // q_dedup_incremental published 37.6 s that way while its own
+    // hot_rows bracket proved a 25× host stall, and the judge had to do
+    // forensics. Emit, per such row, the dirty verdict plus the minimum
+    // across its CLEAN samples and all retry attempts (the best
+    // host-noise-free estimate the run holds) in a SIBLING map —
+    // queries_warm itself stays a flat name→seconds map (driver parse
+    // contract).
+    val warmDirty: Seq[(String, Double)] = hotGate.toSeq.collect {
+      case (n, g) if !g.retriesRun.exists(_.used) =>
+        val ss = hotDetail(n)
+        val cleanSamples = ss.zipWithIndex.collect {
+          case (s, i) if s.sec >= 0 && !g.dirtyIdx.contains(i) => s.sec
+        }
+        val candidates =
+          cleanSamples ++ g.retriesRun.filter(_.sec >= 0).map(_.sec)
+        n -> (if (candidates.nonEmpty) candidates.min
+              else ss.map(_.sec).filter(_ >= 0)
+                     .minOption.getOrElse(-1.0))
+    }.sortBy(_._1)
     // Family yardsticks: cold pass raw; warm = per-family median across
     // passes (and the full per-pass series, so a judge can line any
     // pass's outlier up against the host speed of that same window).
@@ -501,10 +523,16 @@ object Bench {
     val flagshipTail =
       if (!tailFallback) median(tailClean.map(_._1))
       else median(flagshipTailSamples)
+    // The all-sample median rides beside the clean median (ADVICE r20):
+    // the clean filter only ever drops SLOW samples, so a widening
+    // clean-vs-all gap is the signal that a plan-side regression is
+    // being misread as host noise — visible from the artifact alone.
+    val tailMedianAll = median(flagshipTailSamples)
     val tailGateJs =
       s"""{"clean_used":${tailClean.size},""" +
       s""""dropped":${flagshipTailSamples.size - tailClean.size},""" +
-      s""""resampled":$tailResampled,"fallback_all":$tailFallback}"""
+      s""""resampled":$tailResampled,"fallback_all":$tailFallback,""" +
+      s""""median_all":${Yardstick.jnum("%.3f", tailMedianAll)}}"""
     val vsRaw =
       if (flagshipTail > 0) flagshipTail / baselineSec
       else if (flagshipWarm > 0) flagshipWarm / baselineSec else -1.0
@@ -600,7 +628,10 @@ object Bench {
     val ioSeriesJs = ioWarmSeries.map { case (f, ps) =>
       s"\"$f\":${ps.map(_.js).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"calib_family_cold":${js(famCold)},"calib_family_warm":${js(famWarm)},"calib_family_warm_passes":$famSeriesJs,"io_family_cold":$ioColdJs,"io_family_warm_passes":$ioSeriesJs,"flagship_vs_baseline_raw":$vsRaw,"flagship_gate_calib":$vsCalib,"calib_single_ref":$calibSingleRef,"flagship_warm_tail":$flagshipTail,"flagship_tail_samples":${flagshipTailSamples.mkString("[", ",", "]")},"flagship_tail_calib":$tailCalibJs,"flagship_tail_gc_ms":$tailGcJs,"tail_gate":$tailGateJs,"calib_single":[$calibSingleA,$calibSingleB],"io_gate":$ioGateJs,"hot_rows":$hotJs,"hot_gate":$hotGateJs,"stream_state":$stateJs,"shared_builds_sec":$sharedJs,"memo_builds":$memoJs,"sf":"$sfDir"}"""
+    val warmDirtyJs = warmDirty.map { case (n, m) =>
+      s"""${jq(n)}:{"dirty":true,"clean_min":${Yardstick.jnum("%.3f", m)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm_dirty":$warmDirtyJs,"total_warm":$totalWarm,"warm_passes":$warmN,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_passes":${calibPasses.mkString("[", ",", "]")},"calib_family_cold":${js(famCold)},"calib_family_warm":${js(famWarm)},"calib_family_warm_passes":$famSeriesJs,"io_family_cold":$ioColdJs,"io_family_warm_passes":$ioSeriesJs,"flagship_vs_baseline_raw":$vsRaw,"flagship_gate_calib":$vsCalib,"calib_single_ref":$calibSingleRef,"flagship_warm_tail":$flagshipTail,"flagship_tail_samples":${flagshipTailSamples.mkString("[", ",", "]")},"flagship_tail_calib":$tailCalibJs,"flagship_tail_gc_ms":$tailGcJs,"tail_gate":$tailGateJs,"calib_single":[$calibSingleA,$calibSingleB],"io_gate":$ioGateJs,"hot_rows":$hotJs,"hot_gate":$hotGateJs,"stream_state":$stateJs,"shared_builds_sec":$sharedJs,"memo_builds":$memoJs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout, which truncates the
     // per-query map (everything alphabetically early vanished from three
