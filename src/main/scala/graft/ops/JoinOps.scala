@@ -416,7 +416,7 @@ object JoinOps {
     // subsequent joins see a small build side (AQE broadcasts it from
     // runtime stats); customer is an explicit broadcast dim.
     "q_tpch_q18" -> ((s, d) => {
-      val big = table(s, d, "lineitem")
+      val big = spreadTable(s, d, "lineitem", col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty_d"))
         .filter(col("sum_qty_d") > 300)
@@ -468,7 +468,7 @@ object JoinOps {
     // codegen sum(CASE) pairs sharing one aggregation pass — the
     // canonical "two measures, one scan" OLAP shape.
     "q_tpch_q12" -> ((s, d) => {
-      val l = table(s, d, "lineitem")
+      val l = spreadTable(s, d, "lineitem", col("l_orderkey"))
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")

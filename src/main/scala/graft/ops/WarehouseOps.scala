@@ -165,7 +165,7 @@ object WarehouseOps {
     // Output is the per-stratum audit: population, sample size, observed
     // rate, sampled mass.
     "q_sample_stratified" -> ((s, d) => {
-      val li = table(s, d, "lineitem")
+      val li = spreadTable(s, d, "lineitem", col("l_orderkey"))
         .select(col("l_returnflag"), col("l_quantity"),
           (md5hash32(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
                                col("l_partkey"))) % 100).as("h"),

@@ -146,7 +146,7 @@ object WindowOps {
       val wPartial = Window
         .partitionBy(col("l_returnflag"), col("salt")).orderBy(ord: _*)
       val wFinal = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
-      table(s, d, "lineitem")
+      spreadTable(s, d, "lineitem", col("l_orderkey"))
         .select(col("l_returnflag"), col("l_extendedprice"),
                 col("l_orderkey"), col("l_linenumber"))
         .withColumn("salt",
