@@ -25,7 +25,7 @@ object AggOps {
 
     // TPC-H Q1 shape (multi-key group, mixed aggregates).
     "q_agg_groupby" -> ((s, d) =>
-      spreadTable(s, d, "lineitem", col("l_orderkey"))
+      spreadTable(s, d, "lineitem", col("l_extendedprice"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"),
              dsum(col("l_extendedprice")).as("sum_base"),
@@ -395,7 +395,7 @@ object AggOps {
     // DECIMAL(38,6) accumulation (narrow decimal inputs), same
     // one-pass map-side-combined shuffle shape.
     "q_agg_stats" -> ((s, d) => {
-      spreadTable(s, d, "lineitem", col("l_orderkey"))
+      spreadTable(s, d, "lineitem", col("l_extendedprice"))
         .select(col("l_returnflag"),
           col("l_quantity").cast("decimal(18,0)").as("qi"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100)
@@ -589,7 +589,7 @@ object AggOps {
     // have. Never regr_slope/covar_samp(double) directly: their
     // running-update order differs between engines.
     "q_agg_regression" -> ((s, d) =>
-      spreadTable(s, d, "lineitem", col("l_orderkey"))
+      spreadTable(s, d, "lineitem", col("l_extendedprice"))
         .select(col("l_returnflag"),
           col("l_quantity").cast("decimal(18,0)").as("qi"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100)

@@ -295,7 +295,7 @@ object JoinOps {
     "q_tpch_q1" -> ((s, d) => {
       def cents(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(18,6)")).cast("decimal(30,2)").cast("double")
-      spreadTable(s, d, "lineitem", col("l_orderkey"))
+      spreadTable(s, d, "lineitem", col("l_extendedprice"))
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"),
