@@ -149,7 +149,7 @@ object GraphOps {
       // poison, while the sort-based path streams sorted runs. Keep
       // Spark's default.
       graft.MemoLog.built("graph.copurchase_edges") {
-      spreadTable(s, d, "lineitem", col("l_orderkey"))
+      table(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .groupBy(col("ok")).agg(array_sort(collect_set(col("p")))
           .as("pss"))
