@@ -825,21 +825,126 @@ object SimOps {
   /** Populate the k-means cache entries: one Lloyd run yields BOTH the
     * assignment frame and its centroids, with c2 persisted so the a3
     * assignment pass reuses the cached centroids instead of re-running
-    * two more corpus passes. */
+    * two more corpus passes.
+    *
+    * Size-gated driver-side Lloyd (round 22, VERDICT r21 top item —
+    * guide §1.2 step 1 / §5 bounded-collect): below
+    * spark.graft.kmeans.localMaxBytes of embeddings input (default
+    * 256 MiB; 0 forces the distributed path — the law test pins both)
+    * the vectors are collected ONCE and the 3 Lloyd iterations run on
+    * the driver with the exact arithmetic of the distributed plan —
+    * the same pattern, bound and bit-identity argument as the PQ
+    * codebook trainer above ([[pqCodebook]]): SqL2Dist's in-order
+    * double fold for distances, java.lang.Double.compare +
+    * min-cid tiebreak replicating the row_number window's
+    * (dist, cid) order with NaN last, Spark's own
+    * Decimal.changePrecision(18, 6) per element + exact BigDecimal
+    * summation + doubleValue/n for the per-dimension means. The
+    * distributed spelling paid ~8 fixed-overhead jobs and a
+    * (vec_id)-keyed window shuffle of n·k scored rows per build
+    * (~1.7 s/warm-pass of shared-build ledger at sf0.1) against 2 000
+    * vectors. Above the gate (true corpus scale) [[lloydFrames]] runs
+    * unchanged. Law test: KmeansLawSpec asserts local == distributed
+    * cells AND centroids on the real fixture. */
   private def ensureKmeans(s: SparkSession, d: String): Unit =
     if (!simCache.contains((s, d, "kmeans_cells"))) simCache.synchronized {
       if (!simCache.contains((s, d, "kmeans_cells")))
         graft.MemoLog.timed("sim.kmeans") {
-          val (a3, c2) = lloydFrames(s, d)
+          val localMax = s.conf
+            .get("spark.graft.kmeans.localMaxBytes",
+                 String.valueOf(256L << 20)).toLong
+          val (cells0, c2) =
+            if (localMax > 0 &&
+                graft.ops.inputBytes(s"$d/embeddings.parquet") <= localMax)
+              lloydLocalFrames(s, d)
+            else {
+              val (a3, c2d) = lloydFrames(s, d)
+              (a3.select(col("vec_id"), col("cid"), col("dist")), c2d)
+            }
           simCache((s, d, "kmeans_cents")) = c2
-          val cells =
-            a3.select(col("vec_id"), col("cid"), col("dist")).persist()
+          val cells = cells0.persist()
           simCache((s, d, "kmeans_cells")) = cells
           // materialize inside the charged window (MemoLog.built's
           // contract, spelled out here because two entries are stored)
           cells.count()
         }
     }
+
+  /** Driver-side 3-iteration Lloyd — the bounded-collect twin of
+    * [[lloydFrames]] (see [[ensureKmeans]] for the gate and the
+    * bit-identity argument). Returns (cells (vec_id, cid, dist),
+    * cents (cid, c)) as local relations with the same schemas the
+    * distributed frames carry. */
+  private def lloydLocalFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    // the collect evaluates the SAME projection the distributed path
+    // scans (cast to double via Spark's own Cast), so element values
+    // are bit-identical by construction
+    val vecs: Array[(Long, Array[Double])] =
+      table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sqdLocal(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    // CAST(double AS DECIMAL(18,6)) — Spark's own Decimal (BigDecimal
+    // construction + HALF_UP changePrecision), as in [[pqCodebook]]
+    def dec6(v: Double): java.math.BigDecimal = {
+      val dd = org.apache.spark.sql.types.Decimal(v)
+      dd.changePrecision(18, 6)
+      dd.toJavaBigDecimal
+    }
+    // c0: the vectors with vec_id < 8, cid = vec_id (limit(8) in the
+    // distributed plan is a no-op on unique ids — ≤ 8 rows by filter)
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < 8).sortBy(_._1).take(8)
+        .map { case (vid, v) => (vid, v) }.toSeq
+    // assign: squared-L2 argmin with the row_number window's
+    // (dist, cid) order — Double.compare (NaN last) + min-cid tiebreak,
+    // exactly the pqCodebook argmin
+    def assignL(cs: Seq[(Long, Array[Double])])
+        : Array[(Long, Array[Double], Long, Double)] =
+      vecs.map { case (vid, v) =>
+        var bd = Double.NaN; var bid = Long.MaxValue; var first = true
+        cs.foreach { case (cid, c) =>
+          val dist = sqdLocal(v, c)
+          val cmp = java.lang.Double.compare(dist, bd)
+          if (first || cmp < 0 || (cmp == 0 && cid < bid)) {
+            bd = dist; bid = cid; first = false
+          }
+        }
+        (vid, v, bid, bd)
+      }
+    // means: per (cid, pos) exact-decimal sum / count — a cid that
+    // attracts no vectors drops out (its group is absent), as in the
+    // distributed groupBy
+    def meansL(assigned: Array[(Long, Array[Double], Long, Double)])
+        : Seq[(Long, Array[Double])] =
+      assigned.groupBy(_._3).view.mapValues { g =>
+        val dim = g.head._2.length
+        Array.tabulate(dim) { p =>
+          var sum = java.math.BigDecimal.ZERO
+          g.foreach(r => sum = sum.add(dec6(r._2(p))))
+          sum.doubleValue / g.length
+        }
+      }.toSeq.sortBy(_._1)
+    cents = meansL(assignL(meansL(assignL(cents))))
+    val a3 = assignL(cents)
+    import s.implicits._
+    val cells = a3.toSeq.map { case (vid, _, cid, dist) =>
+      (vid, cid, dist)
+    }.toDF("vec_id", "cid", "dist")
+    val c2 = cents.sortBy(_._1)
+      .map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+    System.err.println(s"[sim.kmeans] driver Lloyd: ${vecs.length} " +
+      s"vectors, ${cents.size} centroids")
+    (cells, c2)
+  }
 
   private def lloydFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {

@@ -538,7 +538,14 @@ object TextOps {
     // end-to-end: train AND encode.
     "q_bpe_apply" -> ((s, d) => {
       val merges = bpeTrain(s, d).map { case (_, l, r, _) => (l, r) }
-      spreadTable(s, d, "documents", col("doc_id"))
+      // Site-capped spread gate (32 MiB): the encode is one pure
+      // codegen map, so the zero-shuffle plan wins as soon as the
+      // input is no longer one tiny single-split file — the 100×
+      // sweep's ~59 MB documents fixture measured ~2× slower WITH the
+      // spread (SCALE_r21), while the sf0.1 fixture (0.6 MB, one
+      // split) still needs it.
+      spreadTable(s, d, "documents", col("doc_id"),
+                  siteMaxBytes = 32L << 20)
         .select(col("doc_id"),
           size(bpeEncodedSymbols(col("text"), merges)).cast("long")
             .as("n_subwords"),

