@@ -55,6 +55,48 @@ object GraphOps {
     pr
   }
 
+  /** Driver-side twin of [[pagerank]] over the same derived graph —
+    * exact by construction: every operation is int64 micro-unit
+    * arithmetic (the object scaladoc's determinism argument), and the
+    * per-destination message sums are commutative integer adds, so
+    * accumulation order cannot matter. Collects the distinct bipartite
+    * (part, supplier + Off) edge list once — bounded by the caller's
+    * inputBytes gate: distinct pairs ≤ corpus rows under the gate,
+    * 16 B each — then symmetrize → out-degrees → 3 synchronous message
+    * rounds run locally. Symmetrization cannot create duplicates (the
+    * id spaces are disjoint around Off), matching the distributed
+    * unionAll exactly; the round recurrence pr' = 150000 +
+    * (85 · Σ (pr DIV outdeg)) DIV 100 uses Java long division =
+    * Spark's DIV on the (always positive) operands. */
+  private def pagerankLocal(s: org.apache.spark.sql.SparkSession,
+                            d: String): DataFrame = {
+    val e0 = table(s, d, "lineitem")
+      .select(col("l_partkey").as("src"),
+              (col("l_suppkey") + Off).as("dst"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val outdeg = scala.collection.mutable.HashMap
+      .empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (srcN, _) => outdeg(srcN) += 1L }
+    var pr = scala.collection.mutable.HashMap.empty[Long, Long]
+    outdeg.keysIterator.foreach(n => pr(n) = 1000000L)
+    for (_ <- 1 to 3) {
+      val acc = scala.collection.mutable.HashMap
+        .empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (srcN, dstN) =>
+        acc(dstN) += pr(srcN) / outdeg(srcN) }
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      acc.foreach { case (n, sm) => next(n) = 150000L + (85L * sm) / 100L }
+      pr = next
+    }
+    System.err.println(s"[pagerank] driver rounds: ${e0.length} distinct " +
+      s"edges, ${pr.size} nodes")
+    import s.implicits._
+    pr.toSeq.sortBy(_._1).toDF("node_id", "pr_micro").orderBy("node_id")
+  }
+
   /** The persisted (edges ⋈ outdeg) message base, memoized per
     * (session, dir) — the [[DedupOps.clearPairsCache]] pattern: repeat
     * q_graph_pagerank invocations in a long-lived session (Verify, an
@@ -208,10 +250,30 @@ object GraphOps {
     // suppliers sit most centrally in the supply network. Nodes = parts ∪
     // (suppliers + Off); one symmetric edge per distinct (part, supplier)
     // lineitem pairing; 3 rounds. Output is every node's micro-unit rank.
-    "q_graph_pagerank" -> ((s, d) =>
-      pagerank(messageBase(s, d), 3)
-        .select(col("node").as("node_id"), col("pr").as("pr_micro"))
-        .orderBy("node_id")),
+    "q_graph_pagerank" -> ((s, d) => {
+      // Size-gated driver PageRank (round 22 — guide §1.2 step 1 /
+      // §5 bounded-collect, the cc.localMaxEdges pattern): the rank
+      // arithmetic is INTEGER micro-units by design (see the object
+      // scaladoc), i.e. every operation is commutative/associative
+      // int64 math a driver loop reproduces bit-identically — no
+      // float-order caveat. Below spark.graft.pagerank.localMaxBytes
+      // of lineitem parquet (256 MiB; 0 forces distributed — the law
+      // test pins both paths) the distinct bipartite edge list is
+      // collected ONCE (≤ distinct (part, supplier) pairs ≤ corpus
+      // rows under the gate, 16 B each) and symmetrization + degrees
+      // + the 3 message rounds run locally, replacing the persisted
+      // message-base build (scan + distinct + degree join + persist)
+      // plus 3 rounds of join+agg (each with its own exchange).
+      // Above the gate the distributed path runs unchanged.
+      val localMax = s.conf.get("spark.graft.pagerank.localMaxBytes",
+        String.valueOf(256L << 20)).toLong
+      if (localMax > 0 && inputBytes(s"$d/lineitem.parquet") <= localMax)
+        pagerankLocal(s, d)
+      else
+        pagerank(messageBase(s, d), 3)
+          .select(col("node").as("node_id"), col("pr").as("pr_micro"))
+          .orderBy("node_id")
+    }),
 
     // Triangle census of the part co-purchase affinity graph: parts are
     // linked when they co-occur in >= 2 distinct orders (the >= 2 prune
